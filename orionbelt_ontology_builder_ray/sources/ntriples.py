@@ -1,0 +1,111 @@
+"""N-Triples serialization for triple rows.
+
+NT is line-oriented, so serialization shards perfectly: the distributed
+sink is an embarrassingly-parallel ``map_batches`` formatting stage
+(see ``write_ntriples_dataset``), mirroring the reference's
+``export_to_string`` (ontology_manager.py:2295-2297) for the canonical
+line-based format.  Driver-side helpers handle schema-sized graphs and
+snapshots.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List
+
+from ..functions.terms import BNODE, LITERAL, URI, XSD_STRING, Triple
+
+_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+_ESCAPE_RE = re.compile(r'[\\"\n\r\t]')
+_UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+_UNESCAPE_RE = re.compile(r'\\[\\"nrt]')
+
+
+def escape_literal(value: str) -> str:
+    return _ESCAPE_RE.sub(lambda m: _ESCAPES[m.group(0)], value)
+
+
+def unescape_literal(value: str) -> str:
+    return _UNESCAPE_RE.sub(lambda m: _UNESCAPES[m.group(0)], value)
+
+
+def format_term_object(obj: str, kind: str, lang: str, datatype: str) -> str:
+    if kind == URI:
+        return f"<{obj}>"
+    if kind == BNODE:
+        return obj
+    lit = f'"{escape_literal(obj)}"'
+    if lang:
+        return f"{lit}@{lang}"
+    if datatype and datatype != XSD_STRING:
+        return f"{lit}^^<{datatype}>"
+    return lit
+
+
+def format_row(t: Triple) -> str:
+    s = t.subject if t.subject.startswith("_:") else f"<{t.subject}>"
+    return (f"{s} <{t.predicate}> "
+            f"{format_term_object(t.object, t.object_kind, t.lang, t.datatype)} .")
+
+
+def serialize_rows(rows: Iterable[Triple]) -> str:
+    return "\n".join(format_row(t) for t in rows) + "\n"
+
+
+_LINE_RE = re.compile(
+    r'^(?P<s><[^>]*>|_:\S+)\s+<(?P<p>[^>]*)>\s+(?P<o>.+?)\s*\.\s*$')
+_LIT_RE = re.compile(
+    r'^"(?P<v>(?:[^"\\]|\\.)*)"(?:@(?P<lang>[A-Za-z0-9-]+)|\^\^<(?P<dt>[^>]*)>)?$')
+
+
+def parse_line(line: str) -> Triple:
+    m = _LINE_RE.match(line)
+    if not m:
+        raise ValueError(f"Bad N-Triples line: {line!r}")
+    s = m.group("s")
+    subject = s[1:-1] if s.startswith("<") else s
+    obj = m.group("o")
+    if obj.startswith("<") and obj.endswith(">"):
+        return Triple(subject, m.group("p"), obj[1:-1], URI, "", "")
+    if obj.startswith("_:"):
+        return Triple(subject, m.group("p"), obj, BNODE, "", "")
+    lm = _LIT_RE.match(obj)
+    if not lm:
+        raise ValueError(f"Bad N-Triples object: {obj!r}")
+    return Triple(subject, m.group("p"), unescape_literal(lm.group("v")),
+                  LITERAL, lm.group("lang") or "", lm.group("dt") or "")
+
+
+def parse_rows(text: str) -> List[Triple]:
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        out.append(parse_line(line))
+    return out
+
+
+def nt_lines_batch(batch):
+    """Vectorized map_batches stage: triples table -> one 'line' column.
+
+    Arrow in / Arrow out; used by the distributed NT sink.
+    """
+    import pyarrow as pa
+
+    subs = batch.column("subject").to_pylist()
+    preds = batch.column("predicate").to_pylist()
+    objs = batch.column("object").to_pylist()
+    kinds = batch.column("object_kind").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    dts = batch.column("datatype").to_pylist()
+    lines = [
+        format_row(Triple(s, p, o, k, la or "", dt or ""))
+        for s, p, o, k, la, dt in zip(subs, preds, objs, kinds, langs, dts)
+    ]
+    return pa.table({"line": lines})
+
+
+def write_ntriples_dataset(ds, path: str) -> None:
+    """Distributed NT sink: per-block formatting then sharded text files."""
+    ds.map_batches(nt_lines_batch, batch_format="pyarrow").write_csv(path)

@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/shutdown() here or in the library (bench.py and the test
+fixture own their own sessions).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship KG-construction pipeline on sf0.001.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + training-data ops).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where the op is
+  SQL-expressible; omitted keys get a rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +18,69 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: transcripts -> extract -> link -> dedup ->
+    sort; returns the triples Dataset."""
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    return build_kg("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from orionbelt_ontology_builder_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG-construction pipeline (SURVEY.md §2.2, §2.5-2.9)
+        "kg_transcripts": q.kg_transcripts,
+        "kg_triples": q.kg_triples,
+        "kg_statistics": q.kg_statistics,
+        "kg_conversation_lengths": q.kg_conversation_lengths,
+        "kg_tool_usage": q.kg_tool_usage,
+        "kg_mentions_by_entity": q.kg_mentions_by_entity,
+        "kg_search": q.kg_search,
+        "kg_duplicate_labels": q.kg_duplicate_labels,
+        "kg_delete_impact": q.kg_delete_impact,
+        "kg_usages": q.kg_usages,
+        "kg_turn_text_by_role": q.kg_turn_text_by_role,
+        "kg_triples_canonicalized": q.kg_triples_canonicalized,
+        # training-data ops
+        "doc_dedup_exact": q.doc_dedup_exact,
+        "doc_token_counts": q.doc_token_counts,
+        "doc_ngram_stats": q.doc_ngram_stats,
+        "doc_quality": q.doc_quality,
+        "doc_langid": q.doc_langid,
+        "doc_fingerprints": q.doc_fingerprints,
+        "doc_simhash": q.doc_simhash,
+        "doc_minhash_clusters": q.doc_minhash_clusters,
+        "embedding_near_dups": q.embedding_near_dups,
+        "events_hourly": q.events_hourly,
+        "ann_topk": q.ann_topk_query,
+        "ann_ivf": q.ann_ivf_query,
+        "multimodal_decode": q.multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from orionbelt_ontology_builder_ray.pipelines import oracles as o
+
+    return {
+        "kg_transcripts": o.sql_kg_transcripts(),
+        "kg_triples": o.sql_kg_triples(),
+        "kg_statistics": o.sql_kg_statistics(),
+        "kg_conversation_lengths": o.sql_kg_conversation_lengths(),
+        "kg_tool_usage": o.sql_kg_tool_usage(),
+        "kg_mentions_by_entity": o.sql_kg_mentions_by_entity(),
+        "kg_search": o.sql_kg_search(),
+        "kg_duplicate_labels": o.sql_kg_duplicate_labels(),
+        "kg_delete_impact": o.sql_kg_delete_impact(),
+        "kg_usages": o.sql_kg_usages(),
+        "kg_turn_text_by_role": o.sql_kg_turn_text_by_role(),
+        "doc_dedup_exact": o.sql_doc_dedup_exact(),
+        "doc_token_counts": o.sql_doc_token_counts(),
+        "doc_ngram_stats": o.sql_doc_ngram_stats(),
+        "events_hourly": o.sql_events_hourly(),
+        "ann_topk": o.sql_ann_topk(),
+        # rows-only (non-SQL-expressible): kg_triples_canonicalized
+        # (union-find), doc_quality (float features), doc_langid,
+        # doc_fingerprints, doc_simhash, doc_minhash_clusters,
+        # embedding_near_dups, ann_ivf, multimodal_decode
+    }

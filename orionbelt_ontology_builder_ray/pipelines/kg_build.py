@@ -1,0 +1,116 @@
+"""Flagship pipeline: transcripts → triples (the north_star DAG).
+
+    read transcripts (or derive from events)
+      → map_batches(TripleExtractor actors)     stage 1: per-turn triples
+                                                + mention candidates
+      → map_batches(EntityLinker actors)        stage 2: alias-dict linking
+      → canonicalize (groupby + union-find      stage 3: SHUFFLE 1 (only
+        + broadcast rewrite)                    when merge pairs exist)
+      → exact dedup (hash-bucket shuffle)       stage 4: SHUFFLE 2
+      → sort(subject, predicate, object)        stage 5: deterministic
+      → write_parquet / return                  materialization
+
+Every stage checkpoints to ``<ckpt>/<stage>`` with lineage manifests
+when ``ckpt_dir`` is set; a rerun with the same input fingerprint
+resumes after the last complete stage (see ``pipelines.checkpoint``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Optional
+
+from ..functions.kg import KG, seed_schema_store
+from ..sources.transcripts import derive_transcripts, read_transcripts
+from ..stages.canonicalize import canonicalize
+from ..stages.dedup import dedup_triples
+from ..stages.extract import TRIPLE_COLS, TripleExtractor
+from ..stages.link import EntityLinker, build_alias_dict
+from . import checkpoint as ckpt
+
+
+def seed_schema_dataset():
+    import ray.data as rd
+
+    return rd.from_arrow(seed_schema_store().to_arrow())
+
+
+def _fingerprint(*parts) -> str:
+    return hashlib.sha1("|".join(str(p) for p in parts).encode()).hexdigest()[:16]
+
+
+def build_kg(sf_dir: Optional[str] = None,
+             transcripts_path: Optional[str] = None,
+             emit_ts: bool = True,
+             include_seed_schema: bool = True,
+             canonicalize_labels: bool = False,
+             dedup_buckets: int = 32,
+             extract_concurrency=(1, 8),
+             link_concurrency=(1, 8),
+             batch_size: int = 4096,
+             ckpt_dir: Optional[str] = None,
+             final_sort: bool = True,
+             output_path: Optional[str] = None):
+    """Run the flagship KG-construction pipeline; returns the triples
+    Dataset (sorted when ``final_sort``).
+
+    ``canonicalize_labels=False`` by default for the oracle-checked
+    path (linker output is already canonical); the canonicalization
+    stage still runs for explicit sameAs pairs and is exercised with
+    variants in tests and the bench.
+    """
+    if transcripts_path:
+        transcripts = read_transcripts(transcripts_path)
+        alias_source = sf_dir
+        fp = _fingerprint("path", transcripts_path, emit_ts)
+    else:
+        transcripts = derive_transcripts(sf_dir)
+        alias_source = sf_dir
+        fp = _fingerprint("derived", sf_dir, emit_ts)
+
+    # ---- stages 1+2 (single streaming pass over the input) ----
+    if ckpt.stage_complete(ckpt_dir, "extract_link", fp):
+        triples = ckpt.load_stage(ckpt_dir, "extract_link")
+    else:
+        import ray
+
+        alias_ref = ray.put(build_alias_dict(alias_source))
+        triples = transcripts.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs=dict(emit_ts=emit_ts),
+            batch_format="pandas", batch_size=batch_size,
+            concurrency=extract_concurrency)
+        triples = triples.map_batches(
+            EntityLinker, fn_constructor_kwargs=dict(alias_ref=alias_ref),
+            batch_format="pandas", batch_size=batch_size,
+            concurrency=link_concurrency)
+        if include_seed_schema:
+            triples = triples.union(seed_schema_dataset())
+        if ckpt_dir:
+            triples = ckpt.save_stage(ckpt_dir, "extract_link", triples, fp)
+
+    # ---- stage 3: canonicalization ----
+    if canonicalize_labels:
+        if ckpt.stage_complete(ckpt_dir, "canonical", fp):
+            triples = ckpt.load_stage(ckpt_dir, "canonical")
+        else:
+            triples, mapping = canonicalize(triples, use_labels=True)
+            if ckpt_dir:
+                triples = ckpt.save_stage(ckpt_dir, "canonical", triples, fp,
+                                          metrics={"merged_entities": len(mapping)})
+
+    # ---- stage 4: exact dedup ----
+    if ckpt.stage_complete(ckpt_dir, "dedup", fp):
+        triples = ckpt.load_stage(ckpt_dir, "dedup")
+    else:
+        triples = dedup_triples(triples, num_buckets=dedup_buckets)
+        if ckpt_dir:
+            triples = ckpt.save_stage(ckpt_dir, "dedup", triples, fp)
+
+    # ---- stage 5: deterministic materialization ----
+    if final_sort:
+        triples = triples.sort(["subject", "predicate", "object"])
+    if output_path:
+        triples.write_parquet(output_path)
+    return triples

@@ -1,0 +1,256 @@
+"""DuckDB oracle SQL for the driver's correctness harness.
+
+Every SQL string here mirrors a Ray pipeline in ``pipelines.queries``
+exactly — same rows, same column names — so the driver's
+row-count/schema/value-hash comparison passes when the Ray pipeline is
+correct.  The triple-emission rules appear twice by design (vectorized
+Python in stages/, SQL here); tests assert the two stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from ..functions.kg import (
+    KG, KG_AT_TIME, KG_CONVERSATION, KG_IN_CONVERSATION, KG_MENTIONS,
+    KG_PLACE, KG_REGION, KG_ROLE, KG_TEXT, KG_TOOL, KG_TURN, KG_TURN_INDEX,
+    KG_USED_TOOL, LABEL, NAMED_INDIVIDUAL, PREF_LABEL, seed_schema_store,
+)
+from ..functions.terms import RDF_TYPE, XSD_DATETIME, XSD_INTEGER
+from ..sources.transcripts import TRANSCRIPTS_SQL
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def seed_schema_values_sql() -> str:
+    """The seed ontology as a VALUES list (generated from the same
+    store the pipeline unions in — single source of truth)."""
+    rows = seed_schema_store().to_rows()
+    values = ",\n    ".join(
+        f"({_sql_str(t.subject)}, {_sql_str(t.predicate)}, "
+        f"{_sql_str(t.object)}, {_sql_str(t.object_kind)}, "
+        f"{_sql_str(t.lang)}, {_sql_str(t.datatype)})"
+        for t in rows)
+    return (f"SELECT * FROM (VALUES\n    {values}\n) "
+            "AS seed(subject, predicate, object, object_kind, lang, datatype)")
+
+
+def transcripts_cte() -> str:
+    return f"transcripts AS ({TRANSCRIPTS_SQL})"
+
+
+_TURNS_CTE = f"""turns AS (
+  SELECT *,
+         '{KG}' || conv_id AS conv_uri,
+         '{KG}' || conv_id || '-t' || CAST(turn_idx AS VARCHAR) AS turn_uri
+  FROM transcripts
+)"""
+
+
+def _emission_union(emit_ts: bool, include_seed: bool) -> str:
+    u = "'uri'", "''", "''"
+
+    def row(s, p, o, kind="'uri'", lang="''", dt="''", src="turns", where=""):
+        w = f" WHERE {where}" if where else ""
+        return (f"  SELECT {s} AS subject, {p} AS predicate, {o} AS object, "
+                f"{kind} AS object_kind, {lang} AS lang, {dt} AS datatype "
+                f"FROM {src}{w}")
+
+    lit = "'literal'"
+    parts = [
+        row("turn_uri", _sql_str(RDF_TYPE), _sql_str(NAMED_INDIVIDUAL)),
+        row("turn_uri", _sql_str(RDF_TYPE), _sql_str(KG_TURN)),
+        row("turn_uri", _sql_str(KG_IN_CONVERSATION), "conv_uri"),
+        row("turn_uri", _sql_str(KG_ROLE), "role", lit),
+        row("turn_uri", _sql_str(KG_TEXT), "text", lit),
+        row("turn_uri", _sql_str(KG_TURN_INDEX), "CAST(turn_idx AS VARCHAR)",
+            lit, "''", _sql_str(XSD_INTEGER)),
+        row("conv_uri", _sql_str(RDF_TYPE), _sql_str(NAMED_INDIVIDUAL)),
+        row("conv_uri", _sql_str(RDF_TYPE), _sql_str(KG_CONVERSATION)),
+    ]
+    if emit_ts:
+        parts.append(row("turn_uri", _sql_str(KG_AT_TIME),
+                         "strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')",
+                         lit, "''", _sql_str(XSD_DATETIME)))
+    tool_uri = f"'{KG}' || tool"
+    parts += [
+        row("turn_uri", _sql_str(KG_USED_TOOL), tool_uri, where="tool <> ''"),
+        row(tool_uri, _sql_str(RDF_TYPE), _sql_str(NAMED_INDIVIDUAL),
+            where="tool <> ''"),
+        row(tool_uri, _sql_str(RDF_TYPE), _sql_str(KG_TOOL), where="tool <> ''"),
+        row(tool_uri, _sql_str(LABEL), "tool", lit, where="tool <> ''"),
+    ]
+    place_uri = f"'{KG}place-' || lower(n.n_name)"
+    nation_src = ("turns t JOIN nation n "
+                  "ON position('[' || n.n_name || ']' IN t.text) > 0")
+    parts += [
+        row("t.turn_uri", _sql_str(KG_MENTIONS), place_uri, src=nation_src),
+        row(place_uri, _sql_str(RDF_TYPE), _sql_str(NAMED_INDIVIDUAL),
+            src=nation_src),
+        row(place_uri, _sql_str(RDF_TYPE), _sql_str(KG_PLACE), src=nation_src),
+        row(place_uri, _sql_str(PREF_LABEL), "n.n_name", lit, src=nation_src),
+    ]
+    region_uri = f"'{KG}region-' || replace(lower(r.r_name), ' ', '_')"
+    region_src = ("turns t JOIN region r "
+                  "ON position('[' || r.r_name || ']' IN t.text) > 0")
+    parts += [
+        row("t.turn_uri", _sql_str(KG_MENTIONS), region_uri, src=region_src),
+        row(region_uri, _sql_str(RDF_TYPE), _sql_str(NAMED_INDIVIDUAL),
+            src=region_src),
+        row(region_uri, _sql_str(RDF_TYPE), _sql_str(KG_REGION), src=region_src),
+        row(region_uri, _sql_str(PREF_LABEL), "r.r_name", lit, src=region_src),
+    ]
+    if include_seed:
+        parts.append("  " + seed_schema_values_sql().replace("\n", "\n  "))
+    return "\n  UNION ALL\n".join(parts)
+
+
+def kg_triples_cte(emit_ts: bool = True, include_seed: bool = True) -> str:
+    """WITH-clause prefix defining ``triples`` (deduplicated)."""
+    return (f"WITH {transcripts_cte()},\n{_TURNS_CTE},\n"
+            f"raw_triples AS (\n{_emission_union(emit_ts, include_seed)}\n),\n"
+            "triples AS (SELECT DISTINCT subject, predicate, object, "
+            "object_kind, lang, datatype FROM raw_triples)")
+
+
+# ---------------------------------------------------------------------------
+# per-query oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def sql_kg_transcripts() -> str:
+    return (f"WITH {transcripts_cte()} SELECT conv_id, turn_idx, role, text, "
+            "tool, ts FROM transcripts ORDER BY conv_id, turn_idx")
+
+
+def sql_kg_triples() -> str:
+    return (kg_triples_cte() + "\nSELECT * FROM triples "
+            "ORDER BY subject, predicate, object, object_kind, lang, datatype")
+
+
+def sql_kg_statistics() -> str:
+    """Type counts over rdf:type rows (get_statistics analog,
+    om:2868-2901 / groupby(object).count())."""
+    return (kg_triples_cte()
+            + f"\nSELECT object AS type_uri, COUNT(*) AS n FROM triples "
+              f"WHERE predicate = {_sql_str(RDF_TYPE)} "
+              "GROUP BY object ORDER BY type_uri")
+
+
+def sql_kg_conversation_lengths() -> str:
+    return (f"WITH {transcripts_cte()} SELECT conv_id, "
+            "COUNT(*) AS n_turns, CAST(MAX(turn_idx) AS INTEGER) AS max_turn_idx "
+            "FROM transcripts GROUP BY conv_id ORDER BY conv_id")
+
+
+def sql_kg_tool_usage() -> str:
+    return (kg_triples_cte()
+            + f"\nSELECT object AS tool_uri, COUNT(*) AS n_turns FROM triples "
+              f"WHERE predicate = {_sql_str(KG_USED_TOOL)} "
+              "GROUP BY object ORDER BY tool_uri")
+
+
+def sql_kg_mentions_by_entity() -> str:
+    return (kg_triples_cte()
+            + f"\nSELECT object AS entity_uri, COUNT(*) AS n_mentions "
+              f"FROM triples WHERE predicate = {_sql_str(KG_MENTIONS)} "
+              "GROUP BY object ORDER BY entity_uri")
+
+
+def sql_kg_search(query: str = "nation_1") -> str:
+    """Case-insensitive substring search over entity labels
+    (om:2301-2347 analog, label field)."""
+    q = _sql_str("%" + query.lower() + "%")
+    return (kg_triples_cte()
+            + f"\nSELECT DISTINCT subject AS uri, object AS label FROM triples "
+              f"WHERE predicate IN ({_sql_str(PREF_LABEL)}, {_sql_str(LABEL)}) "
+              f"AND lower(object) LIKE {q} ORDER BY uri, label")
+
+
+def sql_kg_duplicate_labels() -> str:
+    """Duplicate-label detection (om:2834-2849)."""
+    return (kg_triples_cte()
+            + f"\nSELECT object AS label, COUNT(DISTINCT subject) AS n_subjects "
+              f"FROM triples WHERE predicate IN ({_sql_str(LABEL)}, "
+              f"{_sql_str(PREF_LABEL)}) "
+              "GROUP BY object HAVING COUNT(DISTINCT subject) > 1 "
+              "ORDER BY label")
+
+
+def sql_kg_delete_impact(entity_local: str = "place-nation_1") -> str:
+    """Delete-impact counts: 3-way semi-joins (om:371-455)."""
+    uri = _sql_str(KG + entity_local)
+    return (kg_triples_cte() + f"""
+SELECT
+  (SELECT COUNT(*) FROM triples WHERE subject = {uri}) AS direct_triples,
+  (SELECT COUNT(*) FROM triples WHERE object = {uri}
+     AND object_kind = 'uri') AS inbound_refs,
+  (SELECT COUNT(*) FROM triples WHERE predicate = {uri}) AS as_predicate""")
+
+
+def sql_kg_usages(entity_local: str = "region-europe") -> str:
+    """Resource usages: inbound rows (om:2351-2396)."""
+    uri = _sql_str(KG + entity_local)
+    return (kg_triples_cte()
+            + f"\nSELECT subject, predicate FROM triples WHERE object = {uri} "
+              f"AND object_kind = 'uri' ORDER BY subject, predicate")
+
+
+def sql_kg_turn_text_by_role(role: str = "tool") -> str:
+    """Predicate+filter projection: text of all turns with a role."""
+    return (kg_triples_cte() + f"""
+SELECT t1.subject AS turn_uri, t2.object AS text
+FROM triples t1 JOIN triples t2 ON t1.subject = t2.subject
+WHERE t1.predicate = {_sql_str(KG_ROLE)} AND t1.object = {_sql_str(role)}
+  AND t2.predicate = {_sql_str(KG_TEXT)}
+ORDER BY turn_uri""")
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over documents / embeddings / events
+# ---------------------------------------------------------------------------
+
+
+def sql_doc_dedup_exact() -> str:
+    return ("SELECT text, MIN(doc_id) AS doc_id FROM documents "
+            "GROUP BY text ORDER BY doc_id")
+
+
+def sql_doc_token_counts() -> str:
+    return ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+            "END AS n_tokens FROM documents ORDER BY doc_id")
+
+
+def sql_doc_ngram_stats(n: int = 2) -> str:
+    """Distinct word-bigram count per doc (n-gram fingerprint basis)."""
+    return """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+       CAST(length(list_distinct(list_transform(
+            range(1, array_length(w)), i -> w[i] || ' ' || w[i+1])))
+            AS BIGINT) AS n_distinct_bigrams
+FROM toks ORDER BY doc_id"""
+
+
+def sql_events_hourly() -> str:
+    return ("SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "COUNT(*) AS n FROM events GROUP BY event_type, hour "
+            "ORDER BY event_type, hour")
+
+
+def sql_ann_topk(query_vec_id: int = 0, k: int = 10) -> str:
+    """Brute-force cosine top-k against one stored query vector."""
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id,
+       CAST(rank() OVER (ORDER BY list_cosine_similarity(e.embedding, q.qv)
+            DESC, e.vec_id) AS BIGINT) AS rnk
+FROM embeddings e, q
+WHERE e.vec_id <> {query_vec_id}
+QUALIFY rnk <= {k}
+ORDER BY rnk"""

@@ -1,0 +1,325 @@
+"""Ray implementations of the driver-checked queries.
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas /
+pyarrow result whose rows AND column names match the corresponding
+oracle SQL in ``pipelines.oracles`` (driver compares row count, schema,
+order-insensitive value hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.kg import (KG, KG_MENTIONS, KG_USED_TOOL, LABEL, PREF_LABEL)
+from ..functions.terms import RDF_TYPE
+from ..sources.transcripts import derive_transcripts
+from ..stages.dedup import exact_dedup_docs
+from ..stages.extract import TRIPLE_COLS
+from ..stages.similarity import ann_topk
+from ..stages.textops import BigramStats, TokenCounter
+from .kg_build import build_kg
+
+
+def _read(sf_dir, name, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _triples(sf_dir, final_sort=False):
+    return build_kg(sf_dir, final_sort=final_sort)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def kg_transcripts(sf_dir):
+    return derive_transcripts(sf_dir)
+
+
+def kg_triples(sf_dir):
+    return _triples(sf_dir, final_sort=True)
+
+
+def kg_statistics(sf_dir):
+    """Type counts (get_statistics analog): groupby(object).count on
+    rdf:type rows."""
+    from ray.data.aggregate import Count
+
+    ds = _triples(sf_dir)
+    typed = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["predicate"], RDF_TYPE))
+        .select(["object"]),
+        batch_format="pyarrow")
+    out = typed.groupby("object").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["type_uri", "n"]), batch_format="pyarrow")
+
+
+def kg_conversation_lengths(sf_dir):
+    from ray.data.aggregate import Count, Max
+
+    ds = derive_transcripts(sf_dir)
+    agg = ds.groupby("conv_id").aggregate(
+        Count(alias_name="n_turns"),
+        Max("turn_idx", alias_name="max_turn_idx"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("max_turn_idx"),
+                            "max_turn_idx",
+                            t["max_turn_idx"].cast(pa.int32()))
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
+def _pred_object_counts(sf_dir, predicate, out_col, n_col):
+    from ray.data.aggregate import Count
+
+    ds = _triples(sf_dir)
+    rows = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["predicate"], predicate))
+        .select(["object"]),
+        batch_format="pyarrow")
+    out = rows.groupby("object").aggregate(Count(alias_name=n_col))
+    return out.map_batches(lambda t: t.rename_columns([out_col, n_col]),
+                           batch_format="pyarrow")
+
+
+def kg_tool_usage(sf_dir):
+    return _pred_object_counts(sf_dir, KG_USED_TOOL, "tool_uri", "n_turns")
+
+
+def kg_mentions_by_entity(sf_dir):
+    return _pred_object_counts(sf_dir, KG_MENTIONS, "entity_uri", "n_mentions")
+
+
+def kg_search(sf_dir, query="nation_1"):
+    """Case-insensitive label substring search (om:2301-2347 analog)."""
+    import pyarrow.compute as pc
+
+    ds = _triples(sf_dir)
+
+    def flt(t: pa.Table) -> pa.Table:
+        is_label = pc.is_in(t["predicate"],
+                            value_set=pa.array([PREF_LABEL, LABEL]))
+        hit = pc.match_substring(pc.utf8_lower(t["object"]), query.lower())
+        out = t.filter(pc.and_(is_label, hit)).select(["subject", "object"])
+        return out.rename_columns(["uri", "label"])
+
+    found = ds.map_batches(flt, batch_format="pyarrow")
+    return found.groupby(["uri", "label"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+
+def kg_duplicate_labels(sf_dir):
+    """Duplicate-label detection (om:2834-2849): labels with >1 subject."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _triples(sf_dir)
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        is_label = pc.is_in(t["predicate"],
+                            value_set=pa.array([LABEL, PREF_LABEL]))
+        out = t.filter(is_label).select(["object", "subject"])
+        return out.group_by(["object", "subject"]).aggregate([])
+
+    pairs = ds.map_batches(label_rows, batch_format="pyarrow")
+    # global distinct (subject,label) then count per label
+    distinct = pairs.groupby(["object", "subject"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow")
+    counts = distinct.groupby("object").aggregate(Count(alias_name="n_subjects"))
+
+    def dupes_only(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["label", "n_subjects"])
+        return t.filter(pa.compute.greater(t["n_subjects"], 1))
+
+    out = counts.map_batches(dupes_only, batch_format="pyarrow").to_pandas()
+    # preserve a typed empty schema even when no duplicates exist
+    return pa.table({"label": pa.array(out.get("label", []), pa.string()),
+                     "n_subjects": pa.array(out.get("n_subjects", []),
+                                            pa.int64())})
+
+
+def kg_delete_impact(sf_dir, entity_local="place-nation_1"):
+    """3-way semi-join reference counts (om:371-455)."""
+    import pyarrow.compute as pc
+
+    uri = KG + entity_local
+    ds = _triples(sf_dir)
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "direct_triples": [pc.sum(pc.equal(t["subject"], uri)).as_py() or 0],
+            "inbound_refs": [pc.sum(pc.and_(
+                pc.equal(t["object"], uri),
+                pc.equal(t["object_kind"], "uri"))).as_py() or 0],
+            "as_predicate": [pc.sum(pc.equal(t["predicate"], uri)).as_py() or 0],
+        })
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    total = parts.sum().astype(np.int64)
+    return pa.table({
+        "direct_triples": [int(total["direct_triples"])],
+        "inbound_refs": [int(total["inbound_refs"])],
+        "as_predicate": [int(total["as_predicate"])],
+    })
+
+
+def kg_usages(sf_dir, entity_local="region-europe"):
+    """Inbound reference rows (om:2351-2396)."""
+    import pyarrow.compute as pc
+
+    uri = KG + entity_local
+    ds = _triples(sf_dir)
+    return ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["object"], uri),
+                                   pc.equal(t["object_kind"], "uri")))
+        .select(["subject", "predicate"]),
+        batch_format="pyarrow")
+
+
+def kg_turn_text_by_role(sf_dir, role="tool"):
+    ds = derive_transcripts(sf_dir)
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["role"] == role]
+        return pd.DataFrame({
+            "turn_uri": KG + m["conv_id"] + "-t" + m["turn_idx"].astype(str),
+            "text": m["text"].to_numpy(),
+        })
+
+    return ds.map_batches(flt, batch_format="pandas")
+
+
+def kg_triples_canonicalized(sf_dir):
+    """Flagship with the canonicalization stage active (rows-only
+    check: union-find over label keys is not SQL-expressible)."""
+    return build_kg(sf_dir, canonicalize_labels=True, final_sort=True)
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+# ---------------------------------------------------------------------------
+
+
+def doc_dedup_exact(sf_dir):
+    return exact_dedup_docs(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def doc_token_counts(sf_dir):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        TokenCounter, batch_format="pandas", concurrency=(1, 4))
+
+
+def doc_ngram_stats(sf_dir):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        BigramStats, batch_format="pandas", concurrency=(1, 4))
+
+
+def doc_quality(sf_dir):
+    from ..stages.textops import QualityScorer
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pandas", concurrency=(1, 4))
+
+
+def doc_langid(sf_dir):
+    from ..stages.textops import LangId
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 4))
+
+
+def doc_fingerprints(sf_dir):
+    from ..stages.textops import Fingerprinter
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        Fingerprinter, batch_format="pandas", concurrency=(1, 4))
+
+
+def doc_simhash(sf_dir):
+    from ..stages.dedup import simhash_docs
+
+    return simhash_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def doc_minhash_clusters(sf_dir):
+    from ..stages.dedup import minhash_dedup_clusters
+
+    clusters = minhash_dedup_clusters(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return pa.table({
+        "doc_id": pa.array([c[0] for c in clusters], pa.int64()),
+        "cluster": pa.array([c[1] for c in clusters], pa.int64()),
+    })
+
+
+def embedding_near_dups(sf_dir, threshold=0.9):
+    from ..stages.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_read(sf_dir, "embeddings"),
+                                    threshold=threshold)
+
+
+def events_hourly(sf_dir):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["hour"] = batch["ts"].dt.floor("h")
+        return batch[["event_type", "hour"]]
+
+    return (ds.map_batches(add_hour, batch_format="pandas")
+            .groupby(["event_type", "hour"])
+            .aggregate(Count(alias_name="n")))
+
+
+def ann_topk_query(sf_dir, query_vec_id=0, k=10):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    mask = pa.compute.equal(emb["vec_id"], query_vec_id)
+    qvec = np.asarray(emb.filter(mask)["embedding"][0].as_py(),
+                      dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ann_topk(ds, qvec[None, :], k=k, exclude_ids=(query_vec_id,))
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
+        "rnk": pa.array(out["rnk"].to_numpy(), pa.int64()),
+    })
+
+
+def ann_ivf_query(sf_dir, query_vec_id=0, k=10):
+    from ..stages.similarity import ivf_topk
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    mask = pa.compute.equal(emb["vec_id"], query_vec_id)
+    qvec = np.asarray(emb.filter(mask)["embedding"][0].as_py(),
+                      dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, qvec[None, :], k=k)
+    out = out[out["vec_id"] != query_vec_id]
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
+        "cosine": pa.array(out["cosine"].to_numpy(), pa.float64()),
+    })
+
+
+def multimodal_decode(sf_dir):
+    from ..stages.multimodal import decode_media, synthesize_media_dataset
+
+    ds = synthesize_media_dataset(num_items=64)
+    decoded = decode_media(ds, fake=True)
+    return decoded.drop_columns(["features"])

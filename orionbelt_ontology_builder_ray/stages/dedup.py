@@ -1,0 +1,297 @@
+"""Deduplication operators.
+
+- ``dedup_triples`` — exact triple-set dedup (rdflib set semantics at
+  scale): the pipeline's mandatory last shuffle (SURVEY.md §2.9).
+  Strategy: per-block vectorized dedup first (combiner), then a
+  hash-bucket shuffle on a single int key + per-bucket Arrow dedup —
+  shuffling one int32 column is far cheaper than a 6-string-column
+  sort-based groupby, and bucket count scales with input bytes.
+- Document-level dedup family for training-data pipelines: exact,
+  MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .extract import TRIPLE_COLS
+
+# ---------------------------------------------------------------------------
+# exact triple dedup
+# ---------------------------------------------------------------------------
+
+
+def _local_dedup(t: pa.Table) -> pa.Table:
+    cols = [c for c in TRIPLE_COLS if c in t.column_names]
+    return t.select(cols).group_by(cols).aggregate([])
+
+
+class _AddBucket:
+    def __init__(self, num_buckets: int):
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # stable row-content hash (fixed default hash key -> deterministic
+        # across processes and runs)
+        h = pd.util.hash_pandas_object(batch[TRIPLE_COLS], index=False)
+        batch = batch.copy()
+        batch["_bucket"] = (h % self.num_buckets).astype(np.int32)
+        return batch
+
+
+def dedup_triples(ds, num_buckets: int = 64):
+    """Exact dedup on the 6-column identity key.
+
+    At 100 TB: ``num_buckets ≈ input_bytes / 256 MiB`` so each bucket's
+    Arrow dedup fits a worker heap; the shuffle key is a single int32.
+    """
+    ds = ds.map_batches(lambda t: _local_dedup(t), batch_format="pyarrow")
+    ds = ds.map_batches(_AddBucket(num_buckets), batch_format="pandas")
+    ds = ds.groupby("_bucket").map_groups(
+        lambda t: _local_dedup(t), batch_format="pyarrow")
+    return ds
+
+
+def dedup_triples_table(t: pa.Table) -> pa.Table:
+    """Driver-side exact dedup for small tables/tests."""
+    return _local_dedup(t)
+
+
+# ---------------------------------------------------------------------------
+# document dedup family (id + text)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_docs(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact text dedup: keep min id per identical text.
+
+    Oracle: ``SELECT text, min(doc_id) AS doc_id FROM documents GROUP
+    BY text``.  The groupby shuffles a content *hash*, not the text —
+    text only travels once for the surviving representative.
+    """
+    from ray.data.aggregate import Min
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[text_col], index=False)
+        batch = batch[[id_col, text_col]].copy()
+        batch["_h"] = h.astype("uint64")
+        return batch
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        # within one hash bucket, group by full text (collision-safe)
+        keep = g.sort_values(id_col).groupby(text_col, sort=False).head(1)
+        return keep[[text_col, id_col]]
+
+    return hashed.groupby("_h").map_groups(per_group, batch_format="pandas")
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "big") for g in set(grams)),
+        dtype=np.uint64, count=len(set(grams)))
+
+
+class MinHasher:
+    """Actor-pool stage: doc -> per-band (band_id, band_hash, doc id).
+
+    Permutation tables built once per actor.  Downstream:
+    ``groupby(["band_id", "band_hash"])`` buckets candidates
+    (shingle→minhash→band→bucket groupby).
+    """
+
+    def __init__(self, num_perm: int = 64, num_bands: int = 16,
+                 shingle_k: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        assert num_perm % num_bands == 0
+        self.a, self.b = _minhash_params(num_perm)
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.rows_per_band = num_perm // num_bands
+        self.k = shingle_k
+        self.id_col, self.text_col = id_col, text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) affine hashes mod mersenne prime, min-reduced
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, bands, bhashes = [], [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
+            sig = self.signature(str(text))
+            for band in range(self.num_bands):
+                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                ids.append(doc_id)
+                bands.append(band)
+                bhashes.append(int.from_bytes(bh, "big") >> 1)
+        return pd.DataFrame({self.id_col: ids, "band_id": bands,
+                             "band_hash": np.array(bhashes, dtype=np.int64)})
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(map(int, _shingle_hashes(a, k))), set(map(int, _shingle_hashes(b, k)))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def minhash_candidate_pairs(ds, num_perm=64, num_bands=16, shingle_k=3,
+                            id_col="doc_id", text_col="text"):
+    """documents -> candidate near-dup id pairs (a < b), deduped."""
+    bands = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(
+            num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
+            id_col=id_col, text_col=text_col),
+        batch_format="pandas", concurrency=(1, 8))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["id_a", "id_b"]).aggregate([])
+
+    return cand.map_batches(local_dedup, batch_format="pyarrow") \
+        .groupby("id_a").map_groups(local_dedup, batch_format="pyarrow")
+
+
+def minhash_dedup_clusters(ds, threshold=0.7, num_perm=64, num_bands=16,
+                           shingle_k=3, id_col="doc_id", text_col="text"):
+    """Full near-dup pipeline: candidates -> Jaccard verify -> connected
+    components -> (id, cluster_rep).
+
+    The verify + component steps run on the *candidate pair set* which
+    is orders of magnitude smaller than the corpus; components use
+    union-find on the driver (documented small-side assumption — at
+    10^12 docs switch to iterative min-label propagation by groupby).
+    """
+    texts = {r[id_col]: r[text_col] for r in ds.select_columns(
+        [id_col, text_col]).take_all()}
+    pairs = minhash_candidate_pairs(ds, num_perm, num_bands, shingle_k,
+                                    id_col, text_col).take_all()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for p in pairs:
+        a, b = int(p["id_a"]), int(p["id_b"])
+        if jaccard(texts[a], texts[b], shingle_k) >= threshold:
+            union(a, b)
+    return sorted((int(i), find(int(i))) for i in texts)
+
+
+class SimHasher:
+    """64-bit SimHash over whitespace tokens (actor-pool stage)."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        hashes = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                            "big") for t in toks),
+            dtype=np.uint64, count=len(toks))
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        score = bits.sum(axis=0) * 2 - len(toks)
+        return int(((score > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sh = [self.simhash(str(t)) for t in batch[self.text_col]]
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "simhash": np.array(sh, dtype=np.uint64).astype(np.int64),
+        })
+
+
+def simhash_docs(ds, id_col="doc_id", text_col="text"):
+    return ds.map_batches(SimHasher,
+                          fn_constructor_kwargs=dict(id_col=id_col,
+                                                     text_col=text_col),
+                          batch_format="pandas", concurrency=(1, 8))
+
+
+def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id",
+                             vec_col="embedding", block_size=2048):
+    """Embedding-cosine near-dup pairs via blocked brute force.
+
+    One side is normalized and broadcast block-by-block; each batch
+    computes a matmul against it.  At scale the broadcast side becomes
+    an IVF/LSH bucket join; here corpus-vs-corpus blocks are exact.
+    """
+    import ray
+
+    mat, ids = _gather_normalized(ds, id_col, vec_col)
+    ref = ray.put((mat, ids))
+
+    class BlockSim:
+        def __init__(self):
+            self.mat, self.ids = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            q = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ self.mat.T
+            qa_ids = batch[id_col].to_numpy()
+            ia, ib = np.nonzero(sims >= threshold)
+            a, b = qa_ids[ia], self.ids[ib]
+            keep = a < b
+            return pd.DataFrame({"id_a": a[keep], "id_b": b[keep],
+                                 "cosine": sims[ia, ib][keep]})
+
+    return ds.map_batches(BlockSim, batch_format="pandas",
+                          batch_size=block_size, concurrency=(1, 8))
+
+
+def _gather_normalized(ds, id_col, vec_col):
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return mat, ids

@@ -1,0 +1,122 @@
+"""Stage 2: entity linking against an actor-resident alias dictionary.
+
+The linker is a stateful actor-pool stage: the alias dictionary is
+broadcast once (``ray.put`` on the driver), fetched in ``__init__``
+(once per actor), and applied per batch with a vectorized pandas map —
+the distributed analog of the reference's label-index lookups
+(ontology_manager.py:2326-2328 search fields; skos:prefLabel /
+rdfs:label alias machinery).
+
+Triple rows pass through untouched; ``object_kind == "mention"`` rows
+are resolved: matched surface forms become ``kg:mentions`` object
+triples plus the linked entity's ``add_individual`` + ``prefLabel``
+pattern; unmatched mentions are dropped (NIL linking).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..functions.kg import KG, KG_PLACE, KG_REGION, PREF_LABEL, NAMED_INDIVIDUAL
+from ..functions.terms import RDF_TYPE
+from .extract import MENTION_KIND, TRIPLE_COLS, _const_frame
+
+# surface form -> (entity_uri, class_uri, canonical_label)
+AliasDict = Dict[str, Tuple[str, str, str]]
+
+
+def build_alias_dict(sf_dir: str, base: str = KG) -> AliasDict:
+    """Alias dictionary from the dimension tables (driver-side, tiny).
+
+    Keys are casefolded surface forms; values carry the canonical URI,
+    class, and display label.  At 100 TB this dict is still
+    vocabulary-sized (entities, not turns) — broadcast, never joined.
+    """
+    import pyarrow.parquet as pq
+
+    alias: AliasDict = {}
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_name"])
+    for name in nation.column("n_name").to_pylist():
+        alias[name.casefold()] = (
+            base + "place-" + name.lower().replace(" ", "_"), KG_PLACE, name)
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_name"])
+    for name in region.column("r_name").to_pylist():
+        alias[name.casefold()] = (
+            base + "region-" + name.lower().replace(" ", "_"), KG_REGION, name)
+    return alias
+
+
+def alias_dict_from_store(store, class_by_subject=None, base: str = KG) -> AliasDict:
+    """Alias dict from a schema store's label triples (rdfs:label /
+    skos:prefLabel / skos:altLabel) — the seed-ontology path."""
+    from ..functions.terms import RDFS_LABEL, SKOS_ALT_LABEL, SKOS_PREF_LABEL
+
+    alias: AliasDict = {}
+    for t in store.rows:
+        if t.predicate in (SKOS_PREF_LABEL, RDFS_LABEL, SKOS_ALT_LABEL) \
+                and t.object_kind == "literal":
+            cls = (class_by_subject or {}).get(t.subject, "")
+            alias.setdefault(t.object.casefold(), (t.subject, cls, t.object))
+    return alias
+
+
+class EntityLinker:
+    """``map_batches(EntityLinker, fn_constructor_kwargs=..., concurrency=N)``.
+
+    ``alias_ref`` may be a plain dict (tests) or a ``ray.ObjectRef``
+    from ``ray.put`` (broadcast path).
+    """
+
+    def __init__(self, alias_ref):
+        try:
+            import ray
+
+            if isinstance(alias_ref, ray.ObjectRef):
+                alias_ref = ray.get(alias_ref)
+        except ImportError:  # pure-driver tests without ray
+            pass
+        self.alias: AliasDict = alias_ref
+        self._uri_map = {k: v[0] for k, v in self.alias.items()}
+        self._cls_map = {k: v[1] for k, v in self.alias.items()}
+        self._label_map = {k: v[2] for k, v in self.alias.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        kinds = batch["object_kind"].to_numpy()
+        mention_mask = kinds == MENTION_KIND
+        if not mention_mask.any():
+            return batch
+        passthrough = batch[~mention_mask]
+        mentions = batch[mention_mask]
+        surface = mentions["object"].str.casefold()
+        uri = surface.map(self._uri_map)
+        hit = uri.notna().to_numpy()
+        if not hit.any():
+            return passthrough[TRIPLE_COLS]
+        uri = uri.to_numpy(dtype=object)[hit]
+        cls = surface.map(self._cls_map).to_numpy(dtype=object)[hit]
+        label = surface.map(self._label_map).to_numpy(dtype=object)[hit]
+        subj = mentions["subject"].to_numpy(dtype=object)[hit]
+        pred = mentions["predicate"].to_numpy(dtype=object)[hit]
+
+        mention_triples = pd.DataFrame({
+            "subject": subj, "predicate": pred, "object": uri,
+            "object_kind": np.repeat("uri", len(uri)),
+            "lang": np.repeat("", len(uri)),
+            "datatype": np.repeat("", len(uri)),
+        })
+        entity_frames = [
+            _const_frame(uri, RDF_TYPE, NAMED_INDIVIDUAL),
+            pd.DataFrame({
+                "subject": uri, "predicate": np.repeat(RDF_TYPE, len(uri)),
+                "object": cls, "object_kind": np.repeat("uri", len(uri)),
+                "lang": np.repeat("", len(uri)),
+                "datatype": np.repeat("", len(uri)),
+            }),
+            _const_frame(uri, PREF_LABEL, label, "literal"),
+        ]
+        out = pd.concat([passthrough] + [mention_triples] + entity_frames,
+                        ignore_index=True)
+        return out[TRIPLE_COLS]

@@ -1,0 +1,142 @@
+"""Text-analysis stages for training-data pipelines.
+
+All stages are callable classes (actor pools) with compiled patterns /
+tables built once per actor in ``__init__`` and vectorized ``__call__``
+bodies (SURVEY graft requirements: language-ID, quality scoring, token
+counting, document fingerprinting).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "en", "por", "que"},
+}
+
+
+class TokenCounter:
+    """doc -> (doc_id, n_chars, n_tokens); whitespace tokenization
+    (oracle: sql_doc_token_counts)."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_col].astype(str)
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "n_chars": text.str.len().astype(np.int64),
+            "n_tokens": text.str.split().str.len().fillna(0).astype(np.int64),
+        })
+
+
+class BigramStats:
+    """doc -> (doc_id, n_distinct_bigrams) — n-gram fingerprint basis
+    (oracle: sql_doc_ngram_stats)."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, counts = [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
+            toks = str(text).split()
+            if len(toks) < 1:
+                continue
+            grams = {f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)}
+            ids.append(doc_id)
+            counts.append(len(grams))
+        return pd.DataFrame({self.id_col: np.array(ids, dtype=np.int64),
+                             "n_distinct_bigrams": np.array(counts, dtype=np.int64)})
+
+
+class QualityScorer:
+    """Heuristic quality features: length, punctuation ratio, stopword
+    ratio, mean token length, distinct-token ratio."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        self.id_col, self.text_col = id_col, text_col
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.stop = _LANG_PROFILES["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_col].astype(str)
+        toks = text.str.lower().str.split()
+        n_tok = toks.str.len().fillna(0).astype(np.int64)
+        stop_ratio = toks.map(
+            lambda ws: sum(w in self.stop for w in ws) / max(1, len(ws)))
+        distinct_ratio = toks.map(lambda ws: len(set(ws)) / max(1, len(ws)))
+        n_punct = text.str.count(self.punct_re.pattern)
+        n_chars = text.str.len().astype(np.int64)
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "n_chars": n_chars,
+            "n_tokens": n_tok,
+            "punct_ratio": (n_punct / n_chars.clip(lower=1)).astype(np.float64),
+            "stopword_ratio": stop_ratio.astype(np.float64),
+            "distinct_token_ratio": distinct_ratio.astype(np.float64),
+        })
+
+
+class LangId:
+    """Stopword-profile language ID (n-gram heuristic stand-in)."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        self.id_col, self.text_col = id_col, text_col
+        self.profiles = _LANG_PROFILES
+
+    def classify(self, text: str) -> str:
+        toks = set(text.lower().split())
+        best, best_score = "unknown", 0
+        for lang, stop in sorted(self.profiles.items()):
+            score = len(toks & stop)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "pred_lang": [self.classify(str(t)) for t in batch[self.text_col]],
+        })
+
+
+class Fingerprinter:
+    """Rolling-hash document fingerprint (winnowing-style min-sample of
+    k-gram rolling hashes) -> (doc_id, fingerprint int64)."""
+
+    def __init__(self, id_col="doc_id", text_col="text", k=5, sample=8):
+        self.id_col, self.text_col = id_col, text_col
+        self.k, self.sample = k, sample
+        self.base = np.uint64(1000003)
+
+    def fingerprint(self, text: str) -> int:
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(data) < self.k:
+            data = np.pad(data, (0, self.k - len(data)), constant_values=32)
+        powers = self.base ** np.arange(self.k, dtype=np.uint64)
+        n = len(data) - self.k + 1
+        windows = np.lib.stride_tricks.sliding_window_view(data, self.k)
+        hashes = (windows * powers[None, :]).sum(axis=1)
+        sampled = np.sort(hashes)[: self.sample]
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.blake2b(sampled.tobytes(), digest_size=8).digest(),
+            "big") >> 1
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "fingerprint": np.array(
+                [self.fingerprint(str(t)) for t in batch[self.text_col]],
+                dtype=np.int64),
+        })

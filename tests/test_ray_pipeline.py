@@ -1,0 +1,226 @@
+"""Ray data-plane tests: extraction, linking, dedup, canonicalization,
+flagship pipeline, checkpoint resume (one Ray session per pytest run)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from orionbelt_ontology_builder_ray.functions.kg import (
+    KG, KG_MENTIONS, KG_PLACE, KG_TURN, KG_USED_TOOL,
+)
+from orionbelt_ontology_builder_ray.functions.terms import RDF_TYPE, SKOS_PREF_LABEL
+from orionbelt_ontology_builder_ray.stages.extract import (
+    MENTION_KIND, TRIPLE_COLS, TripleExtractor,
+)
+from orionbelt_ontology_builder_ray.stages.link import EntityLinker
+
+SF = "/root/testdata/sf0.001"
+
+
+def tiny_transcripts() -> pd.DataFrame:
+    return pd.DataFrame({
+        "conv_id": ["conv-000001", "conv-000001", "conv-000002"],
+        "turn_idx": np.array([0, 1, 0], dtype=np.int32),
+        "role": ["user", "tool", "assistant"],
+        "text": ["hello about [NATION_1] ok", "ran with [NATION_1] in [EUROPE]",
+                 "no mentions here"],
+        "tool": ["", "tool-3", ""],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00.000001"] * 3),
+    })
+
+
+ALIAS = {
+    "nation_1": (KG + "place-nation_1", KG_PLACE, "NATION_1"),
+    "europe": (KG + "region-europe", KG + "Region", "EUROPE"),
+}
+
+
+def test_extractor_structural_triples():
+    out = TripleExtractor(emit_ts=False)(tiny_transcripts())
+    assert list(out.columns) == TRIPLE_COLS
+    turn0 = KG + "conv-000001-t0"
+    rows = set(map(tuple, out.to_numpy()))
+    assert (turn0, RDF_TYPE, KG_TURN, "uri", "", "") in rows
+    assert (turn0, KG + "inConversation", KG + "conv-000001", "uri", "", "") in rows
+    assert (turn0, KG + "role", "user", "literal", "", "") in rows
+    assert (turn0, KG + "turnIndex", "0", "literal", "",
+            "http://www.w3.org/2001/XMLSchema#integer") in rows
+    # tool triples only for the tool turn
+    assert (KG + "conv-000001-t1", KG_USED_TOOL, KG + "tool-3",
+            "uri", "", "") in rows
+    assert (KG + "tool-3", RDF_TYPE, KG + "Tool", "uri", "", "") in rows
+
+
+def test_extractor_mention_candidates():
+    out = TripleExtractor(emit_ts=False)(tiny_transcripts())
+    mentions = out[out.object_kind == MENTION_KIND]
+    got = set(zip(mentions.subject, mentions.object))
+    assert (KG + "conv-000001-t0", "NATION_1") in got
+    assert (KG + "conv-000001-t1", "NATION_1") in got
+    assert (KG + "conv-000001-t1", "EUROPE") in got
+    assert len(mentions) == 3
+
+
+def test_extractor_ts_literals():
+    out = TripleExtractor(emit_ts=True)(tiny_transcripts())
+    ts_rows = out[out.predicate == KG + "atTime"]
+    assert set(ts_rows.object) == {"2024-01-01T00:00:00.000001"}
+    assert set(ts_rows.datatype) == {"http://www.w3.org/2001/XMLSchema#dateTime"}
+
+
+def test_linker_resolves_and_drops():
+    extracted = TripleExtractor(emit_ts=False)(tiny_transcripts())
+    linked = EntityLinker(ALIAS)(extracted)
+    assert not (linked.object_kind == MENTION_KIND).any()
+    rows = set(map(tuple, linked.to_numpy()))
+    assert (KG + "conv-000001-t0", KG_MENTIONS, KG + "place-nation_1",
+            "uri", "", "") in rows
+    assert (KG + "place-nation_1", RDF_TYPE, KG_PLACE, "uri", "", "") in rows
+    assert (KG + "place-nation_1", SKOS_PREF_LABEL, "NATION_1",
+            "literal", "", "") in rows
+
+
+def test_linker_nil_mentions_dropped():
+    extracted = TripleExtractor(emit_ts=False)(
+        tiny_transcripts().assign(text=["[UNKNOWN_THING] x", "y", "z"]))
+    linked = EntityLinker(ALIAS)(extracted)
+    assert not (linked.object_kind == MENTION_KIND).any()
+    uri_rows = linked[linked.object_kind == "uri"]
+    assert not uri_rows.object.str.contains("UNKNOWN_THING").any()
+
+
+def test_dedup_triples(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import dedup_triples
+
+    df = pd.DataFrame({
+        "subject": ["s1"] * 4 + ["s2"],
+        "predicate": ["p"] * 5,
+        "object": ["o", "o", "o2", "o", "o"],
+        "object_kind": ["uri"] * 5,
+        "lang": [""] * 5,
+        "datatype": ["", "", "", "", ""],
+    })
+    out = dedup_triples(rd.from_pandas(df), num_buckets=4).to_pandas()
+    assert len(out) == 3
+    assert set(map(tuple, out.to_numpy())) == {
+        ("s1", "p", "o", "uri", "", ""),
+        ("s1", "p", "o2", "uri", "", ""),
+        ("s2", "p", "o", "uri", "", ""),
+    }
+
+
+def test_dedup_respects_lang_datatype(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import dedup_triples
+
+    df = pd.DataFrame({
+        "subject": ["s"] * 3, "predicate": ["p"] * 3, "object": ["x"] * 3,
+        "object_kind": ["literal"] * 3,
+        "lang": ["", "en", ""],
+        "datatype": ["", "", "http://www.w3.org/2001/XMLSchema#string"],
+    })
+    out = dedup_triples(rd.from_pandas(df), num_buckets=2).to_pandas()
+    assert len(out) == 3  # lang/datatype are part of identity
+
+
+def test_canonicalize_merges_label_variants(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.canonicalize import canonicalize
+
+    df = pd.DataFrame({
+        "subject": ["e/a", "e/b", "t1", "t2"],
+        "predicate": [SKOS_PREF_LABEL, SKOS_PREF_LABEL, KG_MENTIONS, KG_MENTIONS],
+        "object": ["ACME Corp.", "acme corp", "e/a", "e/b"],
+        "object_kind": ["literal", "literal", "uri", "uri"],
+        "lang": [""] * 4, "datatype": [""] * 4,
+    })
+    out, mapping = canonicalize(rd.from_pandas(df))
+    assert mapping == {"e/b": "e/a"}
+    rows = out.to_pandas()
+    # both mention rows now point at the canonical entity
+    assert set(rows[rows.predicate == KG_MENTIONS].object) == {"e/a"}
+    assert set(rows[rows.predicate == SKOS_PREF_LABEL].subject) == {"e/a"}
+
+
+def test_canonicalize_sameas_transitive(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.canonicalize import (
+        canonicalize, union_find_canonical_map,
+    )
+    from orionbelt_ontology_builder_ray.functions.terms import OWL_SAME_AS
+
+    assert union_find_canonical_map([("b", "c"), ("a", "b")]) == {
+        "b": "a", "c": "a"}
+    df = pd.DataFrame({
+        "subject": ["x", "y"],
+        "predicate": [OWL_SAME_AS, OWL_SAME_AS],
+        "object": ["y", "z"],
+        "object_kind": ["uri", "uri"],
+        "lang": ["", ""], "datatype": ["", ""],
+    })
+    out, mapping = canonicalize(rd.from_pandas(df), use_labels=False)
+    assert mapping == {"y": "x", "z": "x"}
+
+
+def test_flagship_pipeline_sf0001(ray_session):
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    ds = build_kg(SF, final_sort=True)
+    df = ds.to_pandas()
+    assert list(df.columns) == TRIPLE_COLS
+    # exact dedup: no duplicate 6-tuples
+    assert not df.duplicated().any()
+    # sorted deterministically
+    assert (df["subject"].is_monotonic_increasing
+            or df.sort_values(TRIPLE_COLS[:3]).subject.equals(df.subject))
+    # every turn present: 1000 events -> 1000 turn individuals
+    turn_rows = df[(df.predicate == RDF_TYPE) & (df.object == KG_TURN)]
+    assert len(turn_rows) == 1000
+    # mentions resolved against the dimension aliases
+    mention_rows = df[df.predicate == KG_MENTIONS]
+    assert len(mention_rows) == 2000  # one place + one region per turn
+    assert mention_rows.object.str.startswith(KG).all()
+
+
+def test_flagship_deterministic(ray_session):
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    a = build_kg(SF, final_sort=True).to_pandas()
+    b = build_kg(SF, final_sort=True).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    from orionbelt_ontology_builder_ray.pipelines import checkpoint as ckpt
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    ck = str(tmp_path / "ckpt")
+    a = build_kg(SF, ckpt_dir=ck, final_sort=False).to_pandas()
+    m = ckpt.read_manifest(ck, "extract_link")
+    assert m and m["complete"] and m["rows"] > 0
+    assert ckpt.read_manifest(ck, "dedup")["complete"]
+    # resume: stages load from the snapshot (same fingerprint)
+    b = build_kg(SF, ckpt_dir=ck, final_sort=False).to_pandas()
+    assert sorted(map(tuple, a.to_numpy())) == sorted(map(tuple, b.to_numpy()))
+    # different fingerprint -> stale checkpoint ignored
+    assert not ckpt.stage_complete(ck, "extract_link", "other-fingerprint")
+
+
+def test_ntriples_dataset_sink(ray_session, tmp_path):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.sources.ntriples import nt_lines_batch
+    from orionbelt_ontology_builder_ray.state.graph import TripleStore
+
+    s = TripleStore("http://t.org/x#")
+    s.add_class("A", label="A")
+    ds = rd.from_arrow(s.to_arrow())
+    lines = ds.map_batches(nt_lines_batch, batch_format="pyarrow").to_pandas()
+    assert len(lines) == len(s.rows)
+    assert all(l.endswith(" .") for l in lines["line"])

@@ -46,11 +46,13 @@ def build_kg(sf_dir: Optional[str] = None,
              include_seed_schema: bool = True,
              canonicalize_labels: bool = False,
              dedup_buckets: int = 32,
-             extract_concurrency=(1, 8),
-             link_concurrency=(1, 8),
-             batch_size: int = 4096,
+             dedup_strategy: str = "broadcast",
+             extract_concurrency: int = 8,
+             link_concurrency: int = 8,
+             batch_size: int = 8192,
              ckpt_dir: Optional[str] = None,
              final_sort: bool = True,
+             partition_buckets: Optional[int] = None,
              output_path: Optional[str] = None):
     """Run the flagship KG-construction pipeline; returns the triples
     Dataset (sorted when ``final_sort``).
@@ -65,7 +67,13 @@ def build_kg(sf_dir: Optional[str] = None,
         alias_source = sf_dir
         fp = _fingerprint("path", transcripts_path, emit_ts)
     else:
-        transcripts = derive_transcripts(sf_dir)
+        # Testdata adapter: the real input is a transcripts Parquet table
+        # (input_hint shape). Deriving it involves a per-conversation
+        # groupby; materialize the small result so that shuffle doesn't
+        # sit inside the streaming extract->link->dedup DAG (an upstream
+        # all-to-all barrier in the same execution starves the actor
+        # pools — measured 14x slower fused).
+        transcripts = derive_transcripts(sf_dir).materialize()
         alias_source = sf_dir
         fp = _fingerprint("derived", sf_dir, emit_ts)
 
@@ -104,11 +112,35 @@ def build_kg(sf_dir: Optional[str] = None,
     if ckpt.stage_complete(ckpt_dir, "dedup", fp):
         triples = ckpt.load_stage(ckpt_dir, "dedup")
     else:
-        triples = dedup_triples(triples, num_buckets=dedup_buckets)
+        triples = dedup_triples(triples, num_buckets=dedup_buckets,
+                                strategy=dedup_strategy)
         if ckpt_dir:
             triples = ckpt.save_stage(ckpt_dir, "dedup", triples, fp)
 
     # ---- stage 5: deterministic materialization ----
+    # Two layouts:
+    # - final_sort: one globally (s,p,o)-sorted dataset — right for
+    #   small/oracle outputs; a total sort of 10^12 rows is pointless.
+    # - partition_buckets: content-based layout — partition key =
+    #   hash(subject) % B computed per row (NO all-to-all; co-locates
+    #   each entity's triples), written as one parquet directory per
+    #   bucket, rows sorted within each written block.  Resumable:
+    #   a re-run reproduces the same bucket dirs.
+    if partition_buckets:
+        import pandas as pd
+
+        nb = partition_buckets
+
+        def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            h = pd.util.hash_pandas_object(batch["subject"], index=False)
+            batch["part"] = (h % nb).astype("int32")
+            return batch.sort_values(TRIPLE_COLS[:3], kind="mergesort")
+
+        triples = triples.map_batches(add_part, batch_format="pandas")
+        if output_path:
+            triples.write_parquet(output_path, partition_cols=["part"])
+        return triples
     if final_sort:
         triples = triples.sort(["subject", "predicate", "object"])
     if output_path:

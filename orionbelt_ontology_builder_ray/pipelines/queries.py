@@ -214,33 +214,33 @@ def doc_dedup_exact(sf_dir):
 
 def doc_token_counts(sf_dir):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", concurrency=(1, 4))
+        TokenCounter, batch_format="pandas", concurrency=4)
 
 
 def doc_ngram_stats(sf_dir):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        BigramStats, batch_format="pandas", concurrency=(1, 4))
+        BigramStats, batch_format="pandas", concurrency=4)
 
 
 def doc_quality(sf_dir):
     from ..stages.textops import QualityScorer
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pandas", concurrency=(1, 4))
+        QualityScorer, batch_format="pandas", concurrency=4)
 
 
 def doc_langid(sf_dir):
     from ..stages.textops import LangId
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 4))
+        LangId, batch_format="pandas", concurrency=4)
 
 
 def doc_fingerprints(sf_dir):
     from ..stages.textops import Fingerprinter
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        Fingerprinter, batch_format="pandas", concurrency=(1, 4))
+        Fingerprinter, batch_format="pandas", concurrency=4)
 
 
 def doc_simhash(sf_dir):

@@ -149,5 +149,5 @@ def canonicalize(triples_ds, extra_pairs: Iterable[Tuple[str, str]] = (),
         ref = mapping
     out = triples_ds.map_batches(
         CanonicalRewriter, fn_constructor_kwargs=dict(mapping_ref=ref),
-        batch_format="pandas", concurrency=(1, 8))
+        batch_format="pandas", concurrency=4)
     return out, mapping

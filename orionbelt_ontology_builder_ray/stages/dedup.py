@@ -44,17 +44,89 @@ class _AddBucket:
         return batch
 
 
-def dedup_triples(ds, num_buckets: int = 64):
+class _DedupAndHash:
+    """Fused per-block combiner: exact dedup within the block + 64-bit
+    row-content hash column (one pandas/arrow round-trip)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = _local_dedup(t)
+        df = t.to_pandas()
+        h = pd.util.hash_pandas_object(df[TRIPLE_COLS], index=False)
+        # bit-cast to int64: Ray's aggregate path round-trips values
+        # through Python ints and overflows on uint64
+        return t.append_column(
+            "_h", pa.array(h.to_numpy().view(np.int64), pa.int64()))
+
+
+def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast"):
     """Exact dedup on the 6-column identity key.
 
-    At 100 TB: ``num_buckets ≈ input_bytes / 256 MiB`` so each bucket's
-    Arrow dedup fits a worker heap; the shuffle key is a single int32.
+    Two physical strategies, same result:
+
+    - ``broadcast`` (default): per-block combiner dedup first (removes
+      the overwhelmingly-local duplicates: entity triples repeat within
+      a batch), then shuffle ONLY the 8-byte hash column to find hashes
+      seen in >1 row, broadcast that (small) duplicate-hash set, and
+      re-dedup just the matching rows.  The triple payload never moves.
+      Right when the post-combiner duplicate rate is low (the flagship:
+      ~0.1%).  Requires consuming the combined stream twice, so it
+      materializes the combiner output — at 10^12 scale that slot is
+      the stage-checkpoint parquet instead (pipelines.checkpoint).
+    - ``shuffle``: hash-bucket all-to-all (``num_buckets ≈ input_bytes
+      / 256 MiB``) + per-bucket Arrow dedup.  Right when duplicates are
+      pervasive (e.g. merging heavily-overlapping corpora) and the
+      duplicate-hash set would not fit a broadcast.
     """
-    ds = ds.map_batches(lambda t: _local_dedup(t), batch_format="pyarrow")
-    ds = ds.map_batches(_AddBucket(num_buckets), batch_format="pandas")
-    ds = ds.groupby("_bucket").map_groups(
+    if strategy == "shuffle":
+        ds = ds.map_batches(lambda t: _local_dedup(t), batch_format="pyarrow")
+        ds = ds.map_batches(_AddBucket(num_buckets), batch_format="pandas")
+        ds = ds.groupby("_bucket").map_groups(
+            lambda t: _local_dedup(t), batch_format="pyarrow")
+        return ds
+
+    import ray
+
+    combined = ds.map_batches(_DedupAndHash(), batch_format="pyarrow") \
+        .materialize()
+    # Find hashes occurring >1 time. Within a block hashes are already
+    # unique (combiner ran), so duplicates are strictly cross-block.
+    # Read the hash column straight off the materialized blocks
+    # (zero-copy plasma reads, no second Ray job) and scan on the
+    # driver: 8 bytes/row.  Beyond driver comfort (~10^10 rows) use
+    # strategy="shuffle", whose all-to-all handles any size; a Ray
+    # groupby-count here is pathological (millions of 1-row groups).
+    parts = [ray.get(ref).column("_h").to_numpy(zero_copy_only=False)
+             for ref in combined.to_arrow_refs()]
+    h = np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
+    dup_hashes = np.unique(h[:-1][h[1:] == h[:-1]]) if len(h) else \
+        np.array([], dtype=np.int64)
+    dup_ref = ray.put(dup_hashes.astype(np.int64))
+
+    class SplitClean:
+        def __init__(self, keep_dups: bool):
+            self.dups = ray.get(dup_ref)
+            self.keep_dups = keep_dups
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            h = t.column("_h").to_numpy(zero_copy_only=False)
+            is_dup = np.zeros(len(h), dtype=bool)
+            if len(self.dups):
+                idx = np.searchsorted(self.dups, h)
+                idx[idx >= len(self.dups)] = len(self.dups) - 1
+                is_dup = self.dups[idx] == h
+            mask = is_dup if self.keep_dups else ~is_dup
+            return t.filter(pa.array(mask)).drop_columns(["_h"])
+
+    clean = combined.map_batches(SplitClean(False), batch_format="pyarrow")
+    if len(dup_hashes) == 0:
+        return clean
+    # the contested rows are tiny; one bucket shuffle over just them
+    dups = combined.map_batches(SplitClean(True), batch_format="pyarrow")
+    dups = dups.map_batches(_AddBucket(max(8, num_buckets // 8)),
+                            batch_format="pandas")
+    dups = dups.groupby("_bucket").map_groups(
         lambda t: _local_dedup(t), batch_format="pyarrow")
-    return ds
+    return clean.union(dups)
 
 
 def dedup_triples_table(t: pa.Table) -> pa.Table:
@@ -169,7 +241,7 @@ def minhash_candidate_pairs(ds, num_perm=64, num_bands=16, shingle_k=3,
         MinHasher, fn_constructor_kwargs=dict(
             num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
             id_col=id_col, text_col=text_col),
-        batch_format="pandas", concurrency=(1, 8))
+        batch_format="pandas", concurrency=4)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].unique())
@@ -254,7 +326,7 @@ def simhash_docs(ds, id_col="doc_id", text_col="text"):
     return ds.map_batches(SimHasher,
                           fn_constructor_kwargs=dict(id_col=id_col,
                                                      text_col=text_col),
-                          batch_format="pandas", concurrency=(1, 8))
+                          batch_format="pandas", concurrency=4)
 
 
 def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id",
@@ -286,7 +358,7 @@ def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id",
                                  "cosine": sims[ia, ib][keep]})
 
     return ds.map_batches(BlockSim, batch_format="pandas",
-                          batch_size=block_size, concurrency=(1, 8))
+                          batch_size=block_size, concurrency=4)
 
 
 def _gather_normalized(ds, id_col, vec_col):

@@ -107,15 +107,23 @@ class EntityLinker:
             "lang": np.repeat("", len(uri)),
             "datatype": np.repeat("", len(uri)),
         })
+        # entity triples repeat once per mention occurrence — dedup
+        # within the batch before emitting (combiner; cuts the volume
+        # entering the global dedup shuffle)
+        ent = pd.DataFrame({"uri": uri, "cls": cls,
+                            "label": label}).drop_duplicates("uri")
+        e_uri = ent["uri"].to_numpy(dtype=object)
         entity_frames = [
-            _const_frame(uri, RDF_TYPE, NAMED_INDIVIDUAL),
+            _const_frame(e_uri, RDF_TYPE, NAMED_INDIVIDUAL),
             pd.DataFrame({
-                "subject": uri, "predicate": np.repeat(RDF_TYPE, len(uri)),
-                "object": cls, "object_kind": np.repeat("uri", len(uri)),
-                "lang": np.repeat("", len(uri)),
-                "datatype": np.repeat("", len(uri)),
+                "subject": e_uri, "predicate": np.repeat(RDF_TYPE, len(e_uri)),
+                "object": ent["cls"].to_numpy(dtype=object),
+                "object_kind": np.repeat("uri", len(e_uri)),
+                "lang": np.repeat("", len(e_uri)),
+                "datatype": np.repeat("", len(e_uri)),
             }),
-            _const_frame(uri, PREF_LABEL, label, "literal"),
+            _const_frame(e_uri, PREF_LABEL, ent["label"].to_numpy(dtype=object),
+                         "literal"),
         ]
         out = pd.concat([passthrough] + [mention_triples] + entity_frames,
                         ignore_index=True)

@@ -92,7 +92,7 @@ class DecodeStub:
         })
 
 
-def decode_media(ds, concurrency=(1, 4), batch_size: int = 32, fake: bool = True):
+def decode_media(ds, concurrency=4, batch_size: int = 32, fake: bool = True):
     """Small batches + actor pool: the canonical multimodal stage shape."""
     return ds.map_batches(DecodeStub,
                           fn_constructor_kwargs=dict(fake=fake),

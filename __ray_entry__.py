@@ -28,7 +28,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from orionbelt_ontology_builder_ray.pipelines import queries as q
 
-    return {
+    out = {
         # KG-construction pipeline (SURVEY.md §2.2, §2.5-2.9)
         "kg_transcripts": q.kg_transcripts,
         "kg_triples": q.kg_triples,
@@ -42,6 +42,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_usages": q.kg_usages,
         "kg_turn_text_by_role": q.kg_turn_text_by_role,
         "kg_triples_canonicalized": q.kg_triples_canonicalized,
+        "kg_classes": q.kg_classes,
+        "kg_individuals_by_class": q.kg_individuals_by_class,
+        "kg_inferred_types": q.kg_inferred_types,
+        "kg_ntriples": q.kg_ntriples,
+        "kg_rename_refs": q.kg_rename_refs,
+        "kg_diff_ts_stats": q.kg_diff_ts_stats,
+        "kg_detect_conflicts": q.kg_detect_conflicts,
+        "events_sessionize": q.events_sessionize,
         # training-data ops
         "doc_dedup_exact": q.doc_dedup_exact,
         "doc_token_counts": q.doc_token_counts,
@@ -57,12 +65,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.ann_ivf_query,
         "multimodal_decode": q.multimodal_decode,
     }
+    # schema-plane golden fixtures (hand-written expected outputs)
+    from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_QUERIES
+
+    out.update(GOLDEN_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     from orionbelt_ontology_builder_ray.pipelines import oracles as o
 
-    return {
+    sqls = {
         "kg_transcripts": o.sql_kg_transcripts(),
         "kg_triples": o.sql_kg_triples(),
         "kg_statistics": o.sql_kg_statistics(),
@@ -79,8 +92,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_stats": o.sql_doc_ngram_stats(),
         "events_hourly": o.sql_events_hourly(),
         "ann_topk": o.sql_ann_topk(),
+        "kg_classes": o.sql_kg_classes(),
+        "kg_individuals_by_class": o.sql_kg_individuals_by_class(),
+        "kg_inferred_types": o.sql_kg_inferred_types(),
+        "kg_ntriples": o.sql_kg_ntriples(),
+        "kg_rename_refs": o.sql_kg_rename_refs(),
+        "kg_diff_ts_stats": o.sql_kg_diff_ts_stats(),
+        "kg_detect_conflicts": o.sql_kg_detect_conflicts(),
+        "events_sessionize": o.sql_events_sessionize(),
         # rows-only (non-SQL-expressible): kg_triples_canonicalized
         # (union-find), doc_quality (float features), doc_langid,
         # doc_fingerprints, doc_simhash, doc_minhash_clusters,
         # embedding_near_dups, ann_ivf, multimodal_decode
     }
+    from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_ORACLES
+
+    sqls.update(GOLDEN_ORACLES)
+    return sqls

@@ -40,11 +40,12 @@ def seed_schema_store():
     from ..state.graph import TripleStore
 
     s = TripleStore(KG)
+    s.add_class("Entity", label="Entity")
     s.add_class("Turn", label="Turn")
     s.add_class("Conversation", label="Conversation")
-    s.add_class("Tool", label="Tool")
-    s.add_class("Place", label="Place")
-    s.add_class("Region", label="Region")
+    s.add_class("Tool", parent="Entity", label="Tool")
+    s.add_class("Place", parent="Entity", label="Place")
+    s.add_class("Region", parent="Entity", label="Region")
     s.add_object_property("inConversation", "Turn", "Conversation",
                           label="in conversation")
     s.add_object_property("usedTool", "Turn", "Tool", label="used tool")

@@ -324,3 +324,17 @@ def walk_rdf_list(head: str, first_map: dict, rest_map: dict) -> list:
             out.append(first_map[node])
         node = rest_map.get(node)
     return out
+
+
+def pool_size(frac: float = 0.25, cap: int = 8, floor: int = 1) -> int:
+    """Actor-pool size adapted to the Ray session: a fraction of the
+    cluster CPUs, capped, and NEVER the whole node — a pool that
+    reserves every CPU starves task operators (read/shuffle/write) and
+    the pipeline crawls."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(floor, min(cap, int(cpus * frac), max(1, cpus - 2)))

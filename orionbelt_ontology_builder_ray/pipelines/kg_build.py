@@ -50,6 +50,8 @@ def build_kg(sf_dir: Optional[str] = None,
              extract_concurrency: int = 8,
              link_concurrency: int = 8,
              batch_size: int = 8192,
+             fused: bool = True,
+             read_blocks: Optional[int] = None,
              ckpt_dir: Optional[str] = None,
              final_sort: bool = True,
              partition_buckets: Optional[int] = None,
@@ -63,7 +65,13 @@ def build_kg(sf_dir: Optional[str] = None,
     variants in tests and the bench.
     """
     if transcripts_path:
-        transcripts = read_transcripts(transcripts_path)
+        # read_blocks bounds the block count through the whole DAG:
+        # every downstream stage inherits it, and the hive write emits
+        # one file per (block, partition) — many small input files
+        # otherwise fan out into tens of thousands of output files and
+        # per-block overheads (measured 3x on the full pipeline)
+        transcripts = read_transcripts(transcripts_path,
+                                       override_num_blocks=read_blocks)
         alias_source = sf_dir
         fp = _fingerprint("path", transcripts_path, emit_ts)
     else:
@@ -78,27 +86,58 @@ def build_kg(sf_dir: Optional[str] = None,
         fp = _fingerprint("derived", sf_dir, emit_ts)
 
     # ---- stages 1+2 (single streaming pass over the input) ----
+    prehashed = False
     if ckpt.stage_complete(ckpt_dir, "extract_link", fp):
         triples = ckpt.load_stage(ckpt_dir, "extract_link")
     else:
         import ray
 
         alias_ref = ray.put(build_alias_dict(alias_source))
-        triples = transcripts.map_batches(
-            TripleExtractor,
-            fn_constructor_kwargs=dict(emit_ts=emit_ts),
-            batch_format="pandas", batch_size=batch_size,
-            concurrency=extract_concurrency)
-        triples = triples.map_batches(
-            EntityLinker, fn_constructor_kwargs=dict(alias_ref=alias_ref),
-            batch_format="pandas", batch_size=batch_size,
-            concurrency=link_concurrency)
-        if include_seed_schema:
-            triples = triples.union(seed_schema_dataset())
+        if fused:
+            # one pool runs extract->link->local-dedup per batch: same
+            # semantics, 1/3 the conversions, sized to the whole node
+            from ..stages.link import ExtractLinkFused
+
+            scoped = dedup_strategy == "scoped"
+            triples = transcripts.map_batches(
+                ExtractLinkFused,
+                fn_constructor_kwargs=dict(alias_ref=alias_ref,
+                                           emit_ts=emit_ts,
+                                           with_dedup_hash=not scoped,
+                                           with_local_dedup=scoped),
+                batch_format="pandas", batch_size=batch_size,
+                concurrency=extract_concurrency + link_concurrency)
+            if include_seed_schema:
+                seed = seed_schema_dataset()
+                if not scoped:
+                    from ..stages.dedup import _DedupAndHash
+
+                    seed = seed.map_batches(_DedupAndHash(),
+                                            batch_format="pyarrow")
+                triples = triples.union(seed)
+            prehashed = not scoped
+        else:
+            triples = transcripts.map_batches(
+                TripleExtractor,
+                fn_constructor_kwargs=dict(emit_ts=emit_ts),
+                batch_format="pandas", batch_size=batch_size,
+                concurrency=extract_concurrency)
+            triples = triples.map_batches(
+                EntityLinker, fn_constructor_kwargs=dict(alias_ref=alias_ref),
+                batch_format="pandas", batch_size=batch_size,
+                concurrency=link_concurrency)
+            if include_seed_schema:
+                triples = triples.union(seed_schema_dataset())
         if ckpt_dir:
-            triples = ckpt.save_stage(ckpt_dir, "extract_link", triples, fp)
+            triples = ckpt.save_stage(ckpt_dir, "extract_link",
+                                      triples.drop_columns(["_h"])
+                                      if prehashed else triples, fp)
+            prehashed = False
 
     # ---- stage 3: canonicalization ----
+    if canonicalize_labels and prehashed:
+        triples = triples.drop_columns(["_h"])
+        prehashed = False
     if canonicalize_labels:
         if ckpt.stage_complete(ckpt_dir, "canonical", fp):
             triples = ckpt.load_stage(ckpt_dir, "canonical")
@@ -111,9 +150,21 @@ def build_kg(sf_dir: Optional[str] = None,
     # ---- stage 4: exact dedup ----
     if ckpt.stage_complete(ckpt_dir, "dedup", fp):
         triples = ckpt.load_stage(ckpt_dir, "dedup")
+    elif dedup_strategy == "scoped":
+        # Producer invariant: turn-subject rows (".*-t<idx>") are
+        # emitted by exactly one batch, so after the fused per-batch
+        # dedup they are globally unique — only conversation / entity /
+        # seed rows can repeat across batches.  The stream is consumed
+        # twice by the split, so materialize (at 10^12 scale this slot
+        # is the extract_link stage checkpoint instead).
+        from ..stages.dedup import dedup_triples_scoped
+
+        triples = dedup_triples_scoped(triples.materialize(),
+                                       scope_regex="-t[0-9]+$",
+                                       pre_deduped=fused)
     else:
         triples = dedup_triples(triples, num_buckets=dedup_buckets,
-                                strategy=dedup_strategy)
+                                strategy=dedup_strategy, prehashed=prehashed)
         if ckpt_dir:
             triples = ckpt.save_stage(ckpt_dir, "dedup", triples, fp)
 
@@ -135,8 +186,19 @@ def build_kg(sf_dir: Optional[str] = None,
             batch = batch.copy()
             h = pd.util.hash_pandas_object(batch["subject"], index=False)
             batch["part"] = (h % nb).astype("int32")
-            return batch.sort_values(TRIPLE_COLS[:3], kind="mergesort")
+            return batch
 
+        # every block fans out into one file PER partition value, so
+        # block count × buckets is the output file count; when the read
+        # wasn't already coalesced (read_blocks), repartition here
+        if read_blocks is None:
+            try:
+                import ray
+
+                n_cpus = int(ray.cluster_resources().get("CPU", 16))
+            except Exception:
+                n_cpus = 16
+            triples = triples.repartition(max(16, n_cpus * 2))
         triples = triples.map_batches(add_part, batch_format="pandas")
         if output_path:
             triples.write_parquet(output_path, partition_cols=["part"])

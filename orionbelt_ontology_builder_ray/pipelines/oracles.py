@@ -254,3 +254,157 @@ FROM embeddings e, q
 WHERE e.vec_id <> {query_vec_id}
 QUALIFY rnk <= {k}
 ORDER BY rnk"""
+
+
+# ---------------------------------------------------------------------------
+# distributed graph-op oracles
+# ---------------------------------------------------------------------------
+
+_LOCALNAME = "regexp_extract({col}, '([^#/]+)$', 1)"
+
+
+def sql_kg_classes() -> str:
+    t = _sql_str(RDF_TYPE)
+    cls = _sql_str("http://www.w3.org/2002/07/owl#Class")
+    lbl = _sql_str(LABEL)
+    cmt = _sql_str("http://www.w3.org/2000/01/rdf-schema#comment")
+    sub = _sql_str("http://www.w3.org/2000/01/rdf-schema#subClassOf")
+    name = _LOCALNAME.format(col="c.subject")
+    return (kg_triples_cte() + f"""
+SELECT c.subject, {name} AS name,
+       coalesce(l.label, '') AS label, coalesce(cm.comment, '') AS comment,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_parents,
+       CAST(coalesce(ch.n, 0) AS BIGINT) AS n_children
+FROM (SELECT DISTINCT subject FROM triples
+      WHERE predicate = {t} AND object = {cls}) c
+LEFT JOIN (SELECT subject, min(object) AS label FROM triples
+           WHERE predicate = {lbl} GROUP BY subject) l ON l.subject = c.subject
+LEFT JOIN (SELECT subject, min(object) AS comment FROM triples
+           WHERE predicate = {cmt} GROUP BY subject) cm ON cm.subject = c.subject
+LEFT JOIN (SELECT subject, COUNT(DISTINCT object) AS n FROM triples
+           WHERE predicate = {sub} AND object_kind = 'uri'
+           GROUP BY subject) p ON p.subject = c.subject
+LEFT JOIN (SELECT object AS subject, COUNT(DISTINCT subject) AS n FROM triples
+           WHERE predicate = {sub} AND object_kind = 'uri'
+           GROUP BY object) ch ON ch.subject = c.subject
+ORDER BY name""")
+
+
+def sql_kg_individuals_by_class() -> str:
+    t = _sql_str(RDF_TYPE)
+    ni = _sql_str("http://www.w3.org/2002/07/owl#NamedIndividual")
+    return (kg_triples_cte() + f"""
+SELECT t2.object AS class_uri, COUNT(DISTINCT t2.subject) AS n_individuals
+FROM triples t1 JOIN triples t2 ON t1.subject = t2.subject
+WHERE t1.predicate = {t} AND t1.object = {ni}
+  AND t2.predicate = {t} AND t2.object <> {ni} AND t2.object_kind = 'uri'
+GROUP BY t2.object ORDER BY class_uri""")
+
+
+def sql_kg_inferred_types() -> str:
+    """RDFS closure oracle: recursive CTE over subClassOf + domain/
+    range typing (rules rdfs2/3/9/11)."""
+    t = _sql_str(RDF_TYPE)
+    sub = _sql_str("http://www.w3.org/2000/01/rdf-schema#subClassOf")
+    dom = _sql_str("http://www.w3.org/2000/01/rdf-schema#domain")
+    rng = _sql_str("http://www.w3.org/2000/01/rdf-schema#range")
+    cte = kg_triples_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return (cte + f""",
+sub_edges AS (
+  SELECT subject AS child, object AS parent FROM triples
+  WHERE predicate = {sub} AND object_kind = 'uri'),
+anc AS (
+  SELECT child, parent FROM sub_edges
+  UNION
+  SELECT a.child, s.parent FROM anc a JOIN sub_edges s ON a.parent = s.child),
+base_types AS (
+  SELECT subject, object AS cls FROM triples
+  WHERE predicate = {t} AND object_kind = 'uri'
+  UNION
+  SELECT tr.subject, d.object FROM triples tr
+  JOIN triples d ON tr.predicate = d.subject AND d.predicate = {dom}
+  UNION
+  SELECT tr.object, r.object FROM triples tr
+  JOIN triples r ON tr.predicate = r.subject AND r.predicate = {rng}
+  WHERE tr.object_kind = 'uri'),
+all_types AS (
+  SELECT subject, cls FROM base_types
+  UNION
+  SELECT b.subject, a.parent FROM base_types b JOIN anc a ON b.cls = a.child)
+SELECT DISTINCT subject, cls AS type_uri FROM all_types
+ORDER BY subject, type_uri""")
+
+
+def sql_kg_ntriples() -> str:
+    """N-Triples formatting oracle. Escapes backslash and quote (the
+    only escapable characters present in this corpus; the Python sink
+    additionally escapes \\n/\\r/\\t)."""
+    xsd_string = _sql_str("http://www.w3.org/2001/XMLSchema#string")
+    return (kg_triples_cte() + f"""
+SELECT
+  CASE WHEN subject LIKE '_:%' THEN subject ELSE '<' || subject || '>' END
+  || ' <' || predicate || '> '
+  || CASE WHEN object_kind = 'uri' THEN '<' || object || '>'
+          WHEN object_kind = 'bnode' THEN object
+          ELSE '"' || replace(replace(object, chr(92), chr(92) || chr(92)),
+                              '"', chr(92) || '"') || '"'
+               || CASE WHEN lang <> '' THEN '@' || lang
+                       WHEN datatype <> '' AND datatype <> {xsd_string}
+                         THEN '^^<' || datatype || '>'
+                       ELSE '' END
+     END || ' .' AS line
+FROM triples ORDER BY line""")
+
+
+def sql_kg_rename_refs(old_local: str = "place-nation_1",
+                       new_local: str = "place-nation_1-canonical") -> str:
+    old = _sql_str(KG + old_local)
+    new = _sql_str(KG + new_local)
+    return (kg_triples_cte() + f"""
+SELECT CASE WHEN subject = {old} THEN {new} ELSE subject END AS subject,
+       predicate,
+       CASE WHEN object = {old} AND object_kind = 'uri' THEN {new}
+            ELSE object END AS object
+FROM triples
+WHERE subject = {old} OR (object = {old} AND object_kind = 'uri')
+ORDER BY subject, predicate, object""")
+
+
+def sql_kg_diff_ts_stats() -> str:
+    return (kg_triples_cte() + f"""
+SELECT CAST((SELECT COUNT(*) FROM transcripts) AS BIGINT) AS added,
+       CAST(0 AS BIGINT) AS removed,
+       CAST(0 AS BIGINT) AS bnode_added,
+       CAST(0 AS BIGINT) AS bnode_removed,
+       CAST((SELECT COUNT(*) FROM triples)
+            - (SELECT COUNT(*) FROM transcripts) AS BIGINT) AS unchanged""")
+
+
+def sql_kg_detect_conflicts() -> str:
+    lbl = _sql_str(LABEL)
+    tool_prefix = _sql_str(KG + "tool-%")
+    return (kg_triples_cte() + f"""
+SELECT DISTINCT subject, predicate, 'renamed ' || object AS incoming_value
+FROM triples
+WHERE predicate = {lbl} AND subject LIKE {tool_prefix}
+ORDER BY subject, predicate""")
+
+
+def sql_events_sessionize(gap_minutes: int = 30) -> str:
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""

@@ -13,6 +13,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.kg import (KG, KG_MENTIONS, KG_USED_TOOL, LABEL, PREF_LABEL)
+from ..functions.terms import pool_size
 from ..functions.terms import RDF_TYPE
 from ..sources.transcripts import derive_transcripts
 from ..stages.dedup import exact_dedup_docs
@@ -214,33 +215,33 @@ def doc_dedup_exact(sf_dir):
 
 def doc_token_counts(sf_dir):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", concurrency=4)
+        TokenCounter, batch_format="pandas", concurrency=pool_size())
 
 
 def doc_ngram_stats(sf_dir):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        BigramStats, batch_format="pandas", concurrency=4)
+        BigramStats, batch_format="pandas", concurrency=pool_size())
 
 
 def doc_quality(sf_dir):
     from ..stages.textops import QualityScorer
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pandas", concurrency=4)
+        QualityScorer, batch_format="pandas", concurrency=pool_size())
 
 
 def doc_langid(sf_dir):
     from ..stages.textops import LangId
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=4)
+        LangId, batch_format="pandas", concurrency=pool_size())
 
 
 def doc_fingerprints(sf_dir):
     from ..stages.textops import Fingerprinter
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        Fingerprinter, batch_format="pandas", concurrency=4)
+        Fingerprinter, batch_format="pandas", concurrency=pool_size())
 
 
 def doc_simhash(sf_dir):
@@ -323,3 +324,125 @@ def multimodal_decode(sf_dir):
     ds = synthesize_media_dataset(num_items=64)
     decoded = decode_media(ds, fake=True)
     return decoded.drop_columns(["features"])
+
+
+# ---------------------------------------------------------------------------
+# distributed graph ops / listings / reasoning queries
+# ---------------------------------------------------------------------------
+
+
+def kg_classes(sf_dir):
+    """Distributed get_classes (om:487-515) over the flagship triples."""
+    from ..stages.listings import class_listing
+
+    return class_listing(_triples(sf_dir))
+
+
+def kg_individuals_by_class(sf_dir):
+    from ..stages.listings import individuals_by_class
+
+    return individuals_by_class(_triples(sf_dir))
+
+
+def kg_inferred_types(sf_dir):
+    """Distributed RDFS closure (rdfs2/3/9) -> distinct (subject, type)
+    pairs; oracle is a recursive CTE."""
+    import pyarrow.compute as pc
+
+    from ..stages.reason import apply_rdfs_closure
+
+    closed = apply_rdfs_closure(_triples(sf_dir), rounds=2)
+    pairs = closed.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["predicate"], RDF_TYPE),
+                                   pc.equal(t["object_kind"], "uri")))
+        .select(["subject", "object"])
+        .group_by(["subject", "object"]).aggregate([]),
+        batch_format="pyarrow")
+    out = pairs.groupby(["subject", "object"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.rename_columns(["subject", "type_uri"]),
+        batch_format="pyarrow")
+
+
+def kg_ntriples(sf_dir):
+    """Distributed N-Triples export of the flagship graph
+    (export_to_string at scale; line-oriented => shardable)."""
+    from ..sources.ntriples import nt_lines_batch
+
+    ds = _triples(sf_dir)
+    return ds.map_batches(nt_lines_batch, batch_format="pyarrow")
+
+
+def kg_rename_refs(sf_dir, old_local="place-nation_1",
+                   new_local="place-nation_1-canonical"):
+    """Distributed rename (om:341-369): rows that referenced the old
+    URI, after the rewrite."""
+    import pyarrow.compute as pc
+
+    from ..stages.graph_ops import rename_entity
+
+    old, new = KG + old_local, KG + new_local
+    renamed = rename_entity(_triples(sf_dir), old, new)
+
+    def refs(t: pa.Table) -> pa.Table:
+        hit = pc.or_(pc.equal(t["subject"], new),
+                     pc.and_(pc.equal(t["object"], new),
+                             pc.equal(t["object_kind"], "uri")))
+        return t.filter(hit).select(["subject", "predicate", "object"])
+
+    return renamed.map_batches(refs, batch_format="pyarrow")
+
+
+def kg_diff_ts_stats(sf_dir):
+    """Distributed diff (om:2412-2486): triples without kg:atTime vs
+    with — stats row computed from row-content hash sets."""
+    from ..stages.graph_ops import diff_stats
+
+    a = build_kg(sf_dir, emit_ts=False, final_sort=False)
+    b = build_kg(sf_dir, emit_ts=True, final_sort=False)
+    stats = diff_stats(a, b)
+    return pa.table({k: [int(v)] for k, v in stats.items()})
+
+
+def kg_detect_conflicts(sf_dir):
+    """Conflict detection (om:2068-2110): flagship graph vs a variant
+    with relabeled tools -> (subject, predicate, incoming_value)."""
+    from ..stages.graph_ops import detect_conflicts_ds
+
+    current = _triples(sf_dir)
+
+    def relabel(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        is_tool_label = (batch["predicate"]
+                         == "http://www.w3.org/2000/01/rdf-schema#label") \
+            & batch["subject"].str.startswith(KG + "tool-")
+        batch.loc[is_tool_label, "object"] = \
+            "renamed " + batch.loc[is_tool_label, "object"]
+        return batch
+
+    incoming = current.map_batches(relabel, batch_format="pandas")
+    out = detect_conflicts_ds(current, incoming)
+    return pa.table({
+        "subject": out["subject"].tolist(),
+        "predicate": out["predicate"].tolist(),
+        "incoming_value": out["incoming_value"].tolist(),
+    })
+
+
+def events_sessionize(sf_dir, gap_minutes=30):
+    """Session windows per user (30-min inactivity gap): the
+    streaming-shaped op over the ordered, partitioned events log."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sess = gap.cumsum().astype("int64") + 1
+        out = g.assign(session_id=sess).groupby("session_id").agg(
+            user_id=("user_id", "first"), n_events=("event_id", "count"),
+            start_ts=("ts", "min"), end_ts=("ts", "max")).reset_index()
+        return out[["user_id", "session_id", "n_events",
+                    "start_ts", "end_ts"]].astype({"n_events": "int64"})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

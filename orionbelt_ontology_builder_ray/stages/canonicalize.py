@@ -25,7 +25,8 @@ from typing import Dict, Iterable, List, Tuple
 import numpy as np
 import pandas as pd
 
-from ..functions.terms import OWL_SAME_AS, SKOS_EXACT_MATCH, SKOS_PREF_LABEL
+from ..functions.terms import (OWL_SAME_AS, SKOS_EXACT_MATCH,
+                               SKOS_PREF_LABEL, pool_size)
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
@@ -149,5 +150,5 @@ def canonicalize(triples_ds, extra_pairs: Iterable[Tuple[str, str]] = (),
         ref = mapping
     out = triples_ds.map_batches(
         CanonicalRewriter, fn_constructor_kwargs=dict(mapping_ref=ref),
-        batch_format="pandas", concurrency=4)
+        batch_format="pandas", concurrency=pool_size())
     return out, mapping

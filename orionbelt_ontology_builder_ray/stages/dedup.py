@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.terms import pool_size
 from .extract import TRIPLE_COLS
 
 # ---------------------------------------------------------------------------
@@ -58,7 +59,43 @@ class _DedupAndHash:
             "_h", pa.array(h.to_numpy().view(np.int64), pa.int64()))
 
 
-def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast"):
+def dedup_triples_scoped(ds, scope_regex: str, num_buckets: int = 16,
+                         pre_deduped: bool = False):
+    """Exact dedup exploiting a producer invariant: rows whose subject
+    matches ``scope_regex`` are globally unique after per-block dedup
+    (each scoped subject — e.g. a turn — is emitted by exactly one
+    batch).  Those rows stream through untouched; only the non-scoped
+    remainder (entities, conversations, seed schema — vocabulary-sized)
+    takes a bucket shuffle.  Fully streaming: no materialize, no
+    driver scan, no payload all-to-all.
+
+    The caller asserts the invariant; ``dedup_triples`` stays the
+    generic fallback.
+    """
+    import pyarrow.compute as pc
+
+    deduped = ds if pre_deduped else \
+        ds.map_batches(lambda t: _local_dedup(t), batch_format="pyarrow")
+
+    def split(keep_scoped: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = [c for c in TRIPLE_COLS if c in t.column_names]
+            t = t.select(cols)
+            m = pc.match_substring_regex(t["subject"], scope_regex)
+            return t.filter(m if keep_scoped else pc.invert(m))
+
+        return fn
+
+    scoped = deduped.map_batches(split(True), batch_format="pyarrow")
+    shared = deduped.map_batches(split(False), batch_format="pyarrow")
+    shared = shared.map_batches(_AddBucket(num_buckets), batch_format="pandas")
+    shared = shared.groupby("_bucket").map_groups(
+        lambda t: _local_dedup(t), batch_format="pyarrow")
+    return scoped.union(shared)
+
+
+def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast",
+                  prehashed: bool = False):
     """Exact dedup on the 6-column identity key.
 
     Two physical strategies, same result:
@@ -86,8 +123,10 @@ def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast"):
 
     import ray
 
-    combined = ds.map_batches(_DedupAndHash(), batch_format="pyarrow") \
-        .materialize()
+    # prehashed: upstream already ran the combiner + hash (fused stage)
+    combined = ds if prehashed else \
+        ds.map_batches(_DedupAndHash(), batch_format="pyarrow")
+    combined = combined.materialize()
     # Find hashes occurring >1 time. Within a block hashes are already
     # unique (combiner ran), so duplicates are strictly cross-block.
     # Read the hash column straight off the materialized blocks
@@ -95,8 +134,8 @@ def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast"):
     # driver: 8 bytes/row.  Beyond driver comfort (~10^10 rows) use
     # strategy="shuffle", whose all-to-all handles any size; a Ray
     # groupby-count here is pathological (millions of 1-row groups).
-    parts = [ray.get(ref).column("_h").to_numpy(zero_copy_only=False)
-             for ref in combined.to_arrow_refs()]
+    blocks = ray.get(combined.to_arrow_refs())  # one parallel fetch
+    parts = [b.column("_h").to_numpy(zero_copy_only=False) for b in blocks]
     h = np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
     dup_hashes = np.unique(h[:-1][h[1:] == h[:-1]]) if len(h) else \
         np.array([], dtype=np.int64)
@@ -241,7 +280,7 @@ def minhash_candidate_pairs(ds, num_perm=64, num_bands=16, shingle_k=3,
         MinHasher, fn_constructor_kwargs=dict(
             num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
             id_col=id_col, text_col=text_col),
-        batch_format="pandas", concurrency=4)
+        batch_format="pandas", concurrency=pool_size())
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].unique())
@@ -326,7 +365,7 @@ def simhash_docs(ds, id_col="doc_id", text_col="text"):
     return ds.map_batches(SimHasher,
                           fn_constructor_kwargs=dict(id_col=id_col,
                                                      text_col=text_col),
-                          batch_format="pandas", concurrency=4)
+                          batch_format="pandas", concurrency=pool_size())
 
 
 def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id",
@@ -358,7 +397,7 @@ def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id",
                                  "cosine": sims[ia, ib][keep]})
 
     return ds.map_batches(BlockSim, batch_format="pandas",
-                          batch_size=block_size, concurrency=4)
+                          batch_size=block_size, concurrency=pool_size())
 
 
 def _gather_normalized(ds, id_col, vec_col):

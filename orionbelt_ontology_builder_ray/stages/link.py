@@ -63,6 +63,43 @@ def alias_dict_from_store(store, class_by_subject=None, base: str = KG) -> Alias
     return alias
 
 
+class ExtractLinkFused:
+    """Fused stage-1+2 (+ optional dedup-hash combiner) actor:
+    TripleExtractor -> EntityLinker chained in-process.
+
+    Semantically identical to running the two stages as separate actor
+    pools; physically it saves two pandas<->Arrow round-trips and an
+    object-store hop per batch, and puts ALL the heavy per-turn work
+    behind ONE pool that can be sized to the whole node.  Used by the
+    flagship/bench path; the separate stages remain for composition.
+    """
+
+    def __init__(self, alias_ref, emit_ts: bool = True,
+                 with_dedup_hash: bool = True,
+                 with_local_dedup: bool = False):
+        from .extract import TripleExtractor
+
+        self.extract = TripleExtractor(emit_ts=emit_ts)
+        self.link = EntityLinker(alias_ref)
+        self.with_dedup_hash = with_dedup_hash
+        self.with_local_dedup = with_local_dedup
+
+    def __call__(self, batch: pd.DataFrame):
+        out = self.link(self.extract(batch))
+        if not (self.with_dedup_hash or self.with_local_dedup):
+            return out
+        import pyarrow as pa
+
+        table = pa.Table.from_pandas(out, preserve_index=False)
+        if self.with_dedup_hash:
+            from .dedup import _DedupAndHash
+
+            return _DedupAndHash()(table)
+        from .dedup import _local_dedup
+
+        return _local_dedup(table)
+
+
 class EntityLinker:
     """``map_batches(EntityLinker, fn_constructor_kwargs=..., concurrency=N)``.
 

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.terms import pool_size
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),            # image | audio | video
@@ -92,8 +94,10 @@ class DecodeStub:
         })
 
 
-def decode_media(ds, concurrency=4, batch_size: int = 32, fake: bool = True):
+def decode_media(ds, concurrency=None, batch_size: int = 32, fake: bool = True):
     """Small batches + actor pool: the canonical multimodal stage shape."""
+    if concurrency is None:
+        concurrency = pool_size()
     return ds.map_batches(DecodeStub,
                           fn_constructor_kwargs=dict(fake=fake),
                           batch_format="pandas", batch_size=batch_size,

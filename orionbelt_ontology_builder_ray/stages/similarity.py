@@ -18,6 +18,8 @@ from typing import List, Tuple
 import numpy as np
 import pandas as pd
 
+from ..functions.terms import pool_size
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -82,7 +84,7 @@ def ann_topk(ds, query_matrix: np.ndarray, k: int = 10, id_col: str = "vec_id",
         BatchTopK,
         fn_constructor_kwargs=dict(query_ref=ref, k=k, id_col=id_col,
                                    vec_col=vec_col, exclude_ids=exclude_ids),
-        batch_format="pandas", batch_size=batch_size, concurrency=4)
+        batch_format="pandas", batch_size=batch_size, concurrency=pool_size())
     all_parts = partial.to_pandas()
     out_frames = []
     for qi, g in all_parts.groupby("query_idx"):
@@ -142,7 +144,7 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
             return batch
 
     bucketed = ds.map_batches(AssignBucket, batch_format="pandas",
-                              concurrency=4)
+                              concurrency=pool_size())
     q = _normalize(np.atleast_2d(np.asarray(query_matrix, dtype=np.float64)))
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
     wanted = sorted({int(b) for row in probe for b in row})

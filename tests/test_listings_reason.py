@@ -1,0 +1,91 @@
+"""Distributed listings + RDFS closure + goldens sanity."""
+
+import pandas as pd
+
+from orionbelt_ontology_builder_ray.state.graph import TripleStore
+
+B = "http://test.org/ont#"
+
+
+def _store():
+    s = TripleStore(B)
+    s.add_class("Person", label="Person")
+    s.add_class("Employee", parent="Person", label="Employee")
+    s.add_class("Organization", label="Organization")
+    s.add_object_property("worksFor", domain="Person", range_="Organization")
+    s.add_individual("alice", "Employee", label="Alice")
+    s.add_individual("acme", "Organization")
+    s.add_individual_property("alice", "worksFor", "acme")
+    return s
+
+
+def _ds(ray_session, store):
+    import ray.data as rd
+
+    return rd.from_arrow(store.to_arrow())
+
+
+def test_class_listing_ds(ray_session):
+    from orionbelt_ontology_builder_ray.stages.listings import class_listing
+
+    out = class_listing(_ds(ray_session, _store()))
+    assert list(out["name"]) == ["Employee", "Organization", "Person"]
+    emp = out[out["name"] == "Employee"].iloc[0]
+    assert emp["label"] == "Employee"
+    assert emp["n_parents"] == 1 and emp["n_children"] == 0
+    person = out[out["name"] == "Person"].iloc[0]
+    assert person["n_children"] == 1
+
+
+def test_individuals_by_class_ds(ray_session):
+    from orionbelt_ontology_builder_ray.stages.listings import (
+        individuals_by_class,
+    )
+
+    out = individuals_by_class(_ds(ray_session, _store())).to_pandas()
+    counts = dict(zip(out["class_uri"], out["n_individuals"]))
+    assert counts[B + "Employee"] == 1
+    assert counts[B + "Organization"] == 1
+
+
+def test_type_counts_ds(ray_session):
+    from orionbelt_ontology_builder_ray.stages.listings import type_counts
+
+    out = type_counts(_ds(ray_session, _store())).to_pandas()
+    counts = dict(zip(out["type_uri"], out["n"]))
+    assert counts["http://www.w3.org/2002/07/owl#Class"] == 3
+    assert counts["http://www.w3.org/2002/07/owl#NamedIndividual"] == 2
+
+
+def test_rdfs_closure_ds(ray_session):
+    from orionbelt_ontology_builder_ray.stages.reason import apply_rdfs_closure
+
+    closed = apply_rdfs_closure(_ds(ray_session, _store()), rounds=2)
+    df = closed.to_pandas()
+    types = set(df[(df.predicate
+                    == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")]
+                .apply(lambda r: (r.subject, r.object), axis=1))
+    assert (B + "alice", B + "Person") in types       # rdfs9 via Employee
+    assert (B + "acme", B + "Organization") in types  # rdfs3 via range
+    assert not df.duplicated().any()
+
+
+def test_goldens_match_hand_written():
+    """Our operator output must equal the hand-written expected rows
+    (the independent encoding of the reference's rules)."""
+    from orionbelt_ontology_builder_ray.pipelines import goldens as g
+
+    assert set(map(tuple, g.q_populated_triples().to_pandas().to_numpy())) \
+        == set(g.EXPECTED_POPULATED)
+    assert set(map(tuple, g.q_skos_triples().to_pandas().to_numpy())) \
+        == set(g.EXPECTED_SKOS)
+    assert list(map(tuple, g.q_merge_overwrite_labels().to_pandas()
+                    .to_numpy())) == g.EXPECTED_MERGE_OVERWRITE_LABELS
+    assert list(map(tuple, g.q_validation_issues().to_pandas().to_numpy())) \
+        == g.EXPECTED_VALIDATION
+    assert list(map(tuple, g.q_reasoning_types().to_pandas().to_numpy())) \
+        == g.EXPECTED_REASONING_TYPES
+    assert list(map(tuple, g.q_search().to_pandas().to_numpy())) \
+        == g.EXPECTED_SEARCH
+    assert list(map(tuple, g.q_diff_stats().to_pandas().to_numpy())) \
+        == g.EXPECTED_DIFF_STATS

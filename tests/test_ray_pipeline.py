@@ -224,3 +224,12 @@ def test_ntriples_dataset_sink(ray_session, tmp_path):
     lines = ds.map_batches(nt_lines_batch, batch_format="pyarrow").to_pandas()
     assert len(lines) == len(s.rows)
     assert all(l.endswith(" .") for l in lines["line"])
+
+
+def test_scoped_dedup_equals_broadcast(ray_session):
+    """The scoped strategy must produce exactly the broadcast result."""
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    a = build_kg(SF, final_sort=False).to_pandas()
+    b = build_kg(SF, final_sort=False, dedup_strategy="scoped").to_pandas()
+    assert sorted(map(tuple, a.to_numpy())) == sorted(map(tuple, b.to_numpy()))

@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_diff_ts_stats": q.kg_diff_ts_stats,
         "kg_detect_conflicts": q.kg_detect_conflicts,
         "events_sessionize": q.events_sessionize,
+        "kg_viz_nodes": q.kg_viz_nodes,
+        "kg_annotations": q.kg_annotations,
         # training-data ops
         "doc_dedup_exact": q.doc_dedup_exact,
         "doc_token_counts": q.doc_token_counts,
@@ -100,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_diff_ts_stats": o.sql_kg_diff_ts_stats(),
         "kg_detect_conflicts": o.sql_kg_detect_conflicts(),
         "events_sessionize": o.sql_events_sessionize(),
+        "kg_viz_nodes": o.sql_kg_viz_nodes(),
+        "kg_annotations": o.sql_kg_annotations(),
         # rows-only (non-SQL-expressible): kg_triples_canonicalized
         # (union-find), doc_quality (float features), doc_langid,
         # doc_fingerprints, doc_simhash, doc_minhash_clusters,

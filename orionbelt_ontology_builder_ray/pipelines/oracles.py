@@ -408,3 +408,23 @@ WITH ordered AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
 FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+
+def sql_kg_viz_nodes(max_nodes: int = 500) -> str:
+    t = _sql_str(RDF_TYPE)
+    ni = _sql_str(NAMED_INDIVIDUAL)
+    return (kg_triples_cte() + f"""
+SELECT subject, MIN(object) AS node_type FROM triples
+WHERE predicate = {t} AND object_kind = 'uri' AND object <> {ni}
+GROUP BY subject ORDER BY subject LIMIT {max_nodes}""")
+
+
+def sql_kg_annotations(entity_local: str = "place-nation_1") -> str:
+    from ..functions.terms import STRUCTURAL_PREDICATES
+
+    uri = _sql_str(KG + entity_local)
+    blist = ", ".join(_sql_str(p) for p in sorted(STRUCTURAL_PREDICATES))
+    return (kg_triples_cte() + f"""
+SELECT predicate, object, lang, datatype FROM triples
+WHERE subject = {uri} AND predicate NOT IN ({blist})
+ORDER BY predicate, object""")

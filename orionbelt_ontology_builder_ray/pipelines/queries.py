@@ -446,3 +446,48 @@ def events_sessionize(sf_dir, gap_minutes=30):
                     "start_ts", "end_ts"]].astype({"n_events": "int64"})
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def kg_viz_nodes(sf_dir, max_nodes=500):
+    """Visualization extract: typed nodes with class, capped and
+    deterministic (the reference viz caps at 500 nodes, app.py:3090)."""
+    import pyarrow.compute as pc
+
+    from ..functions.terms import OWL_NAMED_INDIVIDUAL
+
+    ds = _triples(sf_dir)
+
+    def typed(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.and_(pc.equal(t["predicate"], RDF_TYPE),
+                             pc.and_(pc.equal(t["object_kind"], "uri"),
+                                     pc.invert(pc.equal(
+                                         t["object"], OWL_NAMED_INDIVIDUAL)))))
+        return m.select(["subject", "object"]).group_by(
+            ["subject", "object"]).aggregate([])
+
+    pairs = ds.map_batches(typed, batch_format="pyarrow").to_pandas()
+    nodes = (pairs.sort_values(["subject", "object"])
+             .groupby("subject", sort=True).first().reset_index()
+             .head(max_nodes))
+    return pa.table({"subject": nodes["subject"].tolist(),
+                     "node_type": nodes["object"].tolist()})
+
+
+def kg_annotations(sf_dir, entity_local="place-nation_1"):
+    """get_annotations analog (om:1242-1285): non-structural predicate
+    rows of one subject."""
+    import pyarrow.compute as pc
+
+    from ..functions.terms import STRUCTURAL_PREDICATES
+
+    uri = KG + entity_local
+    blacklist = pa.array(sorted(STRUCTURAL_PREDICATES))
+    ds = _triples(sf_dir)
+
+    def anns(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.and_(pc.equal(t["subject"], uri),
+                             pc.invert(pc.is_in(t["predicate"],
+                                                value_set=blacklist))))
+        return m.select(["predicate", "object", "lang", "datatype"])
+
+    return ds.map_batches(anns, batch_format="pyarrow")

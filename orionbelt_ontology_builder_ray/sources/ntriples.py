@@ -109,3 +109,27 @@ def nt_lines_batch(batch):
 def write_ntriples_dataset(ds, path: str) -> None:
     """Distributed NT sink: per-block formatting then sharded text files."""
     ds.map_batches(nt_lines_batch, batch_format="pyarrow").write_csv(path)
+
+
+def parse_lines_batch(batch):
+    """Vectorized-ish NT parse stage: 'text' lines -> triple columns."""
+    import pyarrow as pa
+
+    rows = [parse_line(ln) for ln in batch.column("text").to_pylist()
+            if ln.strip() and not ln.lstrip().startswith("#")]
+    return pa.table({
+        "subject": [t.subject for t in rows],
+        "predicate": [t.predicate for t in rows],
+        "object": [t.object for t in rows],
+        "object_kind": [t.object_kind for t in rows],
+        "lang": [t.lang for t in rows],
+        "datatype": [t.datatype for t in rows],
+    })
+
+
+def read_ntriples_dataset(path):
+    """Distributed NT source: line-oriented, so reading shards freely."""
+    import ray.data as rd
+
+    return rd.read_text(path).map_batches(parse_lines_batch,
+                                          batch_format="pyarrow")

@@ -81,18 +81,20 @@ def _person_contact(s: TripleStore) -> None:
 
 
 def _skos_thesaurus(s: TripleStore) -> None:
+    # NB: the reference template's prefLabels are PLAIN literals (no
+    # @en tag) — lang="" matches templates.py:275-313 exactly
     s.add_concept_scheme("MainScheme", label="Main Scheme")
-    s.add_concept("Science", "MainScheme", pref_label="Science")
+    s.add_concept("Science", "MainScheme", pref_label="Science", lang="")
     s.add_concept("NaturalScience", "MainScheme", pref_label="Natural Science",
-                  broader="Science")
+                  broader="Science", lang="")
     s.add_concept("SocialScience", "MainScheme", pref_label="Social Science",
-                  broader="Science")
+                  broader="Science", lang="")
     s.add_concept("Physics", "MainScheme", pref_label="Physics",
-                  broader="NaturalScience")
+                  broader="NaturalScience", lang="")
     s.add_concept("Biology", "MainScheme", pref_label="Biology",
-                  broader="NaturalScience")
+                  broader="NaturalScience", lang="")
     s.add_concept("Economics", "MainScheme", pref_label="Economics",
-                  broader="SocialScience")
+                  broader="SocialScience", lang="")
 
 
 _BUILDERS: Dict[str, Callable[[TripleStore], None]] = {

@@ -233,3 +233,26 @@ def test_scoped_dedup_equals_broadcast(ray_session):
     a = build_kg(SF, final_sort=False).to_pandas()
     b = build_kg(SF, final_sort=False, dedup_strategy="scoped").to_pandas()
     assert sorted(map(tuple, a.to_numpy())) == sorted(map(tuple, b.to_numpy()))
+
+
+def test_ntriples_read_write_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.sources.ntriples import (
+        nt_lines_batch, read_ntriples_dataset,
+    )
+    from orionbelt_ontology_builder_ray.state.graph import TripleStore
+
+    s = TripleStore("http://t.org/rt#")
+    s.add_class("A", label="A label")
+    s.add_annotation("A", "label", "etikett", lang="de")
+    s.add_individual("x", "A")
+    path = str(tmp_path / "nt_out")
+    lines = rd.from_arrow(s.to_arrow()).map_batches(
+        nt_lines_batch, batch_format="pyarrow").to_pandas()
+    (tmp_path / "nt_out").mkdir()
+    with open(tmp_path / "nt_out" / "part0.nt", "w") as f:
+        f.write("\n".join(lines["line"]) + "\n")
+    back = read_ntriples_dataset(path).to_pandas()
+    assert set(map(tuple, back.to_numpy())) == \
+        {tuple(t) for t in s.to_rows()}

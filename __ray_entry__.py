@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "kg_viz_nodes": q.kg_viz_nodes,
         "kg_annotations": q.kg_annotations,
+        "kg_annotation_predicates": q.kg_annotation_predicates,
+        "kg_canonicalization_demo": q.kg_canonicalization_demo,
         # training-data ops
         "doc_dedup_exact": q.doc_dedup_exact,
         "doc_token_counts": q.doc_token_counts,
@@ -104,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": o.sql_events_sessionize(),
         "kg_viz_nodes": o.sql_kg_viz_nodes(),
         "kg_annotations": o.sql_kg_annotations(),
+        "kg_annotation_predicates": o.sql_kg_annotation_predicates(),
         # rows-only (non-SQL-expressible): kg_triples_canonicalized
         # (union-find), doc_quality (float features), doc_langid,
         # doc_fingerprints, doc_simhash, doc_minhash_clusters,

@@ -428,3 +428,13 @@ def sql_kg_annotations(entity_local: str = "place-nation_1") -> str:
 SELECT predicate, object, lang, datatype FROM triples
 WHERE subject = {uri} AND predicate NOT IN ({blist})
 ORDER BY predicate, object""")
+
+
+def sql_kg_annotation_predicates() -> str:
+    from ..functions.terms import STRUCTURAL_PREDICATES
+
+    blist = ", ".join(_sql_str(p) for p in sorted(STRUCTURAL_PREDICATES))
+    return (kg_triples_cte() + f"""
+SELECT DISTINCT predicate FROM triples
+WHERE object_kind = 'literal' AND predicate NOT IN ({blist})
+ORDER BY predicate""")

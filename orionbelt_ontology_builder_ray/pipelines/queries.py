@@ -491,3 +491,52 @@ def kg_annotations(sf_dir, entity_local="place-nation_1"):
         return m.select(["predicate", "object", "lang", "datatype"])
 
     return ds.map_batches(anns, batch_format="pyarrow")
+
+
+def kg_annotation_predicates(sf_dir):
+    """get_used_annotation_predicates analog (om:1287-1320): distinct
+    non-structural predicates with literal objects."""
+    import pyarrow.compute as pc
+
+    from ..functions.terms import STRUCTURAL_PREDICATES
+
+    blacklist = pa.array(sorted(STRUCTURAL_PREDICATES))
+    ds = _triples(sf_dir)
+
+    def preds(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.and_(pc.equal(t["object_kind"], "literal"),
+                             pc.invert(pc.is_in(t["predicate"],
+                                                value_set=blacklist))))
+        return m.select(["predicate"]).group_by(["predicate"]).aggregate([])
+
+    out = ds.map_batches(preds, batch_format="pyarrow")
+    return out.groupby("predicate").map_groups(lambda t: t.slice(0, 1),
+                                               batch_format="pyarrow")
+
+
+def kg_canonicalization_demo(sf_dir):
+    """Pipeline-level canonicalization with injected co-referent
+    variants: every place entity gains a duplicate URI carrying a
+    case/punctuation label variant; union-find must merge each variant
+    back onto the canonical entity (rows-only: union-find closure is
+    not SQL-expressible).  Returns (entity, canonical)."""
+    from ..stages.canonicalize import canonicalize
+
+    ds = _triples(sf_dir)
+
+    def inject_variants(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[(batch["predicate"] ==
+                   "http://www.w3.org/2004/02/skos/core#prefLabel")
+                  & batch["subject"].str.startswith(KG + "place-")]
+        if not len(m):
+            return batch
+        dup = m.copy()
+        dup["subject"] = dup["subject"] + "-variant"
+        dup["object"] = dup["object"].str.lower() + "."
+        return pd.concat([batch, dup], ignore_index=True)
+
+    with_variants = ds.map_batches(inject_variants, batch_format="pandas")
+    _, mapping = canonicalize(with_variants)
+    items = sorted(mapping.items())
+    return pa.table({"entity": [k for k, _ in items],
+                     "canonical": [v for _, v in items]})

@@ -36,35 +36,64 @@ def normalize_surface(s: str) -> str:
     return _NORM_RE.sub(" ", s.casefold()).strip()
 
 
-def normalized_label_pairs(triples_ds) -> List[Tuple[str, str]]:
+def normalized_label_pairs(triples_ds, num_salts: int = 8) -> List[Tuple[str, str]]:
     """(entity, entity') pairs sharing a normalized prefLabel.
 
-    Pre-aggregates (subject, norm) per batch before the shuffle so hot
-    labels don't ship duplicate rows, then groups by norm key.
+    Skew handling (north_rule: salted repartitioning for hot keys) is
+    two-phase: per batch, (subject, norm) rows dedup locally; the
+    first groupby keys on ``(norm, salt(entity))`` so a hot surface
+    form ("user", "assistant") splits across ``num_salts`` groups, each
+    emitting a star to its local min entity; the second phase merges
+    only the per-salt representatives — group size is bounded by
+    ``num_salts``, never by the hot key's population.
     """
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[batch["predicate"] == SKOS_PREF_LABEL]
         if not len(m):
             return pd.DataFrame({"entity": pd.Series([], dtype=str),
-                                 "norm": pd.Series([], dtype=str)})
+                                 "norm": pd.Series([], dtype=str),
+                                 "salt": pd.Series([], dtype=np.int32)})
         out = pd.DataFrame({
             "entity": m["subject"].to_numpy(),
             "norm": [normalize_surface(v) for v in m["object"]],
-        })
-        return out.drop_duplicates()
+        }).drop_duplicates()
+        salt = pd.util.hash_pandas_object(out["entity"], index=False)
+        out["salt"] = (salt % num_salts).astype(np.int32)
+        return out
 
     def to_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ents = np.sort(g["entity"].unique())
         if len(ents) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=str),
-                                 "b": pd.Series([], dtype=str)})
-        # star pattern to the min entity keeps pair count linear
-        return pd.DataFrame({"a": np.repeat(ents[0], len(ents) - 1),
-                             "b": ents[1:]})
+            # singleton groups still surface their representative so the
+            # cross-salt phase can merge them
+            reps = ents
+        else:
+            reps = ents[:1]
+        star = pd.DataFrame({"a": np.repeat(ents[0], len(ents) - 1),
+                             "b": ents[1:]}) if len(ents) > 1 else \
+            pd.DataFrame({"a": pd.Series([], dtype=str),
+                          "b": pd.Series([], dtype=str)})
+        star["rep"] = ""
+        rep_rows = pd.DataFrame({"a": reps, "b": reps, "rep": "rep"})
+        rep_rows["norm"] = g["norm"].iloc[0]
+        star["norm"] = g["norm"].iloc[0] if len(g) else ""
+        return pd.concat([star, rep_rows], ignore_index=True)
 
-    pairs = (triples_ds.map_batches(extract, batch_format="pandas")
-             .groupby("norm").map_groups(to_pairs, batch_format="pandas"))
-    return [(r["a"], r["b"]) for r in pairs.take_all()]
+    salted = (triples_ds.map_batches(extract, batch_format="pandas")
+              .groupby(["norm", "salt"])
+              .map_groups(to_pairs, batch_format="pandas"))
+    rows = salted.take_all()
+    pairs = [(r["a"], r["b"]) for r in rows if r["rep"] == "" and r["a"] != r["b"]]
+    # phase 2: merge per-salt representatives of the same norm (tiny:
+    # <= num_salts rows per surface form)
+    reps_by_norm: dict = {}
+    for r in rows:
+        if r["rep"] == "rep":
+            reps_by_norm.setdefault(r["norm"], []).append(r["a"])
+    for norm, reps in reps_by_norm.items():
+        reps = sorted(set(reps))
+        pairs += [(reps[0], other) for other in reps[1:]]
+    return pairs
 
 
 def same_as_pairs(triples_ds) -> List[Tuple[str, str]]:

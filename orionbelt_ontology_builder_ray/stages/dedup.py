@@ -135,7 +135,13 @@ def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast",
     # strategy="shuffle", whose all-to-all handles any size; a Ray
     # groupby-count here is pathological (millions of 1-row groups).
     blocks = ray.get(combined.to_arrow_refs())  # one parallel fetch
-    parts = [b.column("_h").to_numpy(zero_copy_only=False) for b in blocks]
+    # blocks are Arrow tables, but Ray occasionally hands back pandas
+    # blocks when a lineage mixed formats — accept both
+    parts = [
+        (b["_h"].to_numpy() if isinstance(b, pd.DataFrame)
+         else b.column("_h").to_numpy(zero_copy_only=False)).astype(np.int64)
+        for b in blocks
+    ]
     h = np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
     dup_hashes = np.unique(h[:-1][h[1:] == h[:-1]]) if len(h) else \
         np.array([], dtype=np.int64)

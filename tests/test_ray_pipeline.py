@@ -256,3 +256,25 @@ def test_ntriples_read_write_roundtrip(ray_session, tmp_path):
     back = read_ntriples_dataset(path).to_pandas()
     assert set(map(tuple, back.to_numpy())) == \
         {tuple(t) for t in s.to_rows()}
+
+
+def test_canonicalize_salted_hot_key(ray_session):
+    """A hot surface form (many entities, same normalized label) merges
+    to one canonical entity through the two-phase salted groupby."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.canonicalize import canonicalize
+
+    n = 50  # entities sharing one hot label, spread across salts
+    df = pd.DataFrame({
+        "subject": [f"e/{i:03d}" for i in range(n)],
+        "predicate": [SKOS_PREF_LABEL] * n,
+        "object": ["User"] * n,
+        "object_kind": ["literal"] * n,
+        "lang": [""] * n, "datatype": [""] * n,
+    })
+    out, mapping = canonicalize(rd.from_pandas(df))
+    assert len(mapping) == n - 1  # everything merged onto e/000
+    assert set(mapping.values()) == {"e/000"}
+    rows = out.to_pandas()
+    assert set(rows["subject"]) == {"e/000"}

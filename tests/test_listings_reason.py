@@ -89,3 +89,53 @@ def test_goldens_match_hand_written():
         == g.EXPECTED_SEARCH
     assert list(map(tuple, g.q_diff_stats().to_pandas().to_numpy())) \
         == g.EXPECTED_DIFF_STATS
+
+
+def test_broader_cycles_pointer_jumping(ray_session):
+    """Pointer-jumping cycle detection over a functional broader graph:
+    chain -> no cycle; loop -> every concept whose walk enters it."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.skos_ops import (
+        broader_cycles, skos_issues_ds,
+    )
+    from orionbelt_ontology_builder_ray.state.graph import TripleStore
+
+    s = TripleStore(B)
+    s.add_concept_scheme("S")
+    # clean chain: D -> C -> A (terminates)
+    s.add_concept("A", "S", pref_label="A")
+    s.add_concept("C", "S", pref_label="C", broader="A")
+    s.add_concept("D", "S", pref_label="D", broader="C")
+    assert broader_cycles(rd.from_arrow(s.to_arrow())) == []
+
+    # close a loop: A -> D (so A, C, D are cyclic)
+    s.add_concept_relation("A", "broader", "D")
+    # and one branch leading INTO the loop
+    s.add_concept("E", "S", pref_label="E", broader="D")
+    cyclic = broader_cycles(rd.from_arrow(s.to_arrow()))
+    assert set(cyclic) == {s.uri("A"), s.uri("C"), s.uri("D"), s.uri("E")}
+
+    # reference walk agrees on every concept it flags
+    ref_flagged = {i["subject"] for i in s.validate_skos()
+                   if i["type"] == "broader_cycle"}
+    assert ref_flagged == {"A", "C", "D", "E"}
+
+    issues = skos_issues_ds(rd.from_arrow(s.to_arrow()))
+    assert ("broader_cycle", s.uri("A")) in set(
+        map(tuple, issues.to_numpy()))
+
+
+def test_deep_chain_no_false_cycle(ray_session):
+    """A 200-deep chain terminates — log-round doubling must not flag it."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.skos_ops import broader_cycles
+    from orionbelt_ontology_builder_ray.state.graph import TripleStore
+
+    s = TripleStore(B)
+    s.add_concept("c000", pref_label="c0")
+    for i in range(1, 200):
+        s.add_concept(f"c{i:03d}", pref_label=f"c{i}",
+                      broader=f"c{i - 1:03d}")
+    assert broader_cycles(rd.from_arrow(s.to_arrow())) == []

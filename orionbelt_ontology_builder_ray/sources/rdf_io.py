@@ -13,7 +13,7 @@ import os
 from typing import List, Optional
 
 from ..functions.terms import Triple
-from . import ntriples, turtle
+from . import jsonld, ntriples, turtle
 
 # app.py:2223-2234 extension map
 FORMAT_BY_EXTENSION = {
@@ -21,7 +21,7 @@ FORMAT_BY_EXTENSION = {
     ".n3": "n3", ".nt": "nt", ".jsonld": "json-ld", ".json": "json-ld",
 }
 
-SUPPORTED = {"turtle", "nt"}
+SUPPORTED = {"turtle", "nt", "json-ld"}
 
 
 def detect_format(path: str) -> str:
@@ -34,6 +34,8 @@ def parse_string(data: str, format: str = "turtle",
         return turtle.parse_turtle(data, base_uri)
     if format == "nt":
         return ntriples.parse_rows(data)
+    if format == "json-ld":
+        return jsonld.parse_jsonld(data)
     raise ValueError(
         f"Format {format!r} is not supported natively (supported: "
         f"{sorted(SUPPORTED)}); convert to Turtle/N-Triples or Parquet")
@@ -45,6 +47,8 @@ def serialize_string(rows, format: str = "turtle",
         return turtle.serialize_turtle(rows, prefixes)
     if format == "nt":
         return ntriples.serialize_rows(sorted(Triple(*r) for r in rows))
+    if format == "json-ld":
+        return jsonld.serialize_jsonld(rows, prefixes)
     raise ValueError(
         f"Format {format!r} is not supported natively (supported: "
         f"{sorted(SUPPORTED)})")

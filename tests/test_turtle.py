@@ -116,3 +116,46 @@ def test_reference_template_parity():
         ours = {r for r in ours
                 if r.object != OWL + "Ontology"}
         assert ref_rows == ours, t["name"]
+
+
+def test_jsonld_roundtrip(populated):
+    from orionbelt_ontology_builder_ray.sources.rdf_io import (
+        parse_string, serialize_string,
+    )
+
+    populated.add_annotation("Person", "label", "Persona", lang="es")
+    populated.add_individual_property("alice", "age", "33",
+                                      is_object_property=False)
+    ctx = {"": "http://test.org/ont#", "owl": str(OWL), "rdfs": str(RDFS),
+           "xsd": str(XSD), "skos": str(SKOS)}
+    out = serialize_string(populated.to_rows(), "json-ld", ctx)
+    back = set(parse_string(out, "json-ld"))
+    assert back == populated.rows
+
+
+def test_jsonld_context_prefixes():
+    from orionbelt_ontology_builder_ray.sources.jsonld import (
+        extract_context_prefixes, parse_jsonld,
+    )
+
+    doc = """{
+      "@context": {"ex": "http://ex.org/", "name": "http://ex.org/name",
+                   "skip": {"@id": "http://x/"}, "n": 5},
+      "@graph": [
+        {"@id": "ex:a", "@type": "ex:Thing",
+         "name": [{"@value": "Hi", "@language": "en"}, "plain"],
+         "ex:knows": {"@id": "ex:b"}}
+      ]
+    }"""
+    p = extract_context_prefixes(doc)
+    assert p == {"ex": "http://ex.org/", "name": "http://ex.org/name"}
+    rows = set(parse_jsonld(doc))
+    assert ("http://ex.org/a",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://ex.org/Thing", "uri", "", "") in rows
+    assert ("http://ex.org/a", "http://ex.org/name", "Hi", "literal",
+            "en", "") in rows
+    assert ("http://ex.org/a", "http://ex.org/name", "plain", "literal",
+            "", "") in rows
+    assert ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b",
+            "uri", "", "") in rows

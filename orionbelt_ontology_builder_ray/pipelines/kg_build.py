@@ -162,6 +162,8 @@ def build_kg(sf_dir: Optional[str] = None,
         triples = dedup_triples_scoped(triples.materialize(),
                                        scope_regex="-t[0-9]+$",
                                        pre_deduped=fused)
+        if ckpt_dir:
+            triples = ckpt.save_stage(ckpt_dir, "dedup", triples, fp)
     else:
         triples = dedup_triples(triples, num_buckets=dedup_buckets,
                                 strategy=dedup_strategy, prehashed=prehashed)

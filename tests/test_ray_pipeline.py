@@ -278,3 +278,25 @@ def test_canonicalize_salted_hot_key(ray_session):
     assert set(mapping.values()) == {"e/000"}
     rows = out.to_pandas()
     assert set(rows["subject"]) == {"e/000"}
+
+
+def test_resume_after_midpipeline_failure(ray_session, tmp_path):
+    """Simulated mid-pipeline crash: extract_link checkpoint exists,
+    dedup doesn't — a re-run must reuse the snapshot (not re-extract)
+    and complete identically."""
+    import shutil
+
+    from orionbelt_ontology_builder_ray.pipelines import checkpoint as ckpt
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    ck = str(tmp_path / "ck")
+    full = build_kg(SF, ckpt_dir=ck, final_sort=False).to_pandas()
+    assert ckpt.read_manifest(ck, "dedup")["complete"]
+    # crash simulation: wipe everything after stage 1
+    shutil.rmtree(f"{ck}/dedup")
+    assert ckpt.read_manifest(ck, "dedup") is None
+    assert ckpt.read_manifest(ck, "extract_link")["complete"]
+    resumed = build_kg(SF, ckpt_dir=ck, final_sort=False).to_pandas()
+    assert sorted(map(tuple, full.to_numpy())) == \
+        sorted(map(tuple, resumed.to_numpy()))
+    assert ckpt.read_manifest(ck, "dedup")["complete"]

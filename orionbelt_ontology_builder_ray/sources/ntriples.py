@@ -72,8 +72,11 @@ def parse_line(line: str) -> Triple:
     lm = _LIT_RE.match(obj)
     if not lm:
         raise ValueError(f"Bad N-Triples object: {obj!r}")
+    dt = lm.group("dt") or ""
+    if dt == XSD_STRING:
+        dt = ""  # RDF 1.1: "x"^^xsd:string ≡ plain literal
     return Triple(subject, m.group("p"), unescape_literal(lm.group("v")),
-                  LITERAL, lm.group("lang") or "", lm.group("dt") or "")
+                  LITERAL, lm.group("lang") or "", dt)
 
 
 def parse_rows(text: str) -> List[Triple]:
@@ -89,26 +92,59 @@ def parse_rows(text: str) -> List[Triple]:
 def nt_lines_batch(batch):
     """Vectorized map_batches stage: triples table -> one 'line' column.
 
-    Arrow in / Arrow out; used by the distributed NT sink.
+    Arrow in / Arrow out (pyarrow.compute kernels, no Python row loop);
+    used by the distributed NT sink.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    subs = batch.column("subject").to_pylist()
-    preds = batch.column("predicate").to_pylist()
-    objs = batch.column("object").to_pylist()
-    kinds = batch.column("object_kind").to_pylist()
-    langs = batch.column("lang").to_pylist()
-    dts = batch.column("datatype").to_pylist()
-    lines = [
-        format_row(Triple(s, p, o, k, la or "", dt or ""))
-        for s, p, o, k, la, dt in zip(subs, preds, objs, kinds, langs, dts)
-    ]
-    return pa.table({"line": lines})
+    def _join(*parts):
+        # binary_join_element_wise: last arg is the separator
+        return pc.binary_join_element_wise(*parts, "")
+
+    s = batch.column("subject")
+    s_fmt = pc.if_else(pc.starts_with(s, pattern="_:"), s, _join("<", s, ">"))
+    p_fmt = _join("<", batch.column("predicate"), ">")
+
+    o = batch.column("object")
+    esc = o
+    for pat, rep in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+        esc = pc.replace_substring(esc, pattern=pat, replacement=rep)
+    lang = pc.fill_null(batch.column("lang"), "")
+    dt = pc.fill_null(batch.column("datatype"), "")
+    lit_core = _join('"', esc, '"')
+    lit = pc.if_else(
+        pc.not_equal(lang, ""), _join(lit_core, "@", lang),
+        pc.if_else(pc.and_(pc.not_equal(dt, ""), pc.not_equal(dt, XSD_STRING)),
+                   _join(lit_core, "^^<", dt, ">"), lit_core))
+    kind = batch.column("object_kind")
+    o_fmt = pc.if_else(pc.equal(kind, URI), _join("<", o, ">"),
+                       pc.if_else(pc.equal(kind, BNODE), o, lit))
+    line = _join(s_fmt, " ", p_fmt, " ", o_fmt, " .")
+    return pa.table({"line": line})
 
 
 def write_ntriples_dataset(ds, path: str) -> None:
-    """Distributed NT sink: per-block formatting then sharded text files."""
-    ds.map_batches(nt_lines_batch, batch_format="pyarrow").write_csv(path)
+    """Distributed NT sink: per-block formatting then sharded raw-text
+    files (one ``.nt`` shard per block, NO csv quoting/header — a CSV
+    writer would quote-wrap every literal line and emit a header row,
+    producing invalid N-Triples)."""
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    class _NTSink(BlockBasedFileDatasink):
+        def __init__(self, p):
+            super().__init__(p, file_format="nt")
+
+        def write_block_to_file(self, block, file):
+            col = block.to_arrow().column("line")
+            payload = "\n".join(col.to_pylist())
+            if payload:
+                payload += "\n"
+            file.write(payload.encode("utf-8"))
+
+    ds.map_batches(nt_lines_batch, batch_format="pyarrow") \
+        .write_datasink(_NTSink(path))
 
 
 def parse_lines_batch(batch):

@@ -13,7 +13,7 @@ import os
 from typing import List, Optional
 
 from ..functions.terms import Triple
-from . import jsonld, ntriples, turtle
+from . import jsonld, ntriples, rdfxml, turtle
 
 # app.py:2223-2234 extension map
 FORMAT_BY_EXTENSION = {
@@ -21,7 +21,10 @@ FORMAT_BY_EXTENSION = {
     ".n3": "n3", ".nt": "nt", ".jsonld": "json-ld", ".json": "json-ld",
 }
 
-SUPPORTED = {"turtle", "nt", "json-ld"}
+# "n3" is handled by the Turtle engine: the reference serializes N3 via
+# rdflib's notation3 writer, whose output for ontology content is plain
+# Turtle (no N3-only rules/quantifiers appear in the workbench surface).
+SUPPORTED = {"turtle", "nt", "json-ld", "xml", "n3"}
 
 
 def detect_format(path: str) -> str:
@@ -30,12 +33,14 @@ def detect_format(path: str) -> str:
 
 def parse_string(data: str, format: str = "turtle",
                  base_uri: str = "") -> List[Triple]:
-    if format == "turtle":
+    if format in ("turtle", "n3"):
         return turtle.parse_turtle(data, base_uri)
     if format == "nt":
         return ntriples.parse_rows(data)
     if format == "json-ld":
         return jsonld.parse_jsonld(data)
+    if format == "xml":
+        return rdfxml.parse_rdfxml(data, base_uri)
     raise ValueError(
         f"Format {format!r} is not supported natively (supported: "
         f"{sorted(SUPPORTED)}); convert to Turtle/N-Triples or Parquet")
@@ -43,12 +48,14 @@ def parse_string(data: str, format: str = "turtle",
 
 def serialize_string(rows, format: str = "turtle",
                      prefixes: Optional[dict] = None) -> str:
-    if format == "turtle":
+    if format in ("turtle", "n3"):
         return turtle.serialize_turtle(rows, prefixes)
     if format == "nt":
         return ntriples.serialize_rows(sorted(Triple(*r) for r in rows))
     if format == "json-ld":
         return jsonld.serialize_jsonld(rows, prefixes)
+    if format == "xml":
+        return rdfxml.serialize_rdfxml(rows, prefixes)
     raise ValueError(
         f"Format {format!r} is not supported natively (supported: "
         f"{sorted(SUPPORTED)})")
@@ -96,6 +103,9 @@ def load_store(data: str, format: str = "turtle",
     else:
         store.add(Triple(store.ontology_uri, RDF_TYPE, OWL_ONTOLOGY,
                          "uri", "", ""))
-    if format == "turtle":
+    if format in ("turtle", "n3"):
         store.loaded_prefixes.update(turtle.extract_prefixes(data))
+    elif format == "xml":
+        store.loaded_prefixes.update(
+            {p: ns for p, ns in rdfxml.extract_prefixes(data).items() if p})
     return store

@@ -1,13 +1,15 @@
-"""Minimal Turtle parser / serializer (driver-side, schema-plane).
+"""Turtle parser / serializer (driver-side, schema-plane).
 
-Covers the subset the reference's workbench formats exercise
-(templates.py Turtle, simple ontology files): @prefix/@base
-declarations, prefixed names, IRIs, ``a``, predicate lists ``;``,
-object lists ``,``, plain/lang-tagged/typed literals (single and
-triple-quoted), comments, and anonymous bnode labels.  NOT covered
-(documented): collections ``( )``, inline bnode property lists
-``[ ]`` beyond empty, numeric/boolean literal shorthand (parsed as
-plain literals).
+Recursive-descent parser covering the Turtle surface the reference's
+workbench formats exercise (templates.py Turtle, sample ontologies such
+as prov-o.ttl): @prefix/@base and SPARQL-style PREFIX/BASE directives,
+prefixed names, IRIs, ``a``, predicate lists ``;``, object lists ``,``,
+plain/lang-tagged/typed literals (single- and triple-quoted, both quote
+styles), comments, blank-node labels ``_:x``, inline blank-node
+property lists ``[ ... ]``, collections ``( ... )`` (expanded to
+rdf:first/rdf:rest cons cells), and numeric/boolean literal shorthand
+(typed as xsd:integer / xsd:decimal / xsd:double / xsd:boolean, the
+rdflib semantics the reference relies on).
 
 Big inputs never go through Turtle — the data plane is Parquet and
 N-Triples (sources/ntriples.py is fully shardable).  Reference analog:
@@ -21,34 +23,45 @@ import re
 from typing import Dict, List, Tuple
 
 from ..functions.terms import (
-    BNODE, LITERAL, RDF_TYPE, STANDARD_PREFIXES, URI, XSD_STRING, Triple,
+    BNODE, LITERAL, RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE,
+    STANDARD_PREFIXES, URI, XSD, XSD_STRING, Triple,
 )
 from .ntriples import escape_literal, unescape_literal
 
 _PREFIX_RE = re.compile(r'@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>\s*\.')
 _BASE_RE = re.compile(r'@base\s+<([^>]*)>\s*\.')
+# Turtle 1.1 also allows SPARQL-style directives (case-insensitive, no dot)
+_SPARQL_PREFIX_RE = re.compile(r'(?im)^[ \t]*PREFIX[ \t]+([A-Za-z0-9_-]*):[ \t]*<([^>]*)>[ \t]*$')
+_SPARQL_BASE_RE = re.compile(r'(?im)^[ \t]*BASE[ \t]+<([^>]*)>[ \t]*$')
 
+# NOTE: bnode MUST precede pname, else '_:label' lexes as pname with
+# prefix '_' and parsing fails on every blank-node label.
 _TOKEN_RE = re.compile(r'''
     (?P<comment>\#[^\n]*)
   | (?P<iri><[^>]*>)
   | (?P<triple_lit>"""(?:[^"\\]|\\.|"(?!""))*""")
-  | (?P<lit>"(?:[^"\\]|\\.)*")
-  | (?P<langtag>@[A-Za-z0-9-]+)
+  | (?P<triple_lit_sq>\'\'\'(?:[^'\\]|\\.|'(?!''))*\'\'\')
+  | (?P<lit>"(?:[^"\\\n]|\\.)*")
+  | (?P<lit_sq>'(?:[^'\\\n]|\\.)*')
   | (?P<dtype>\^\^)
-  | (?P<punct>[;,.\[\]])
-  | (?P<a>\ba\b)
-  | (?P<pname>[A-Za-z0-9_][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_][A-Za-z0-9_.%-]*)?
-  | (?P<bnode>_:[A-Za-z0-9_-]+)
-  | (?P<number>[+-]?[0-9]+(?:\.[0-9]+)?)
+  | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<pname>(?:[A-Za-z][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_%](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?)?)
+  | (?P<number>[+-]?(?:[0-9]+\.[0-9]+(?:[eE][+-]?[0-9]+)?|\.[0-9]+(?:[eE][+-]?[0-9]+)?|[0-9]+(?:[eE][+-]?[0-9]+)?))
   | (?P<bool>\btrue\b|\bfalse\b)
+  | (?P<a>\ba\b)
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<punct>[;,.\[\]()])
   | (?P<ws>\s+)
 ''', re.VERBOSE)
 
 
 def extract_prefixes(text: str) -> Dict[str, str]:
-    """@prefix declarations (reference _extract_prefixes_from_ttl,
-    om:178-193)."""
-    return {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(text)}
+    """@prefix / PREFIX declarations (reference
+    _extract_prefixes_from_ttl, om:178-193)."""
+    out = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(text)}
+    out.update({m.group(1): m.group(2)
+                for m in _SPARQL_PREFIX_RE.finditer(text)})
+    return out
 
 
 def _tokens(text: str):
@@ -62,82 +75,227 @@ def _tokens(text: str):
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
+        if kind == "triple_lit_sq":
+            kind = "triple_lit"
+        elif kind == "lit_sq":
+            kind = "lit"
         yield kind, m.group(0)
+
+
+_XSD_INTEGER = XSD + "integer"
+_XSD_DECIMAL = XSD + "decimal"
+_XSD_DOUBLE = XSD + "double"
+_XSD_BOOLEAN = XSD + "boolean"
+
+
+class _Parser:
+    """Recursive-descent Turtle statement parser over a token list."""
+
+    def __init__(self, toks: List[Tuple[str, str]],
+                 prefixes: Dict[str, str], base_uri: str):
+        self.toks = toks
+        self.prefixes = prefixes
+        self.base_uri = base_uri
+        self.i = 0
+        self.triples: List[Triple] = []
+        self._gen = 0
+
+    # -- helpers ----------------------------------------------------------
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _expect_punct(self, ch: str) -> None:
+        kind, tok = self._peek()
+        if kind != "punct" or tok != ch:
+            raise ValueError(f"Expected {ch!r}, got {tok!r} "
+                             f"(token {self.i})")
+        self.i += 1
+
+    def _fresh_bnode(self) -> str:
+        self._gen += 1
+        return f"_:genid{self._gen}"
+
+    def _resolve_pname(self, tok: str) -> str:
+        prefix, _, local = tok.partition(":")
+        if prefix not in self.prefixes:
+            raise ValueError(f"Unknown prefix: {prefix!r} in {tok!r}")
+        return self.prefixes[prefix] + local
+
+    def _resolve_iri(self, tok: str) -> str:
+        iri = tok[1:-1]
+        if iri and "://" not in iri and not iri.startswith("urn:") \
+                and self.base_uri:
+            iri = self.base_uri + iri
+        return iri
+
+    # -- grammar ----------------------------------------------------------
+    def parse(self) -> List[Triple]:
+        while self.i < len(self.toks):
+            self._statement()
+        return self.triples
+
+    def _statement(self) -> None:
+        kind, tok = self._peek()
+        if kind == "punct" and tok == "[":
+            # blankNodePropertyList as subject; predicateObjectList optional
+            subj = self._bnode_prop_list()
+            nkind, ntok = self._peek()
+            if not (nkind == "punct" and ntok == "."):
+                self._pred_obj_list(subj)
+        else:
+            subj, s_kind, _, _ = self._subject()
+            self._pred_obj_list(subj)
+        self._expect_punct(".")
+
+    def _subject(self):
+        kind, tok = self._peek()
+        if kind == "iri":
+            self.i += 1
+            return self._resolve_iri(tok), URI, "", ""
+        if kind == "bnode":
+            self.i += 1
+            return tok, BNODE, "", ""
+        if kind == "pname":
+            self.i += 1
+            return self._resolve_pname(tok), URI, "", ""
+        if kind == "punct" and tok == "(":
+            node, node_kind = self._collection()
+            return node, node_kind, "", ""
+        raise ValueError(f"Bad subject token {tok!r}")
+
+    def _predicate(self) -> str:
+        kind, tok = self._peek()
+        if kind == "a":
+            self.i += 1
+            return RDF_TYPE
+        if kind == "iri":
+            self.i += 1
+            return self._resolve_iri(tok)
+        if kind == "pname":
+            self.i += 1
+            return self._resolve_pname(tok)
+        raise ValueError(f"Bad predicate token {tok!r}")
+
+    def _pred_obj_list(self, subj: str) -> None:
+        while True:
+            pred = self._predicate()
+            while True:
+                obj, o_kind, lang, dtype = self._object()
+                self.triples.append(
+                    Triple(subj, pred, obj, o_kind, lang, dtype))
+                if self._peek() == ("punct", ","):
+                    self.i += 1
+                    continue
+                break
+            if self._peek() == ("punct", ";"):
+                self.i += 1
+                # allow trailing ';' before '.' / ']'
+                nkind, ntok = self._peek()
+                if nkind == "punct" and ntok in (".", "]"):
+                    break
+                continue
+            break
+
+    def _object(self):
+        kind, tok = self._peek()
+        if kind == "iri":
+            self.i += 1
+            return self._resolve_iri(tok), URI, "", ""
+        if kind == "bnode":
+            self.i += 1
+            return tok, BNODE, "", ""
+        if kind == "pname":
+            self.i += 1
+            return self._resolve_pname(tok), URI, "", ""
+        if kind in ("lit", "triple_lit"):
+            self.i += 1
+            value = tok[3:-3] if kind == "triple_lit" else tok[1:-1]
+            value = unescape_literal(value)
+            lang, dtype = "", ""
+            nkind, ntok = self._peek()
+            if nkind == "langtag":
+                lang = ntok[1:]
+                self.i += 1
+            elif nkind == "dtype":
+                self.i += 1
+                dkind, dtok = self._peek()
+                if dkind == "iri":
+                    dtype = self._resolve_iri(dtok)
+                elif dkind == "pname":
+                    dtype = self._resolve_pname(dtok)
+                else:
+                    raise ValueError(f"Bad datatype token {dtok!r}")
+                self.i += 1
+            if dtype == XSD_STRING:
+                dtype = ""  # RDF 1.1: "x"^^xsd:string ≡ plain literal
+            return value, LITERAL, lang, dtype
+        if kind == "number":
+            self.i += 1
+            # rdflib semantics: integer / decimal / double by lexical form
+            if "e" in tok or "E" in tok:
+                dtype = _XSD_DOUBLE
+            elif "." in tok:
+                dtype = _XSD_DECIMAL
+            else:
+                dtype = _XSD_INTEGER
+            return tok, LITERAL, "", dtype
+        if kind == "bool":
+            self.i += 1
+            return tok, LITERAL, "", _XSD_BOOLEAN
+        if kind == "punct" and tok == "[":
+            return self._bnode_prop_list(), BNODE, "", ""
+        if kind == "punct" and tok == "(":
+            node, node_kind = self._collection()
+            return node, node_kind, "", ""
+        raise ValueError(f"Bad object token {tok!r}")
+
+    def _bnode_prop_list(self) -> str:
+        """``[ pred obj ; ... ]`` — fresh bnode, nested triples emitted."""
+        self._expect_punct("[")
+        node = self._fresh_bnode()
+        if self._peek() != ("punct", "]"):
+            self._pred_obj_list(node)
+        self._expect_punct("]")
+        return node
+
+    def _collection(self) -> Tuple[str, str]:
+        """``( o1 o2 ... )`` — rdf:first/rdf:rest cons cells; empty list
+        is rdf:nil (a URI, not a bnode)."""
+        self._expect_punct("(")
+        members = []
+        while self._peek() != ("punct", ")"):
+            if self._peek() == (None, None):
+                raise ValueError("Unterminated collection")
+            members.append(self._object())
+        self._expect_punct(")")
+        if not members:
+            return RDF_NIL, URI
+        cells = [self._fresh_bnode() for _ in members]
+        for idx, (obj, o_kind, lang, dtype) in enumerate(members):
+            self.triples.append(
+                Triple(cells[idx], RDF_FIRST, obj, o_kind, lang, dtype))
+            if idx + 1 < len(cells):
+                self.triples.append(
+                    Triple(cells[idx], RDF_REST, cells[idx + 1], BNODE,
+                           "", ""))
+            else:
+                self.triples.append(
+                    Triple(cells[idx], RDF_REST, RDF_NIL, URI, "", ""))
+        return cells[0], BNODE
 
 
 def parse_turtle(text: str, base_uri: str = "") -> List[Triple]:
     """Parse a Turtle document into triple rows."""
     prefixes = dict(STANDARD_PREFIXES)
     prefixes.update(extract_prefixes(text))
-    base_m = _BASE_RE.search(text)
+    base_m = _BASE_RE.search(text) or _SPARQL_BASE_RE.search(text)
     if base_m:
         base_uri = base_m.group(1)
     # strip directive lines before tokenizing statements
     body = _PREFIX_RE.sub("", _BASE_RE.sub("", text))
-
-    def resolve_pname(tok: str) -> str:
-        prefix, _, local = tok.partition(":")
-        if prefix not in prefixes:
-            raise ValueError(f"Unknown prefix: {prefix!r} in {tok!r}")
-        return prefixes[prefix] + local
-
-    triples: List[Triple] = []
+    body = _SPARQL_PREFIX_RE.sub("", _SPARQL_BASE_RE.sub("", body))
     toks = list(_tokens(body))
-    i = 0
-    n = len(toks)
-
-    def term(j) -> Tuple[Tuple[str, str, str, str], int]:
-        kind, tok = toks[j]
-        if kind == "iri":
-            iri = tok[1:-1]
-            if iri and "://" not in iri and base_uri:
-                iri = base_uri + iri
-            return (iri, URI, "", ""), j + 1
-        if kind == "bnode":
-            return (tok, BNODE, "", ""), j + 1
-        if kind == "a":
-            return (RDF_TYPE, URI, "", ""), j + 1
-        if kind in ("lit", "triple_lit"):
-            value = tok[3:-3] if kind == "triple_lit" else tok[1:-1]
-            value = unescape_literal(value)
-            lang, dtype = "", ""
-            k = j + 1
-            if k < n and toks[k][0] == "langtag":
-                lang = toks[k][1][1:]
-                k += 1
-            elif k < n and toks[k][0] == "dtype":
-                (dt, _, _, _), k = term(k + 1)
-                dtype = dt
-            return (value, LITERAL, lang, dtype), k
-        if kind in ("number", "bool"):
-            return (tok, LITERAL, "", ""), j + 1
-        if kind is None or kind == "pname" or (kind not in (
-                "punct",) and ":" in tok):
-            return (resolve_pname(tok), URI, "", ""), j + 1
-        raise ValueError(f"Unexpected token {tok!r}")
-
-    while i < n:
-        (subj, s_kind, _, _), i = term(i)
-        while True:
-            (pred, _, _, _), i = term(i)
-            while True:
-                (obj, o_kind, lang, dtype), i = term(i)
-                triples.append(Triple(subj, pred, obj, o_kind, lang, dtype))
-                if i < n and toks[i] == ("punct", ","):
-                    i += 1
-                    continue
-                break
-            if i < n and toks[i] == ("punct", ";"):
-                i += 1
-                # allow trailing ';' before '.'
-                if i < n and toks[i] == ("punct", "."):
-                    i += 1
-                    break
-                continue
-            if i < n and toks[i] == ("punct", "."):
-                i += 1
-            break
-    return triples
+    return _Parser(toks, prefixes, base_uri).parse()
 
 
 def _shorten(uri: str, prefixes: Dict[str, str]) -> str:

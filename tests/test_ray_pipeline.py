@@ -236,23 +236,24 @@ def test_scoped_dedup_equals_broadcast(ray_session):
 
 
 def test_ntriples_read_write_roundtrip(ray_session, tmp_path):
+    """Distributed sink → distributed source round trip through
+    write_ntriples_dataset itself (a CSV-based sink would quote-wrap
+    every literal containing '\"' and emit a header — invalid NT)."""
     import ray.data as rd
 
     from orionbelt_ontology_builder_ray.sources.ntriples import (
-        nt_lines_batch, read_ntriples_dataset,
+        read_ntriples_dataset, write_ntriples_dataset,
     )
     from orionbelt_ontology_builder_ray.state.graph import TripleStore
 
     s = TripleStore("http://t.org/rt#")
     s.add_class("A", label="A label")
     s.add_annotation("A", "label", "etikett", lang="de")
+    s.add_annotation("A", "comment", 'she said "hi",\n\tthen left')
     s.add_individual("x", "A")
     path = str(tmp_path / "nt_out")
-    lines = rd.from_arrow(s.to_arrow()).map_batches(
-        nt_lines_batch, batch_format="pyarrow").to_pandas()
-    (tmp_path / "nt_out").mkdir()
-    with open(tmp_path / "nt_out" / "part0.nt", "w") as f:
-        f.write("\n".join(lines["line"]) + "\n")
+    ds = rd.from_arrow(s.to_arrow()).repartition(3)
+    write_ntriples_dataset(ds, path)
     back = read_ntriples_dataset(path).to_pandas()
     assert set(map(tuple, back.to_numpy())) == \
         {tuple(t) for t in s.to_rows()}

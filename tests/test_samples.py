@@ -1,12 +1,99 @@
-"""Integration over the reference's real-world Turtle sample corpus
-(mirrors reference tests/test_samples.py; skipped when the reference
-checkout is absent — the repo stands alone without it)."""
+"""Integration over the reference's real-world sample corpus — all six
+ontologies (mirrors reference tests/test_samples.py:14-21 registry and
+its import/stats/validate/search/round-trip assertions; skipped when
+the reference checkout is absent — the repo stands alone without it)."""
 
 import os
 
 import pytest
 
-GEO = "/root/reference/samples/geography-thesaurus.ttl"
+SAMPLES = "/root/reference/samples"
+GEO = f"{SAMPLES}/geography-thesaurus.ttl"
+
+# (file, format) — reference tests/test_samples.py SAMPLE_FILES
+SAMPLE_FILES = {
+    "pizza": ("pizza.owl", "xml"),
+    "foaf": ("foaf.rdf", "xml"),
+    "wine": ("wine.owl", "xml"),
+    "prov-o": ("prov-o.ttl", "turtle"),
+    "goodrelations": ("goodrelations.owl", "xml"),
+    "geography": ("geography-thesaurus.ttl", "turtle"),
+}
+
+
+def _load(name):
+    filename, fmt = SAMPLE_FILES[name]
+    path = os.path.join(SAMPLES, filename)
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    from orionbelt_ontology_builder_ray.sources.rdf_io import load_store
+
+    with open(path) as f:
+        return load_store(f.read(), fmt)
+
+
+@pytest.mark.parametrize("name", list(SAMPLE_FILES))
+def test_loads_without_error(name):
+    store = _load(name)
+    assert len(store.rows) > 0
+
+
+def test_pizza_has_classes():
+    # reference test_samples.py:61-67 (>=50 classes incl. Pizza)
+    store = _load("pizza")
+    names = [c["name"] for c in store.get_classes()]
+    assert len(names) >= 50
+    assert "Pizza" in names
+
+
+def test_pizza_has_properties():
+    store = _load("pizza")
+    assert (len(store.get_object_properties())
+            + len(store.get_data_properties())) >= 5
+
+
+def test_wine_has_classes_and_properties():
+    store = _load("wine")
+    assert len(store.get_classes()) >= 10
+    assert len(store.get_object_properties()) >= 5
+
+
+def test_foaf_has_properties():
+    store = _load("foaf")
+    assert (len(store.get_object_properties())
+            + len(store.get_data_properties())) >= 10
+
+
+@pytest.mark.parametrize("name",
+                         ["pizza", "wine", "foaf", "prov-o", "goodrelations"])
+def test_validation_runs(name):
+    store = _load(name)
+    issues = store.validate()
+    assert isinstance(issues, list)
+    for issue in issues:
+        assert "severity" in issue and "type" in issue and "message" in issue
+
+
+@pytest.mark.parametrize("name,term,minimum", [
+    ("pizza", "pizza", 1), ("wine", "wine", 1), ("foaf", "person", 1),
+])
+def test_sample_search(name, term, minimum):
+    store = _load(name)
+    assert len(store.search(term)) >= minimum
+
+
+@pytest.mark.parametrize("name", list(SAMPLE_FILES))
+@pytest.mark.parametrize("fmt", ["turtle", "xml", "nt"])
+def test_sample_roundtrip_exact(name, fmt):
+    """Reference xml/turtle round trips allow <10% bnode drift
+    (test_samples.py:139-160); ours are exact at the 6-tuple level."""
+    from orionbelt_ontology_builder_ray.sources.rdf_io import (
+        parse_string, serialize_string,
+    )
+
+    store = _load(name)
+    out = serialize_string(store.to_rows(), fmt, store.loaded_prefixes)
+    assert set(parse_string(out, fmt)) == store.rows
 
 
 @pytest.mark.skipif(not os.path.exists(GEO), reason="reference not available")

@@ -73,7 +73,7 @@ def test_format_dispatch():
     assert detect_format("a/b.nt") == "nt"
     assert detect_format("a/b.owl") == "xml"
     with pytest.raises(ValueError):
-        parse_string("<x/>", "xml")
+        parse_string("x", "trig")  # genuinely unsupported format
     nt = serialize_string(parse_turtle(TTL), "nt")
     assert set(parse_string(nt, "nt")) == set(parse_turtle(TTL))
 
@@ -159,3 +159,75 @@ def test_jsonld_context_prefixes():
             "", "") in rows
     assert ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b",
             "uri", "", "") in rows
+
+
+def test_bnode_label_roundtrip_with_restrictions(populated):
+    """ADVICE r1: '_:label' must lex as a bnode, not a pname with
+    prefix '_' — restriction emissions serialize bnode subjects, so the
+    store's own Turtle output must re-parse exactly."""
+    populated.add_restriction("Person", "worksFor", "someValuesFrom",
+                              "Organization")
+    populated.add_restriction("Employee", "worksFor", "minCardinality", 1)
+    out = serialize_turtle(populated.to_rows(),
+                           {"": "http://test.org/ont#"})
+    assert "_:" in out
+    assert set(parse_turtle(out)) == populated.rows
+
+
+def test_collections_and_chain_roundtrip(populated):
+    """Turtle round trip of the repo's own rdf:first/rest emissions
+    (property chains, unionOf) — VERDICT r1 next-round item 2."""
+    populated.add_property_chain("worksFor", ["worksFor", "worksFor"])
+    populated.add_class_expression("Staff", "unionOf",
+                                   ["Person", "Organization"])
+    out = serialize_turtle(populated.to_rows(),
+                           {"": "http://test.org/ont#"})
+    assert set(parse_turtle(out)) == populated.rows
+
+
+def test_parse_collection_syntax():
+    ts = parse_turtle("""@prefix ex: <http://e.org/> .
+ex:C owl:unionOf ( ex:A ex:B ) .
+ex:D owl:oneOf ( ) .
+""")
+    firsts = [t for t in ts if t.predicate == RDF + "first"]
+    assert [t.object for t in firsts] == ["http://e.org/A", "http://e.org/B"]
+    rests = [t for t in ts if t.predicate == RDF + "rest"]
+    assert rests[-1].object == RDF + "nil"
+    nil = [t for t in ts if t.subject == "http://e.org/D"]
+    assert nil[0].object == RDF + "nil" and nil[0].object_kind == "uri"
+
+
+def test_parse_inline_bnode_property_list():
+    ts = parse_turtle("""@prefix ex: <http://e.org/> .
+ex:Pizza rdfs:subClassOf [ a owl:Restriction ;
+    owl:onProperty ex:hasTopping ; owl:someValuesFrom ex:Cheese ] .
+[ a ex:Standalone ] .
+""")
+    sub = next(t for t in ts if t.predicate == RDFS + "subClassOf")
+    assert sub.object_kind == "bnode"
+    inner = {t.predicate for t in ts if t.subject == sub.object}
+    assert inner == {RDF + "type", OWL + "onProperty", OWL + "someValuesFrom"}
+    assert any(t.object == "http://e.org/Standalone" for t in ts)
+
+
+def test_parse_numeric_boolean_literals():
+    ts = parse_turtle("@prefix ex: <http://e.org/> .\n"
+                      "ex:n ex:i 42 ; ex:d 3.5 ; ex:e 1.0e2 ; ex:b false .")
+    by_pred = {t.predicate.rsplit("/", 1)[-1]: t for t in ts}
+    assert by_pred["i"].datatype == XSD + "integer"
+    assert by_pred["d"].datatype == XSD + "decimal"
+    assert by_pred["e"].datatype == XSD + "double"
+    assert by_pred["b"].datatype == XSD + "boolean"
+
+
+def test_sparql_style_directives():
+    ts = parse_turtle("PREFIX ex: <http://e.org/>\n"
+                      "ex:A a ex:B .")
+    assert ts[0].subject == "http://e.org/A"
+
+
+def test_xsd_string_normalized_to_plain():
+    ts = parse_turtle('@prefix ex: <http://e.org/> .\n'
+                      'ex:a ex:p "v"^^xsd:string .')
+    assert ts[0].datatype == ""

@@ -40,6 +40,27 @@ def _fingerprint(*parts) -> str:
     return hashlib.sha1("|".join(str(p) for p in parts).encode()).hexdigest()[:16]
 
 
+def _input_signature(path: Optional[str]) -> str:
+    """Content signature of the input files (name/size/mtime), so an
+    in-place edit of the input invalidates checkpoints — a path-only
+    fingerprint would serve stale stages."""
+    import glob
+
+    if not path:
+        return "none"
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*"),
+                                 recursive=True))
+    else:
+        files = [path]
+    sig = []
+    for f in files:
+        if os.path.isfile(f):
+            st = os.stat(f)
+            sig.append(f"{os.path.basename(f)}:{st.st_size}:{int(st.st_mtime)}")
+    return _fingerprint(*sig)
+
+
 def build_kg(sf_dir: Optional[str] = None,
              transcripts_path: Optional[str] = None,
              emit_ts: bool = True,
@@ -64,6 +85,12 @@ def build_kg(sf_dir: Optional[str] = None,
     stage still runs for explicit sameAs pairs and is exercised with
     variants in tests and the bench.
     """
+    # The fingerprint must cover every stage-affecting knob AND the
+    # input content, not just the path — otherwise re-running into the
+    # same ckpt_dir with (say) --canonicalize added, or after editing
+    # the input in place, silently serves stale stage output.
+    config_fp = (emit_ts, include_seed_schema, canonicalize_labels,
+                 dedup_strategy, fused)
     if transcripts_path:
         # read_blocks bounds the block count through the whole DAG:
         # every downstream stage inherits it, and the hive write emits
@@ -73,7 +100,8 @@ def build_kg(sf_dir: Optional[str] = None,
         transcripts = read_transcripts(transcripts_path,
                                        override_num_blocks=read_blocks)
         alias_source = sf_dir
-        fp = _fingerprint("path", transcripts_path, emit_ts)
+        fp = _fingerprint("path", transcripts_path,
+                          _input_signature(transcripts_path), *config_fp)
     else:
         # Testdata adapter: the real input is a transcripts Parquet table
         # (input_hint shape). Deriving it involves a per-conversation
@@ -83,7 +111,8 @@ def build_kg(sf_dir: Optional[str] = None,
         # pools — measured 14x slower fused).
         transcripts = derive_transcripts(sf_dir).materialize()
         alias_source = sf_dir
-        fp = _fingerprint("derived", sf_dir, emit_ts)
+        fp = _fingerprint("derived", sf_dir, _input_signature(sf_dir),
+                          *config_fp)
 
     # ---- stages 1+2 (single streaming pass over the input) ----
     prehashed = False

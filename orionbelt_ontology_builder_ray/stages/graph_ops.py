@@ -22,19 +22,44 @@ from ..functions.terms import CONFLICT_PREDICATES, pool_size
 from .extract import TRIPLE_COLS
 
 
+# Set membership runs on a 128-bit composite of two independent 64-bit
+# row hashes (different pandas hash keys).  A single 64-bit hash makes
+# a silent cross-dataset collision plausible at 10^10-row scale
+# (birthday bound); at 128 bits the collision probability is ~2^-128
+# per pair — effectively exact, with no payload confirmation join.
+_HASH_DTYPE = np.dtype([("h1", "i8"), ("h2", "i8")])
+_SECOND_HASH_KEY = "graft2ndhashkey!"  # 16 chars, pandas requirement
+
+
 def _row_hashes(batch: pd.DataFrame) -> np.ndarray:
-    return pd.util.hash_pandas_object(
+    out = np.empty(len(batch), dtype=_HASH_DTYPE)
+    out["h1"] = pd.util.hash_pandas_object(
         batch[TRIPLE_COLS], index=False).to_numpy().view(np.int64)
+    out["h2"] = pd.util.hash_pandas_object(
+        batch[TRIPLE_COLS], index=False,
+        hash_key=_SECOND_HASH_KEY).to_numpy().view(np.int64)
+    return out
 
 
 def collect_hashes(ds) -> np.ndarray:
-    """Sorted row-content hashes of a triples Dataset (8 bytes/row to
-    the driver; beyond ~10^10 rows switch to a bucket-shuffle join)."""
+    """Sorted 128-bit row-content hashes of a triples Dataset (16
+    bytes/row to the driver; beyond ~10^10 rows switch to a
+    bucket-shuffle join)."""
     parts = [
         _row_hashes(b) for b in
         ds.iter_batches(batch_size=65536, batch_format="pandas")
     ]
-    return np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
+    return np.sort(np.concatenate(parts)) if parts else \
+        np.array([], dtype=_HASH_DTYPE)
+
+
+def _sorted_member(sorted_arr: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``q`` in a sorted (structured) array."""
+    if len(sorted_arr) == 0 or len(q) == 0:
+        return np.zeros(len(q), dtype=bool)
+    idx = np.searchsorted(sorted_arr, q)
+    idx[idx >= len(sorted_arr)] = len(sorted_arr) - 1
+    return sorted_arr[idx] == q
 
 
 class _HashFilter:
@@ -48,19 +73,13 @@ class _HashFilter:
                 hashes_ref = ray.get(hashes_ref)
         except ImportError:
             pass
-        self.hashes = np.asarray(hashes_ref, dtype=np.int64)
+        self.hashes = np.asarray(hashes_ref)
         self.keep = keep
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return batch
-        h = _row_hashes(batch)
-        if len(self.hashes):
-            idx = np.searchsorted(self.hashes, h)
-            idx[idx >= len(self.hashes)] = len(self.hashes) - 1
-            present = self.hashes[idx] == h
-        else:
-            present = np.zeros(len(h), dtype=bool)
+        present = _sorted_member(self.hashes, _row_hashes(batch))
         return batch[present if self.keep else ~present]
 
 
@@ -193,19 +212,24 @@ def diff_stats(ds_a, ds_b) -> Dict[str, int]:
             named.append(h[~is_b])
             bnode.append(h[is_b])
         cat = (lambda xs: np.sort(np.concatenate(xs)) if xs
-               else np.array([], np.int64))
+               else np.array([], dtype=_HASH_DTYPE))
         return cat(named), cat(bnode)
+
+    def n_only(xs: np.ndarray, other_sorted: np.ndarray) -> int:
+        u = np.unique(xs)
+        return int((~_sorted_member(other_sorted, u)).sum())
 
     a_named, a_bnode = hashes_and_bnode(ds_a)
     b_named, b_bnode = hashes_and_bnode(ds_b)
+    a_all = np.sort(np.concatenate([a_named, a_bnode]))
+    b_all = np.sort(np.concatenate([b_named, b_bnode]))
+    unchanged = int(_sorted_member(b_all, np.unique(a_all)).sum())
     return {
-        "added": int(len(np.setdiff1d(b_named, a_named))),
-        "removed": int(len(np.setdiff1d(a_named, b_named))),
-        "bnode_added": int(len(np.setdiff1d(b_bnode, a_bnode))),
-        "bnode_removed": int(len(np.setdiff1d(a_bnode, b_bnode))),
-        "unchanged": int(len(np.intersect1d(
-            np.concatenate([a_named, a_bnode]),
-            np.concatenate([b_named, b_bnode])))),
+        "added": n_only(b_named, a_named),
+        "removed": n_only(a_named, b_named),
+        "bnode_added": n_only(b_bnode, a_bnode),
+        "bnode_removed": n_only(a_bnode, b_bnode),
+        "unchanged": unchanged,
     }
 
 

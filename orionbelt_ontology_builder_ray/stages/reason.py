@@ -84,6 +84,17 @@ class RdfsInferencer:
         except ImportError:
             pass
         self.schema = schema_ref
+        # exploded (child, parent) frames built ONCE per actor so the
+        # per-batch rules are pure pandas merges — type rows are the
+        # bulk of the stream at scale, so a per-row Python loop here
+        # would dominate the whole closure
+        s = schema_ref
+        self._cls_parents = pd.DataFrame(
+            [(c, p) for c, ps in s["class_parents"].items() for p in ps],
+            columns=["_cls", "_parent"])
+        self._prop_parents = pd.DataFrame(
+            [(c, p) for c, ps in s["prop_parents"].items() for p in ps],
+            columns=["_prop", "_parent"])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = self.schema
@@ -96,23 +107,25 @@ class RdfsInferencer:
             })
 
         # rdfs9: type inheritance through the closed class hierarchy
+        # (vectorized merge of the batch's type rows against the
+        # exploded child→parent frame)
         types = batch[(batch["predicate"] == RDF_TYPE)
                       & (batch["object_kind"] == "uri")]
-        inh_s, inh_o = [], []
-        for subj, cls in zip(types["subject"], types["object"]):
-            for parent in s["class_parents"].get(cls, ()):
-                inh_s.append(subj)
-                inh_o.append(parent)
-        if inh_s:
-            frames.append(rows(inh_s, RDF_TYPE, inh_o, "uri"))
+        if len(types) and len(self._cls_parents):
+            inh = types[["subject", "object"]].merge(
+                self._cls_parents, left_on="object", right_on="_cls")
+            if len(inh):
+                frames.append(rows(inh["subject"].to_numpy(), RDF_TYPE,
+                                   inh["_parent"].to_numpy(), "uri"))
 
         # rdfs7: subproperty propagation (copies the full row identity)
-        sub = batch[batch["predicate"].isin(s["prop_parents"].keys())]
-        for pred, g in sub.groupby("predicate"):
-            for parent in s["prop_parents"][pred]:
-                dup = g.copy()
-                dup["predicate"] = parent
-                frames.append(dup[TRIPLE_COLS])
+        if len(self._prop_parents):
+            sub = batch.merge(self._prop_parents, left_on="predicate",
+                              right_on="_prop")
+            if len(sub):
+                sub = sub.drop(columns=["predicate", "_prop"]).rename(
+                    columns={"_parent": "predicate"})
+                frames.append(sub[TRIPLE_COLS])
 
         # rdfs2/rdfs3: domain/range typing (through closure afterwards
         # via the emitted rdf:type rows + rdfs9 in the same pass order;

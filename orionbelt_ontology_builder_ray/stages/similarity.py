@@ -56,16 +56,10 @@ class BatchTopK:
         sims = self.q @ mat.T  # (n_queries, n_batch)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows = {"query_idx": [], self.id_col: [], "cosine": []}
-        for qi in range(sims.shape[0]):
-            for j in idx[qi]:
-                rows["query_idx"].append(qi)
-                rows[self.id_col].append(ids[j])
-                rows["cosine"].append(sims[qi, j])
         return pd.DataFrame({
-            "query_idx": np.array(rows["query_idx"], dtype=np.int64),
-            self.id_col: np.array(rows[self.id_col], dtype=np.int64),
-            "cosine": np.array(rows["cosine"], dtype=np.float64),
+            "query_idx": np.repeat(np.arange(sims.shape[0], dtype=np.int64), k),
+            self.id_col: ids[idx.ravel()],
+            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
         })
 
 
@@ -132,22 +126,24 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
 
     centroids = train_centroids(ds, n_centroids, vec_col=vec_col)
     cref = ray.put(centroids)
+    q = _normalize(np.atleast_2d(np.asarray(query_matrix, dtype=np.float64)))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probe.ravel()).astype(np.int32)
 
-    class AssignBucket:
+    class AssignAndProbe:
+        """Assign each vector its nearest centroid and keep only rows
+        falling in a probed bucket — one vectorized pass (the probe
+        mask is fused here; a per-row Python filter over the corpus
+        would dominate at scale)."""
+
         def __init__(self):
             self.c = ray.get(cref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             mat = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-            batch = batch.copy()
-            batch["_bucket"] = (mat @ self.c.T).argmax(axis=1).astype(np.int32)
-            return batch
+            bucket = (mat @ self.c.T).argmax(axis=1).astype(np.int32)
+            return batch[np.isin(bucket, wanted)]
 
-    bucketed = ds.map_batches(AssignBucket, batch_format="pandas",
-                              concurrency=pool_size())
-    q = _normalize(np.atleast_2d(np.asarray(query_matrix, dtype=np.float64)))
-    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
-    wanted = sorted({int(b) for row in probe for b in row})
-    probed = bucketed.filter(lambda r: r["_bucket"] in set(wanted))
-    return ann_topk(probed.drop_columns(["_bucket"]), q, k=k,
-                    id_col=id_col, vec_col=vec_col)
+    probed = ds.map_batches(AssignAndProbe, batch_format="pandas",
+                            concurrency=pool_size())
+    return ann_topk(probed, q, k=k, id_col=id_col, vec_col=vec_col)

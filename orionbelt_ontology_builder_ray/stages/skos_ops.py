@@ -27,17 +27,32 @@ from ..functions.terms import (
 
 
 def _first_broader_map(triples_ds) -> Dict[str, str]:
-    """concept -> lexicographically-first broader target (the
-    functional graph the reference's walk follows)."""
-    def edges(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[(batch["predicate"] == SKOS_BROADER)
-                  & (batch["object_kind"] == "uri")]
-        return m[["subject", "object"]].drop_duplicates()
+    """concept -> first broader target: the functional graph the
+    reference's walk follows (ontology_manager.py:1684-1715).  Matching
+    that walk exactly: only edges between *typed* skos:Concept nodes
+    participate (the reference breaks the walk at an untyped target),
+    and 'first' is keyed on the local name (the driver's
+    ``validate_skos`` walks ``broader_list[0]`` of local-name lists)."""
+    from ..functions.terms import local_name
 
-    df = triples_ds.map_batches(edges, batch_format="pandas").to_pandas()
-    if df.empty:
+    def edges(batch: pd.DataFrame) -> pd.DataFrame:
+        is_edge = ((batch["predicate"] == SKOS_BROADER)
+                   & (batch["object_kind"] == "uri"))
+        is_concept = ((batch["predicate"] == RDF_TYPE)
+                      & (batch["object"] == SKOS_CONCEPT))
+        return batch[is_edge | is_concept][
+            ["subject", "predicate", "object"]].drop_duplicates()
+
+    df = triples_ds.map_batches(edges, batch_format="pandas").to_pandas() \
+        .drop_duplicates()
+    concepts = set(df[df["predicate"] == RDF_TYPE]["subject"])
+    e = df[(df["predicate"] == SKOS_BROADER)
+           & df["subject"].isin(concepts) & df["object"].isin(concepts)]
+    if e.empty:
         return {}
-    first = df.sort_values(["subject", "object"]).drop_duplicates("subject")
+    e = e.assign(_local=e["object"].map(local_name))
+    first = e.sort_values(["subject", "_local", "object"]) \
+        .drop_duplicates("subject")
     return dict(zip(first["subject"], first["object"]))
 
 

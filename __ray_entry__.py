@@ -96,6 +96,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_stats": o.sql_doc_ngram_stats(),
         "events_hourly": o.sql_events_hourly(),
         "ann_topk": o.sql_ann_topk(),
+        "ann_ivf": o.sql_ann_topk(query_vec_id=7, k=10),
+        "doc_quality": o.sql_doc_quality(),
+        "doc_langid": o.sql_doc_langid(),
+        "doc_simhash": o.sql_doc_simhash(),
+        "doc_fingerprints": o.sql_doc_fingerprints(),
+        "multimodal_decode": o.sql_multimodal_decode(),
         "kg_classes": o.sql_kg_classes(),
         "kg_individuals_by_class": o.sql_kg_individuals_by_class(),
         "kg_inferred_types": o.sql_kg_inferred_types(),
@@ -107,10 +113,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_viz_nodes": o.sql_kg_viz_nodes(),
         "kg_annotations": o.sql_kg_annotations(),
         "kg_annotation_predicates": o.sql_kg_annotation_predicates(),
-        # rows-only (non-SQL-expressible): kg_triples_canonicalized
-        # (union-find), doc_quality (float features), doc_langid,
-        # doc_fingerprints, doc_simhash, doc_minhash_clusters,
-        # embedding_near_dups, ann_ivf, multimodal_decode
+        # rows-only (non-SQL-expressible): kg_triples_canonicalized +
+        # kg_canonicalization_demo (union-find), doc_minhash_clusters
+        # (LSH + iterative components), embedding_near_dups (float
+        # cosine accumulation order differs between numpy and SQL)
     }
     from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_ORACLES
 

@@ -40,6 +40,15 @@ def _fingerprint(*parts) -> str:
     return hashlib.sha1("|".join(str(p) for p in parts).encode()).hexdigest()[:16]
 
 
+def _strip_hash(ds):
+    """Drop the combiner hash column tolerantly (select, not
+    drop_columns — lineage replay after object-store eviction can hand
+    back a block that never had ``_h``)."""
+    return ds.map_batches(
+        lambda t: t.select([c for c in TRIPLE_COLS if c in t.column_names]),
+        batch_format="pyarrow")
+
+
 def _input_signature(path: Optional[str]) -> str:
     """Content signature of the input files (name/size/mtime), so an
     in-place edit of the input invalidates checkpoints — a path-only
@@ -186,13 +195,13 @@ def build_kg(sf_dir: Optional[str] = None,
                 triples = triples.union(seed_schema_dataset())
         if ckpt_dir:
             triples = ckpt.save_stage(ckpt_dir, "extract_link",
-                                      triples.drop_columns(["_h"])
+                                      _strip_hash(triples)
                                       if prehashed else triples, fp)
             prehashed = False
 
     # ---- stage 3: canonicalization ----
     if canonicalize_labels and prehashed:
-        triples = triples.drop_columns(["_h"])
+        triples = _strip_hash(triples)
         prehashed = False
     if canonicalize_labels:
         if ckpt.stage_complete(ckpt_dir, "canonical", fp):

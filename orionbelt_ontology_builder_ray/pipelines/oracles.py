@@ -243,6 +243,143 @@ def sql_events_hourly() -> str:
             "ORDER BY event_type, hour")
 
 
+_EN_STOP = ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that")
+_DE_STOP = ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu")
+_FR_STOP = ("le", "la", "les", "et", "est", "un", "une", "dans", "pour")
+_ES_STOP = ("el", "la", "los", "y", "es", "un", "una", "en", "por", "que")
+
+
+def _stop_list(words) -> str:
+    return "[" + ", ".join(_sql_str(w) for w in words) + "]"
+
+
+def sql_doc_quality() -> str:
+    """Mirror of stages.textops.QualityScorer (ASCII corpus: RE2's \\w
+    and Python's unicode \\w coincide)."""
+    stop = _stop_list(_EN_STOP)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         trim(text) = '' AS empty
+  FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN empty THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+  CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+    / greatest(length(text), 1) AS punct_ratio,
+  CASE WHEN empty THEN 0.0 ELSE
+    CAST(len(list_filter(toks, t -> list_contains({stop}, t))) AS DOUBLE)
+      / greatest(len(toks), 1) END AS stopword_ratio,
+  CASE WHEN empty THEN 0.0 ELSE
+    CAST(len(list_distinct(toks)) AS DOUBLE)
+      / greatest(len(toks), 1) END AS distinct_token_ratio
+FROM d ORDER BY doc_id"""
+
+
+def sql_doc_langid() -> str:
+    """Mirror of stages.textops.LangId: distinct-token ∩ stopword-set
+    score, argmax with alphabetical tie priority (de<en<es<fr), 0 ->
+    'unknown'."""
+    scores = {
+        "de": _stop_list(_DE_STOP), "en": _stop_list(_EN_STOP),
+        "es": _stop_list(_ES_STOP), "fr": _stop_list(_FR_STOP),
+    }
+    score_cols = ",\n  ".join(
+        f"len(list_filter(toks, t -> list_contains({lst}, t))) AS s_{lang}"
+        for lang, lst in scores.items())
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM documents),
+s AS (SELECT doc_id,
+  {score_cols}
+  FROM d)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM s ORDER BY doc_id"""
+
+
+_MD5_LOW64 = "CAST(('0x' || substr(md5({expr}), 1, 16)) AS UBIGINT)"
+
+
+def sql_doc_simhash() -> str:
+    """Mirror of stages.dedup.SimHasher: md5-low-64 token hashes,
+    majority vote over bits 0..62."""
+    h = _MD5_LOW64.format(expr="tok")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+th AS (SELECT doc_id, {h} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h >> CAST(b.bit AS INTEGER)) & 1 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM th CROSS JOIN (SELECT unnest(range(63)) AS bit) b),
+scores AS (SELECT doc_id, bit, sum(v) AS s FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+  CAST(sum(CASE WHEN s > 0
+                THEN CAST(1 AS UBIGINT) << CAST(bit AS INTEGER)
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM scores GROUP BY doc_id
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS simhash
+FROM documents WHERE trim(text) = ''
+ORDER BY doc_id"""
+
+
+def sql_doc_fingerprints(k: int = 3) -> str:
+    """Mirror of stages.textops.Fingerprinter: min 63-bit md5 hash over
+    k-token shingle windows."""
+    h = _MD5_LOW64.format(expr="g")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {k}
+         THEN list_transform(range(len(toks) - {k - 1}),
+                             i -> array_to_string(toks[i+1:i+{k}], ' '))
+         ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM d)
+SELECT doc_id, min(CAST({h} >> 1 AS BIGINT)) AS fingerprint
+FROM (SELECT doc_id, unnest(grams) AS g FROM s)
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def sql_multimodal_decode(num_items: int = 64, seed: int = 42) -> str:
+    """VALUES mirror of queries.multimodal_decode: the synthetic media
+    table and the fake decode are deterministic (seeded generator +
+    content-hash dims), so the expected rows are re-derived here by an
+    independent replication of those formulas (same
+    single-source-of-truth pattern as seed_schema_values_sql)."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(num_items):
+        payload = rng.bytes(256 + (i % 7) * 64)
+        digest = hashlib.blake2b(payload, digest_size=16).digest()
+        rows.append((i, kinds[i % 3], 16 + digest[0], 16 + digest[1],
+                     len(payload)))
+    values = ",\n  ".join(
+        f"(CAST({m} AS BIGINT), {_sql_str(kd)}, CAST({w} AS INTEGER), "
+        f"CAST({h} AS INTEGER), CAST({n} AS BIGINT))"
+        for m, kd, w, h, n in rows)
+    return (f"SELECT * FROM (VALUES\n  {values}\n) "
+            "AS m(media_id, kind, width, height, n_bytes) ORDER BY media_id")
+
+
 def sql_ann_topk(query_vec_id: int = 0, k: int = 10) -> str:
     """Brute-force cosine top-k against one stored query vector."""
     return f"""

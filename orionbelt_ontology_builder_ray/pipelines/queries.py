@@ -299,7 +299,13 @@ def ann_topk_query(sf_dir, query_vec_id=0, k=10):
     })
 
 
-def ann_ivf_query(sf_dir, query_vec_id=0, k=10):
+def ann_ivf_query(sf_dir, query_vec_id=7, k=10, n_centroids=16):
+    """IVF top-k with FULL probing (nprobe == n_centroids): the whole
+    bucketed path runs end-to-end (train centroids, assign, probe,
+    per-bucket top-k) while the result stays exactly equal to
+    brute-force top-k — which makes this query oracle-checkable
+    (sql_ann_topk mirror).  Pruned probing (nprobe < n_centroids, the
+    actual scale win) is covered by pytest recall tests."""
     from ..stages.similarity import ivf_topk
 
     import pyarrow.parquet as pq
@@ -310,11 +316,11 @@ def ann_ivf_query(sf_dir, query_vec_id=0, k=10):
     qvec = np.asarray(emb.filter(mask)["embedding"][0].as_py(),
                       dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = ivf_topk(ds, qvec[None, :], k=k)
-    out = out[out["vec_id"] != query_vec_id]
+    out = ivf_topk(ds, qvec[None, :], k=k, n_centroids=n_centroids,
+                   nprobe=n_centroids, exclude_ids=(query_vec_id,))
     return pa.table({
         "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
-        "cosine": pa.array(out["cosine"].to_numpy(), pa.float64()),
+        "rnk": pa.array(out["rnk"].to_numpy(), pa.int64()),
     })
 
 

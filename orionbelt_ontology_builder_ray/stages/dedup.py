@@ -135,13 +135,24 @@ def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast",
     # strategy="shuffle", whose all-to-all handles any size; a Ray
     # groupby-count here is pathological (millions of 1-row groups).
     blocks = ray.get(combined.to_arrow_refs())  # one parallel fetch
-    # blocks are Arrow tables, but Ray occasionally hands back pandas
-    # blocks when a lineage mixed formats — accept both
-    parts = [
-        (b["_h"].to_numpy() if isinstance(b, pd.DataFrame)
-         else b.column("_h").to_numpy(zero_copy_only=False)).astype(np.int64)
-        for b in blocks
-    ]
+
+    def block_hashes(b) -> np.ndarray:
+        # blocks are Arrow tables, but Ray hands back pandas blocks for
+        # mixed-format lineages, and EMPTY blocks can bypass the
+        # combiner UDF entirely (no _h column) — recompute in that case
+        # (_h is a pure content hash, so this is always identical)
+        if len(b) == 0:  # empty blocks may carry no schema at all
+            return np.array([], dtype=np.int64)
+        cols = b.columns if isinstance(b, pd.DataFrame) else b.column_names
+        if "_h" in cols:
+            return (b["_h"].to_numpy() if isinstance(b, pd.DataFrame)
+                    else b.column("_h").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+        df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+        return pd.util.hash_pandas_object(
+            df[TRIPLE_COLS], index=False).to_numpy().view(np.int64)
+
+    parts = [block_hashes(b) for b in blocks]
     h = np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
     dup_hashes = np.unique(h[:-1][h[1:] == h[:-1]]) if len(h) else \
         np.array([], dtype=np.int64)
@@ -153,14 +164,24 @@ def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast",
             self.keep_dups = keep_dups
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            h = t.column("_h").to_numpy(zero_copy_only=False)
+            if "_h" in t.column_names:
+                h = t.column("_h").to_numpy(zero_copy_only=False)
+            else:
+                # lineage replay after object-store eviction can hand
+                # back a pre-hash block; _h is a pure content hash, so
+                # recomputing it here is always identical
+                df = t.to_pandas()
+                h = pd.util.hash_pandas_object(
+                    df[TRIPLE_COLS], index=False).to_numpy().view(np.int64)
             is_dup = np.zeros(len(h), dtype=bool)
             if len(self.dups):
                 idx = np.searchsorted(self.dups, h)
                 idx[idx >= len(self.dups)] = len(self.dups) - 1
                 is_dup = self.dups[idx] == h
             mask = is_dup if self.keep_dups else ~is_dup
-            return t.filter(pa.array(mask)).drop_columns(["_h"])
+            out = t.filter(pa.array(mask))
+            return out.select([c for c in TRIPLE_COLS
+                               if c in out.column_names])
 
     clean = combined.map_batches(SplitClean(False), batch_format="pyarrow")
     if len(dup_hashes) == 0:
@@ -630,7 +651,14 @@ def _minhash_clusters_driver_reference(ds, threshold=0.7, num_perm=64,
 
 
 class SimHasher:
-    """64-bit SimHash over whitespace tokens (actor-pool stage)."""
+    """63-bit SimHash over whitespace tokens (actor-pool stage).
+
+    Token hash = low 64 bits of md5, majority vote over bits 0..62 —
+    63 bits so the value is a non-negative int64 and the whole
+    computation has an exact DuckDB mirror (md5 + bit ops), making the
+    operator oracle-checkable (sql_doc_simhash)."""
+
+    BITS = 63
 
     def __init__(self, id_col="doc_id", text_col="text"):
         self.id_col, self.text_col = id_col, text_col
@@ -641,19 +669,21 @@ class SimHasher:
         if not toks:
             return 0
         hashes = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                            "big") for t in toks),
+            (int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+             for t in toks),
             dtype=np.uint64, count=len(toks))
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        score = bits.sum(axis=0) * 2 - len(toks)
-        return int(((score > 0).astype(np.uint64)
-                    << np.arange(64, dtype=np.uint64)).sum())
+        shifts = np.arange(SimHasher.BITS, dtype=np.uint64)
+        bits = ((hashes[:, None] >> shifts[None, :]) & 1)
+        # int64 BEFORE the subtraction: a uint64 score silently wraps
+        # negative majorities to huge positives (sets every bit)
+        score = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
+        return int(((score > 0).astype(np.uint64) << shifts).sum())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sh = [self.simhash(str(t)) for t in batch[self.text_col]]
         return pd.DataFrame({
             self.id_col: batch[self.id_col].to_numpy(),
-            "simhash": np.array(sh, dtype=np.uint64).astype(np.int64),
+            "simhash": np.array(sh, dtype=np.int64),
         })
 
 

@@ -119,9 +119,11 @@ def train_centroids(ds, n_centroids: int = 16, sample_rows: int = 2048,
 
 def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> pd.DataFrame:
+             vec_col: str = "embedding", exclude_ids=()) -> pd.DataFrame:
     """IVF: assign vectors to coarse buckets, probe only the nearest
-    ``nprobe`` buckets per query. One int-key shuffle; per-bucket exact."""
+    ``nprobe`` buckets per query. One int-key shuffle; per-bucket exact.
+    With ``nprobe == n_centroids`` every bucket is probed and the
+    result equals brute-force top-k exactly."""
     import ray
 
     centroids = train_centroids(ds, n_centroids, vec_col=vec_col)
@@ -146,4 +148,5 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
 
     probed = ds.map_batches(AssignAndProbe, batch_format="pandas",
                             concurrency=pool_size())
-    return ann_topk(probed, q, k=k, id_col=id_col, vec_col=vec_col)
+    return ann_topk(probed, q, k=k, id_col=id_col, vec_col=vec_col,
+                    exclude_ids=exclude_ids)

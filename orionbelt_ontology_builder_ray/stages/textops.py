@@ -110,28 +110,27 @@ class LangId:
 
 
 class Fingerprinter:
-    """Rolling-hash document fingerprint (winnowing-style min-sample of
-    k-gram rolling hashes) -> (doc_id, fingerprint int64)."""
+    """Winnowing-style document fingerprint: the minimum over the
+    63-bit hashes of all k-token shingle windows (min-sampling the
+    window hashes ~ robust to small edits) -> (doc_id, fingerprint
+    int64).  Window hash = low 64 bits of md5 shifted right once, so
+    the operator has an exact DuckDB mirror (sql_doc_fingerprints)."""
 
-    def __init__(self, id_col="doc_id", text_col="text", k=5, sample=8):
+    def __init__(self, id_col="doc_id", text_col="text", k=3):
         self.id_col, self.text_col = id_col, text_col
-        self.k, self.sample = k, sample
-        self.base = np.uint64(1000003)
+        self.k = k
 
     def fingerprint(self, text: str) -> int:
-        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(data) < self.k:
-            data = np.pad(data, (0, self.k - len(data)), constant_values=32)
-        powers = self.base ** np.arange(self.k, dtype=np.uint64)
-        n = len(data) - self.k + 1
-        windows = np.lib.stride_tricks.sliding_window_view(data, self.k)
-        hashes = (windows * powers[None, :]).sum(axis=1)
-        sampled = np.sort(hashes)[: self.sample]
         import hashlib
 
-        return int.from_bytes(
-            hashlib.blake2b(sampled.tobytes(), digest_size=8).digest(),
-            "big") >> 1
+        toks = text.split()
+        if len(toks) >= self.k:
+            grams = [" ".join(toks[i:i + self.k])
+                     for i in range(len(toks) - self.k + 1)]
+        else:
+            grams = [" ".join(toks)]
+        return min(int(hashlib.md5(g.encode()).hexdigest()[:16], 16) >> 1
+                   for g in grams)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

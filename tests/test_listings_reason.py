@@ -139,3 +139,45 @@ def test_deep_chain_no_false_cycle(ray_session):
         s.add_concept(f"c{i:03d}", pref_label=f"c{i}",
                       broader=f"c{i - 1:03d}")
     assert broader_cycles(rd.from_arrow(s.to_arrow())) == []
+
+
+def test_owl_closure_ds_matches_driver(ray_session):
+    """Distributed OWL-RL instance rules (inverse/symmetric/transitive)
+    reach exactly the driver TripleStore.apply_reasoning('owl-rl')
+    fixpoint on the owlrl fixture (>1 block)."""
+    from orionbelt_ontology_builder_ray.pipelines.goldens import owlrl_store
+    from orionbelt_ontology_builder_ray.stages.reason import apply_owl_closure
+
+    s = owlrl_store()
+    ds = _ds(ray_session, s).repartition(3)
+    closed = apply_owl_closure(ds).to_pandas()
+    got = set(map(tuple, closed.to_numpy()))
+
+    s.apply_reasoning("owl-rl")
+    want = {tuple(t) for t in s.rows}
+    assert got == want
+
+
+def test_transitive_closure_long_chain(ray_session):
+    """Path of length 6 closes fully (iterative squaring needs 3
+    rounds) and only for the transitive property."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.reason import (
+        collect_owl_schema, transitive_closure_edges,
+    )
+
+    s = TripleStore(B)
+    s.add_object_property("partOf", transitive=True)
+    s.add_object_property("next")
+    for i in range(6):
+        s.add_individual_property(f"n{i}", "partOf", f"n{i+1}")
+        s.add_individual_property(f"m{i}", "next", f"m{i+1}")
+    ds = _ds(ray_session, s).repartition(2)
+    owl = collect_owl_schema(ds)
+    assert owl["transitive"] == {B + "partOf"}
+    closed = transitive_closure_edges(ds, owl["transitive"]).to_pandas()
+    pairs = {(r.subject, r.object) for r in closed.itertuples()}
+    want = {(B + f"n{i}", B + f"n{j}")
+            for i in range(7) for j in range(i + 1, 7)}
+    assert pairs == want

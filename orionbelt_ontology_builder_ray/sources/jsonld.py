@@ -1,22 +1,28 @@
-"""JSON-LD (flattened form) parser / serializer — schema-plane.
+"""JSON-LD parser / serializer — schema-plane.
 
-Covers the flattened/compacted shape the reference's import path
-accepts (app.py extension map .jsonld/.json): a top-level ``@context``
-of prefix -> namespace mappings, nodes as objects with ``@id`` /
-``@type`` and term-or-IRI keys, values as strings or
-``{"@value": ..., "@language"/"@type": ...}`` / ``{"@id": ...}``
-objects, and an optional ``@graph`` array.  Nested node objects are
-NOT expanded (flatten first); reference analog: JSON-LD context prefix
-extraction (ontology_manager.py:195-225).
+Covers both the flattened shape and NESTED node expansion the
+reference's rdflib import path accepts (app.py extension map
+.jsonld/.json, reference tests/test_jsonld.py): a top-level
+``@context`` of prefix -> namespace mappings and term definitions
+(``{"@id": ...}`` objects), nodes as objects with ``@id`` / ``@type``
+and term-or-IRI keys, values as strings / native JSON numbers and
+booleans (typed xsd:integer / xsd:double / xsd:boolean, rdflib
+semantics) or ``{"@value": ..., "@language"/"@type": ...}`` /
+``{"@id": ...}`` objects, ``@list`` arrays (rdf:first/rest cons
+cells), an optional ``@graph`` array, a top-level node array, and
+arbitrarily nested node objects (anonymous nested nodes get fresh
+blank nodes).  Reference analog: JSON-LD context prefix extraction
+(ontology_manager.py:195-225).
 """
 
 from __future__ import annotations
 
 import json
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 from ..functions.terms import (
-    BNODE, LITERAL, RDF_TYPE, URI, XSD_STRING, Triple,
+    BNODE, LITERAL, RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, URI, XSD,
+    XSD_STRING, Triple,
 )
 
 
@@ -44,50 +50,125 @@ def _expand(term: str, ctx: Dict[str, str]) -> str:
     return term
 
 
-def _node_triples(node: dict, ctx: Dict[str, str]) -> List[Triple]:
-    subj = node.get("@id")
-    if subj is None:
-        return []
-    subj = _expand(subj, ctx)
-    out: List[Triple] = []
-    types = node.get("@type", [])
-    if isinstance(types, str):
-        types = [types]
-    for t in types:
-        out.append(Triple(subj, RDF_TYPE, _expand(t, ctx), URI, "", ""))
-    for key, values in node.items():
-        if key.startswith("@"):
-            continue
-        pred = _expand(key, ctx)
-        if not isinstance(values, list):
-            values = [values]
-        for v in values:
-            if isinstance(v, dict):
-                if "@id" in v:
-                    obj = _expand(v["@id"], ctx)
-                    kind = BNODE if obj.startswith("_:") else URI
-                    out.append(Triple(subj, pred, obj, kind, "", ""))
-                elif "@value" in v:
-                    dtype = _expand(v["@type"], ctx) if "@type" in v else ""
-                    out.append(Triple(subj, pred, str(v["@value"]), LITERAL,
-                                      v.get("@language", ""), dtype))
-            else:
-                out.append(Triple(subj, pred, str(v), LITERAL, "", ""))
+def _term_map(ctx) -> Dict[str, str]:
+    """Full term -> IRI expansion map, including ``{"@id": ...}`` term
+    definitions (extract_context_prefixes keeps the reference's
+    narrower http-string-only view for prefix adoption)."""
+    if not isinstance(ctx, dict):
+        return {}
+    out: Dict[str, str] = {}
+    for k, v in ctx.items():
+        if isinstance(v, str):
+            out[k] = v
+        elif isinstance(v, dict) and isinstance(v.get("@id"), str):
+            out[k] = v["@id"]
     return out
+
+
+class _JsonLdParser:
+    def __init__(self, ctx: Dict[str, str]):
+        self.ctx = ctx
+        self.triples: List[Triple] = []
+        self._gen = 0
+
+    def _fresh(self) -> str:
+        self._gen += 1
+        return f"_:genid{self._gen}"
+
+    def node(self, obj: dict) -> Tuple[str, str]:
+        """Emit a node object's triples (recursing into nested nodes);
+        returns its (id, kind)."""
+        subj = obj.get("@id")
+        if subj is None:
+            subj, kind = self._fresh(), BNODE
+        else:
+            subj = _expand(subj, self.ctx)
+            kind = BNODE if subj.startswith("_:") else URI
+        types = obj.get("@type", [])
+        if isinstance(types, str):
+            types = [types]
+        for t in types:
+            self.triples.append(
+                Triple(subj, RDF_TYPE, _expand(t, self.ctx), URI, "", ""))
+        for key, values in obj.items():
+            if key.startswith("@"):
+                if key == "@graph":  # named-graph content flattens in
+                    for child in (values if isinstance(values, list)
+                                  else [values]):
+                        if isinstance(child, dict):
+                            self.node(child)
+                continue
+            pred = _expand(key, self.ctx)
+            for v in (values if isinstance(values, list) else [values]):
+                self.value(subj, pred, v)
+        return subj, kind
+
+    def term(self, v) -> Tuple[str, str, str, str]:
+        """A value position -> (object, kind, lang, datatype)."""
+        if isinstance(v, dict):
+            if "@value" in v:
+                dtype = (_expand(v["@type"], self.ctx)
+                         if "@type" in v else "")
+                if dtype == XSD_STRING:
+                    dtype = ""
+                val = v["@value"]
+                val = self._native_str(val) if not isinstance(val, str) \
+                    else val
+                return val, LITERAL, v.get("@language", ""), dtype
+            if "@list" in v:
+                return self.rdf_list(v["@list"])
+            obj, kind = self.node(v)
+            return obj, kind, "", ""
+        if isinstance(v, bool):
+            return ("true" if v else "false"), LITERAL, "", XSD + "boolean"
+        if isinstance(v, int):
+            return str(v), LITERAL, "", XSD + "integer"
+        if isinstance(v, float):
+            return repr(v), LITERAL, "", XSD + "double"
+        return str(v), LITERAL, "", ""
+
+    @staticmethod
+    def _native_str(val) -> str:
+        if isinstance(val, bool):
+            return "true" if val else "false"
+        return repr(val) if isinstance(val, float) else str(val)
+
+    def rdf_list(self, members) -> Tuple[str, str, str, str]:
+        if not members:
+            return RDF_NIL, URI, "", ""
+        cells = [self._fresh() for _ in members]
+        for i, m in enumerate(members):
+            obj, kind, lang, dtype = self.term(m)
+            self.triples.append(
+                Triple(cells[i], RDF_FIRST, obj, kind, lang, dtype))
+            if i + 1 < len(cells):
+                self.triples.append(
+                    Triple(cells[i], RDF_REST, cells[i + 1], BNODE, "", ""))
+            else:
+                self.triples.append(
+                    Triple(cells[i], RDF_REST, RDF_NIL, URI, "", ""))
+        return cells[0], BNODE, "", ""
+
+    def value(self, subj: str, pred: str, v) -> None:
+        obj, kind, lang, dtype = self.term(v)
+        self.triples.append(Triple(subj, pred, obj, kind, lang, dtype))
 
 
 def parse_jsonld(data: str) -> List[Triple]:
     doc = json.loads(data)
-    ctx = extract_context_prefixes(doc if isinstance(doc, str)
-                                   else json.dumps({"@context":
-                                                    doc.get("@context", {})}))
-    nodes = doc.get("@graph")
-    if nodes is None:
-        nodes = [doc] if "@id" in doc else []
-    out: List[Triple] = []
+    if isinstance(doc, list):
+        nodes, ctx = doc, {}
+    else:
+        ctx = doc.get("@context", {})
+        nodes = doc.get("@graph")
+        if nodes is None:
+            nodes = [doc] if any(not k.startswith("@") or k in
+                                 ("@id", "@type") for k in doc) else []
+    p = _JsonLdParser(_term_map(ctx))
     for node in nodes:
-        out.extend(_node_triples(node, ctx))
-    return out
+        if isinstance(node, dict):
+            p.node(node)
+    return p.triples
 
 
 def serialize_jsonld(rows, context: Dict[str, str] | None = None) -> str:

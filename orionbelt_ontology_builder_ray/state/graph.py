@@ -1215,7 +1215,7 @@ class TripleStore:
                 "added_triples": sorted(_display(t) for t in added_by.get(subj, [])),
                 "removed_triples": sorted(_display(t) for t in removed_by.get(subj, [])),
             })
-        return {
+        diff = {
             "added_triples": sorted(_display(t) for t in named_added),
             "removed_triples": sorted(_display(t) for t in named_removed),
             "modified_resources": modified_resources,
@@ -1227,6 +1227,155 @@ class TripleStore:
                 "resources_modified": counts["modified"],
                 "unchanged": len(self.rows & other.rows),
             },
+        }
+        diff["summary"] = self._summarize_changes(diff)
+        return diff
+
+    _TYPE_LABELS = {
+        "Class": "class", "ObjectProperty": "object property",
+        "DatatypeProperty": "data property",
+        "NamedIndividual": "individual", "Ontology": "ontology",
+        "AnnotationProperty": "annotation property",
+    }
+
+    def _summarize_changes(self, diff: Dict[str, Any]) -> List[str]:
+        """Plain-language change descriptions (om:2520-2582).  Resource
+        triples here are ``_display`` tuples (subject, predicate,
+        object) with URI terms shortened to local names."""
+        summaries: List[str] = []
+        for res in diff["modified_resources"]:
+            name, change = res["name"], res["change_type"]
+            all_triples = res["added_triples"] + res["removed_triples"]
+            res_type = next(
+                (t[2] for t in all_triples
+                 if t[1] == "type" and t[2] in (
+                     "Class", "ObjectProperty", "DatatypeProperty",
+                     "NamedIndividual", "Ontology", "AnnotationProperty",
+                     "Restriction")), "")
+            type_label = self._TYPE_LABELS.get(res_type, "resource")
+            if change == "added":
+                label = next((f' "{t[2]}"' for t in res["added_triples"]
+                              if t[1] == "label"), "")
+                summaries.append(f"Added {type_label} {name}{label}")
+            elif change == "removed":
+                summaries.append(f"Removed {type_label} {name}")
+            else:
+                details = [f"added {t[1]} = {t[2]}"
+                           for t in res["added_triples"] if t[1] != "type"]
+                details += [f"removed {t[1]} = {t[2]}"
+                            for t in res["removed_triples"] if t[1] != "type"]
+                detail_str = "; ".join(details[:3])
+                if len(details) > 3:
+                    detail_str += f" (+{len(details) - 3} more)"
+                summaries.append(f"Modified {type_label} {name}: {detail_str}")
+        stats = diff["stats"]
+        if stats["bnode_added"] + stats["bnode_removed"] > 0:
+            summaries.append(
+                f"{stats['bnode_added']} anonymous node triples added, "
+                f"{stats['bnode_removed']} removed "
+                f"(restrictions/expressions)")
+        return summaries
+
+    def format_diff_report(self, diff: Dict[str, Any],
+                           report_format: str = "markdown") -> str:
+        """Human-readable change report (om:2584-2630)."""
+        stats = diff["stats"]
+        lines: List[str] = []
+        if report_format == "markdown":
+            lines.append("# Ontology Change Report\n")
+            lines.append("## Summary\n")
+            lines.append(f"- **Added:** {stats['added']} triples across "
+                         f"{stats['resources_added']} resources")
+            lines.append(f"- **Removed:** {stats['removed']} triples across "
+                         f"{stats['resources_removed']} resources")
+            lines.append(f"- **Modified:** {stats['resources_modified']} "
+                         "resources")
+            lines.append(f"- **Unchanged:** {stats['unchanged']} triples")
+            if stats["bnode_added"] or stats["bnode_removed"]:
+                lines.append(f"- **Anonymous nodes:** "
+                             f"{stats['bnode_added']} added, "
+                             f"{stats['bnode_removed']} removed")
+            lines.append("")
+            for change_type, heading in [("added", "Added Resources"),
+                                         ("removed", "Removed Resources"),
+                                         ("modified", "Modified Resources")]:
+                resources = [r for r in diff["modified_resources"]
+                             if r["change_type"] == change_type]
+                if resources:
+                    lines.append(f"## {heading}\n")
+                    for res in resources:
+                        lines.append(f"### {res['name']}\n")
+                        for t in res["added_triples"]:
+                            lines.append(f"- + {t[1]}: {t[2]}")
+                        for t in res["removed_triples"]:
+                            lines.append(f"- - {t[1]}: {t[2]}")
+                        lines.append("")
+        else:
+            lines.append("Ontology Change Report")
+            lines.append("=" * 40)
+            lines.append(f"Added: {stats['added']} triples, "
+                         f"Removed: {stats['removed']} triples, "
+                         f"Modified: {stats['resources_modified']} resources")
+            lines.append("")
+            for line in diff["summary"]:
+                lines.append(f"  {line}")
+        return "\n".join(lines)
+
+    def compare_to_string(self, data: str,
+                          format: str = "turtle") -> Dict[str, Any]:
+        """Parse data into a temporary store and compare (om:2489-2493)."""
+        from ..sources.rdf_io import load_store
+
+        return self.compare(load_store(data, format))
+
+    def _detect_prefix_conflicts(self, other: "TripleStore") -> List[Dict[str, str]]:
+        """Same prefix bound to different namespaces (om:2181-2194)."""
+        current = {**self.prefixes, **self.loaded_prefixes}
+        incoming = {**other.prefixes, **other.loaded_prefixes}
+        out = []
+        for prefix, ns in sorted(incoming.items()):
+            if prefix in current and current[prefix] != ns:
+                out.append({"prefix": prefix,
+                            "current_namespace": current[prefix],
+                            "incoming_namespace": ns})
+        return out
+
+    def preview_import(self, data: str,
+                       format: str = "turtle") -> Dict[str, Any]:
+        """Parse import data and report what WOULD change, without
+        modifying the store (om:2026-2066): diff + incoming stats/meta
+        + value conflicts + prefix conflicts."""
+        from ..functions.terms import (
+            OWL_CLASS, OWL_DATATYPE_PROPERTY, OWL_NAMED_INDIVIDUAL,
+            OWL_OBJECT_PROPERTY, OWL_ONTOLOGY,
+        )
+        from ..sources.rdf_io import load_store
+
+        temp = load_store(data, format)
+        incoming_stats = {
+            "classes": len(set(temp.subjects(RDF_TYPE, OWL_CLASS))),
+            "object_properties": len(set(temp.subjects(
+                RDF_TYPE, OWL_OBJECT_PROPERTY))),
+            "data_properties": len(set(temp.subjects(
+                RDF_TYPE, OWL_DATATYPE_PROPERTY))),
+            "individuals": len(set(temp.subjects(
+                RDF_TYPE, OWL_NAMED_INDIVIDUAL))),
+            "total_triples": len(temp.rows),
+        }
+        incoming_meta: Dict[str, str] = {}
+        for ont_uri in sorted(set(temp.subjects(RDF_TYPE, OWL_ONTOLOGY))):
+            label = next((t.object for t in temp.match(ont_uri, RDFS_LABEL,
+                                                       None)), None)
+            if label:
+                incoming_meta["label"] = label
+            incoming_meta["uri"] = ont_uri
+            break
+        return {
+            "diff": self.compare(temp),
+            "incoming_stats": incoming_stats,
+            "incoming_meta": incoming_meta,
+            "conflicts": self.detect_conflicts(temp),
+            "prefix_conflicts": self._detect_prefix_conflicts(temp),
         }
 
     # ------------------------------------------------------------------

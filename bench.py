@@ -136,8 +136,9 @@ def run_bench() -> dict:
     from orionbelt_ontology_builder_ray.stages.dedup import minhash_candidate_pairs
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                           columns=["doc_id", "text"])
+    from orionbelt_ontology_builder_ray.pipelines.queries import _read
+
+    docs = _read(SF_DIR, "documents", columns=["doc_id", "text"])
     minhash_candidate_pairs(docs).count()
     queries["doc_minhash_pairs"] = round(time.time() - t0, 3)
 

@@ -49,19 +49,23 @@ def _strip_hash(ds):
         batch_format="pyarrow")
 
 
-def _input_signature(path: Optional[str]) -> str:
+def _input_signature(path) -> str:
     """Content signature of the input files (name/size/mtime), so an
     in-place edit of the input invalidates checkpoints — a path-only
-    fingerprint would serve stale stages."""
+    fingerprint would serve stale stages.  Accepts a path or a list of
+    paths (read_parquet takes either)."""
     import glob
 
     if not path:
         return "none"
-    if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "**", "*"),
-                                 recursive=True))
-    else:
-        files = [path]
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(glob.glob(os.path.join(p, "**", "*"),
+                                          recursive=True)))
+        else:
+            files.append(p)
     sig = []
     for f in files:
         if os.path.isfile(f):

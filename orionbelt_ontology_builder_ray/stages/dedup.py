@@ -240,16 +240,22 @@ def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
+def _shingles(text: str, k: int) -> list:
     toks = text.split()
     if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "big") for g in set(grams)),
-        dtype=np.uint64, count=len(set(grams)))
+        return [" ".join(toks)] if toks else [""]
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _hash_strings(strings) -> np.ndarray:
+    """Vectorized deterministic 64-bit string hashing (one C pass —
+    ~30x a per-gram hashlib loop)."""
+    return pd.util.hash_pandas_object(
+        pd.Series(strings, dtype=object), index=False).to_numpy()
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    return _hash_strings(sorted(set(_shingles(text, k))))
 
 
 class MinHasher:
@@ -280,17 +286,29 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, bhashes = [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.signature(str(text))
-            for band in range(self.num_bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                ids.append(doc_id)
-                bands.append(band)
-                bhashes.append(int.from_bytes(bh, "big") >> 1)
-        return pd.DataFrame({self.id_col: ids, "band_id": bands,
-                             "band_hash": np.array(bhashes, dtype=np.int64)})
+        # per-doc affine/min (a doc's (num_perm, n_shingles) block stays
+        # cache-sized — ONE flat matrix over all docs' shingles costs
+        # GBs at 1000-token docs); string hashing inside signature() and
+        # the band hashing below are single vectorized passes (the old
+        # per-gram/per-band hashlib calls dominated this stage)
+        n_docs = len(batch)
+        if n_docs == 0:
+            return pd.DataFrame({
+                self.id_col: pd.Series([], dtype=np.int64),
+                "band_id": pd.Series([], dtype=np.int64),
+                "band_hash": pd.Series([], dtype=np.int64)})
+        sigs = np.stack([self.signature(str(t))
+                         for t in batch[self.text_col]])
+        band_mat = sigs.reshape(n_docs * self.num_bands, self.rows_per_band)
+        bh = pd.util.hash_pandas_object(
+            pd.DataFrame(band_mat), index=False).to_numpy() >> np.uint64(1)
+        return pd.DataFrame({
+            self.id_col: np.repeat(batch[self.id_col].to_numpy(),
+                                   self.num_bands),
+            "band_id": np.tile(np.arange(self.num_bands, dtype=np.int64),
+                               n_docs),
+            "band_hash": bh.astype(np.int64),
+        })
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:
@@ -301,29 +319,45 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def minhash_candidate_pairs(ds, num_perm=64, num_bands=16, shingle_k=3,
-                            id_col="doc_id", text_col="text"):
-    """documents -> candidate near-dup id pairs (a < b), deduped."""
+                            id_col="doc_id", text_col="text",
+                            num_buckets=32):
+    """documents -> candidate near-dup id pairs (a < b), deduped.
+
+    The band buckets are near-unique keys, so the shuffle groups on
+    ``band_hash % num_buckets`` (B coarse groups) and resolves the
+    real (band_id, band_hash) buckets with a C-fast pandas groupby
+    inside each — a direct Ray groupby on the fine key is pathological
+    at ~1-2 ms per (mostly singleton) group."""
     bands = ds.map_batches(
         MinHasher, fn_constructor_kwargs=dict(
             num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
             id_col=id_col, text_col=text_col),
         batch_format="pandas", concurrency=pool_size())
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["band_hash"] % num_buckets).astype(np.int32)
+        return df
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = g[id_col].unique()
+            if len(ids) >= 2:
+                ids = np.sort(ids)
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b)}).drop_duplicates()
 
-    def local_dedup(t: pa.Table) -> pa.Table:
-        return t.group_by(["id_a", "id_b"]).aggregate([])
-
-    return cand.map_batches(local_dedup, batch_format="pyarrow") \
-        .groupby("id_a").map_groups(local_dedup, batch_format="pyarrow")
+    cand = bands.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(pairs_in_bucket, batch_format="pandas")
+    return _pair_bucket_dedup(cand)
 
 
 def _pair_bucket_dedup(ds, cols=("id_a", "id_b"), num_buckets=32):

@@ -113,10 +113,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_viz_nodes": o.sql_kg_viz_nodes(),
         "kg_annotations": o.sql_kg_annotations(),
         "kg_annotation_predicates": o.sql_kg_annotation_predicates(),
-        # rows-only (non-SQL-expressible): kg_triples_canonicalized +
-        # kg_canonicalization_demo (union-find), doc_minhash_clusters
-        # (LSH + iterative components), embedding_near_dups (float
-        # cosine accumulation order differs between numpy and SQL)
+        "kg_triples_canonicalized": o.sql_kg_triples_canonicalized(),
+        "kg_canonicalization_demo": o.sql_kg_canonicalization_demo(),
+        # rows-only (non-SQL-expressible): doc_minhash_clusters
+        # (LSH banding + iterative components), embedding_near_dups
+        # (float cosine accumulation order differs between numpy and
+        # SQL)
     }
     from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_ORACLES
 

@@ -128,6 +128,55 @@ def sql_kg_triples() -> str:
             "ORDER BY subject, predicate, object, object_kind, lang, datatype")
 
 
+def sql_kg_triples_canonicalized() -> str:
+    """Mirror of the flagship with canonicalization active: entities
+    sharing a normalized prefLabel merge onto the min URI and every
+    subject/object reference is rewritten, then exact dedup + sort.
+
+    The SQL computes the canonical map as min(entity) per normalized
+    label group — exactly the union-find result whenever no entity
+    carries two differently-normalized prefLabels (true by construction
+    here: the linker mints one URI per normalized surface form, so the
+    closure has no transitive bridges; kg_canonicalization_demo pins
+    the non-identity mapping behavior on injected variants)."""
+    pl = _sql_str(PREF_LABEL)
+    return (kg_triples_cte() + f""",
+labels AS (
+  SELECT DISTINCT subject AS entity,
+         trim(regexp_replace(lower(object), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM triples WHERE predicate = {pl}),
+canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY norm) AS canonical
+  FROM labels),
+rewritten AS (
+  SELECT coalesce(cs.canonical, t.subject) AS subject, t.predicate,
+         CASE WHEN t.object_kind = 'uri'
+              THEN coalesce(co.canonical, t.object) ELSE t.object
+         END AS object,
+         t.object_kind, t.lang, t.datatype
+  FROM triples t
+  LEFT JOIN canon cs ON cs.entity = t.subject
+  LEFT JOIN canon co ON co.entity = t.object AND t.object_kind = 'uri')
+SELECT DISTINCT subject, predicate, object, object_kind, lang, datatype
+FROM rewritten
+ORDER BY subject, predicate, object, object_kind, lang, datatype""")
+
+
+def sql_kg_canonicalization_demo() -> str:
+    """Mirror of kg_canonicalization_demo: each injected
+    '<place>-variant' URI (case/punctuation label variant) must map
+    back onto its original — the union-find min-URI closure reduces to
+    exactly that pair set because variants share their original's
+    normalized label and originals are already canonical."""
+    pl = _sql_str(PREF_LABEL)
+    like = _sql_str(KG + "place-%")
+    return (kg_triples_cte() + f"""
+SELECT subject || '-variant' AS entity, subject AS canonical
+FROM (SELECT DISTINCT subject FROM triples
+      WHERE predicate = {pl} AND subject LIKE {like})
+ORDER BY entity""")
+
+
 def sql_kg_statistics() -> str:
     """Type counts over rdf:type rows (get_statistics analog,
     om:2868-2901 / groupby(object).count())."""

@@ -22,7 +22,8 @@ from ..functions.terms import (
     OWL_CLASS, OWL_DATATYPE_PROPERTY, OWL_DISJOINT_WITH, OWL_EQUIVALENT_CLASS,
     OWL_EQUIVALENT_PROPERTY, OWL_FUNCTIONAL, OWL_IMPORTS, OWL_INVERSE_OF,
     OWL_NAMED_INDIVIDUAL, OWL_OBJECT_PROPERTY, OWL_ONTOLOGY, OWL_RESTRICTION,
-    OWL_ON_CLASS, OWL_ON_PROPERTY, OWL_VERSION_IRI, RANGE_INCLUDES, RDF_FIRST,
+    OWL_ON_CLASS, OWL_ON_PROPERTY, OWL_SAME_AS, OWL_VERSION_IRI,
+    RANGE_INCLUDES, RDF_FIRST,
     RDF_NIL, RDF_REST, RDF_TYPE, RDFS_COMMENT, RDFS_DOMAIN, RDFS_LABEL,
     RDFS_RANGE, RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RESTRICTION_TYPES,
     SKOS_ALT_LABEL, SKOS_BROADER, SKOS_CONCEPT, SKOS_CONCEPT_SCHEME,
@@ -1577,8 +1578,12 @@ class TripleStore:
 
     def apply_reasoning(self, profile: str = "rdfs") -> int:
         """Monotone fixpoint over the core RDFS rules (rdfs2/3/5/7/9/11).
-        ``owl`` profile additionally handles inverseOf, symmetric and
-        transitive object properties and owl:sameAs label propagation."""
+        ``owl-rl`` / ``owl-rl-ext`` (any ``owl*`` profile name, matching
+        the reference's three-profile surface, om:2853-2864) additionally
+        run the OWL-RL instance rules: inverseOf, symmetric and
+        transitive object properties, property-chain closure
+        (prp-spo2), and owl:sameAs symmetric/transitive closure with
+        statement replication across the equivalence class (prp-eq)."""
         before = len(self.rows)
         changed = True
         while changed:
@@ -1647,6 +1652,65 @@ class TripleStore:
                     for a, b in pairs:
                         for c in nexts.get(b, ()):
                             new_rows.add(uri_triple(a, p, c))
+                # prp-spo2: property-chain instance closure
+                # (owl:propertyChainAxiom q1 ∘ … ∘ qn ⊑ p)
+                from ..functions.terms import OWL_PROPERTY_CHAIN_AXIOM
+
+                for t in self.match(None, OWL_PROPERTY_CHAIN_AXIOM, None):
+                    chain = self._list_members(t.object)
+                    if not chain:
+                        continue
+                    by_pred = defaultdict(lambda: defaultdict(set))
+                    for q in set(chain):
+                        for e in self.match(None, q, None):
+                            if e.object_kind == URI:
+                                by_pred[q][e.subject].add(e.object)
+                    paths = {(s, o) for s, os_ in by_pred[chain[0]].items()
+                             for o in os_}
+                    for q in chain[1:]:
+                        step = by_pred[q]
+                        paths = {(s, o2) for s, o in paths
+                                 for o2 in step.get(o, ())}
+                    for s, o in paths:
+                        new_rows.add(uri_triple(s, t.subject, o))
+                # prp-eq: owl:sameAs symmetric/transitive closure +
+                # statement replication across equivalence members
+                same_edges = [(t.subject, t.object)
+                              for t in self.match(None, OWL_SAME_AS, None)
+                              if t.object_kind == URI]
+                if same_edges:
+                    parent: Dict[str, str] = {}
+
+                    def find(x):
+                        while parent.setdefault(x, x) != x:
+                            parent[x] = parent[parent[x]]
+                            x = parent[x]
+                        return x
+
+                    for a, b in same_edges:
+                        ra, rb = find(a), find(b)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+                    members = defaultdict(set)
+                    for x in parent:
+                        members[find(x)].add(x)
+                    alias = {x: members[find(x)] for x in parent
+                             if len(members[find(x)]) > 1}
+                    for x, group in alias.items():
+                        for y in group:
+                            if y != x:
+                                new_rows.add(uri_triple(x, OWL_SAME_AS, y))
+                    for t in list(self.rows):
+                        if t.predicate == OWL_SAME_AS:
+                            continue
+                        subs = alias.get(t.subject, (t.subject,))
+                        objs = alias.get(t.object, (t.object,)) \
+                            if t.object_kind == URI else (t.object,)
+                        for s2 in subs:
+                            for o2 in objs:
+                                new_rows.add(Triple(s2, t.predicate, o2,
+                                                    t.object_kind, t.lang,
+                                                    t.datatype))
             fresh = new_rows - self.rows
             if fresh:
                 self.rows |= fresh

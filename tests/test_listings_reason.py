@@ -181,3 +181,41 @@ def test_transitive_closure_long_chain(ray_session):
     want = {(B + f"n{i}", B + f"n{j}")
             for i in range(7) for j in range(i + 1, 7)}
     assert pairs == want
+
+
+def test_owl_property_chain_instance_closure():
+    """prp-spo2: hasParent ∘ hasParent ⊑ hasGrandparent at the
+    instance level (owlrl OWL-RL rule surface, om:2853-2864)."""
+    s = TripleStore(B)
+    s.add_object_property("hasParent")
+    s.add_object_property("hasGrandparent")
+    s.add_property_chain("hasGrandparent", ["hasParent", "hasParent"])
+    s.add_individual_property("c", "hasParent", "p")
+    s.add_individual_property("p", "hasParent", "g")
+    s.apply_reasoning("owl-rl")
+    assert s.has(B + "c", B + "hasGrandparent", B + "g")
+    assert not s.has(B + "c", B + "hasGrandparent", B + "p")
+
+
+def test_owl_sameas_replication():
+    """prp-eq: sameAs closure is symmetric/transitive and statements
+    replicate across the equivalence class."""
+    from orionbelt_ontology_builder_ray.functions.terms import OWL_SAME_AS
+
+    s = TripleStore(B)
+    s.add_class("Person")
+    s.add_individual("a1", "Person", label="A")
+    s.add_individual("a2", "Person")
+    s.add_individual("a3", "Person")
+    s.add_individual_relation("a1", "sameAs", "a2")
+    s.add_individual_relation("a2", "sameAs", "a3")
+    s.add_individual_property("a1", "likes", "a3")
+    s.apply_reasoning("owl-rl")
+    # symmetric + transitive sameAs
+    assert s.has(B + "a3", OWL_SAME_AS, B + "a1")
+    # replication of an asserted edge across aliases
+    assert s.has(B + "a2", B + "likes", B + "a1")
+    assert s.has(B + "a3", B + "likes", B + "a2")
+    # literal annotations replicate too
+    assert any(t.subject == B + "a3" and t.object == "A"
+               for t in s.rows)

@@ -49,8 +49,21 @@ def _read(sf_dir, name, columns=None):
                            override_num_blocks=blocks)
 
 
+_TRIPLES_CACHE: dict = {}
+
+
 def _triples(sf_dir, final_sort=False):
-    return build_kg(sf_dir, final_sort=final_sort)
+    """Flagship triples for ``sf_dir``, materialized once per session —
+    ~20 downstream queries read this same dataset, and rebuilding the
+    whole extract→link→dedup pipeline per query dominated the
+    correctness harness wall time."""
+    if sf_dir not in _TRIPLES_CACHE:
+        _TRIPLES_CACHE[sf_dir] = build_kg(sf_dir,
+                                          final_sort=False).materialize()
+    ds = _TRIPLES_CACHE[sf_dir]
+    if final_sort:
+        return ds.sort(["subject", "predicate", "object"])
+    return ds
 
 
 # ---------------------------------------------------------------------------
@@ -289,18 +302,24 @@ def embedding_near_dups(sf_dir, threshold=0.9):
 
 
 def events_hourly(sf_dir):
-    from ray.data.aggregate import Count
+    """Hourly windowed counts with a per-batch partial aggregate
+    (combiner) before the shuffle — only (event_type, hour, n) partials
+    move, not the raw rows; at 100 TB that is the difference between
+    shuffling the event stream and shuffling a few thousand partials
+    per block."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts"])
 
-    def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["hour"] = batch["ts"].dt.floor("h")
-        return batch[["event_type", "hour"]]
+        return batch.groupby(["event_type", "hour"], sort=False) \
+            .size().reset_index(name="n")
 
-    return (ds.map_batches(add_hour, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pandas")
             .groupby(["event_type", "hour"])
-            .aggregate(Count(alias_name="n")))
+            .aggregate(Sum(on="n", alias_name="n")))
 
 
 def ann_topk_query(sf_dir, query_vec_id=0, k=10):

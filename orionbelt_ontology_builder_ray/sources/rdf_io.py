@@ -61,6 +61,15 @@ def serialize_string(rows, format: str = "turtle",
         f"{sorted(SUPPORTED)})")
 
 
+def load_file(path: str, format: Optional[str] = None,
+              base_uri: str = "http://example.org/ontology#"):
+    """load_from_file analog (ontology_manager.py:2000-2012): format
+    from the extension map when not given, then load_store."""
+    with open(path, encoding="utf-8") as f:
+        data = f.read()
+    return load_store(data, format or detect_format(path), base_uri)
+
+
 def load_store(data: str, format: str = "turtle",
                base_uri: str = "http://example.org/ontology#"):
     """Parse into a fresh TripleStore, adopting @prefix bindings and

@@ -482,6 +482,9 @@ def verified_near_dup_edges(ds, threshold=0.7, num_perm=64, num_bands=16,
         PairedDocSets, fn_constructor_kwargs=dict(
             shingle_k=shingle_k, id_col=id_col, text_col=text_col),
         batch_format="pandas", concurrency=pool_size())
+    # both join rounds read the (pair-id-filtered, small) set side —
+    # materialize so the corpus scan + shingling runs once, not twice
+    sets_ds = sets_ds.materialize()
 
     with_a = _attach_sets(pairs, sets_ds, "id_a", "_set_a", num_buckets)
     with_ab = _attach_sets(with_a, sets_ds, "id_b", "_set_b", num_buckets)

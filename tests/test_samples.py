@@ -140,3 +140,16 @@ def test_geography_thesaurus_roundtrip():
     assert store.search("africa") == []
     concepts = {c["name"] for c in store.get_concepts()}
     assert "Africa" in concepts
+
+
+@pytest.mark.parametrize("name", list(SAMPLE_FILES))
+def test_load_file_detects_format(name):
+    """load_from_file analog: format inferred from the extension."""
+    filename, _ = SAMPLE_FILES[name]
+    path = os.path.join(SAMPLES, filename)
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    from orionbelt_ontology_builder_ray.sources.rdf_io import load_file
+
+    store = load_file(path)
+    assert len(store.rows) > 100

@@ -212,6 +212,22 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert not ckpt.stage_complete(ck, "extract_link", "other-fingerprint")
 
 
+def test_checkpoint_invalidated_by_config_change(ray_session, tmp_path):
+    """ADVICE r1: re-running into the same ckpt_dir with a changed
+    stage-affecting flag must NOT serve the stale stage — the
+    fingerprint folds in the config, so emit_ts=False yields the
+    ts-free triple set, not the cached ts-bearing one."""
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    ck = str(tmp_path / "ckpt")
+    a = build_kg(SF, ckpt_dir=ck, final_sort=False).to_pandas()
+    b = build_kg(SF, ckpt_dir=ck, final_sort=False,
+                 emit_ts=False).to_pandas()
+    assert len(b) < len(a)
+    assert not any(b["predicate"].str.endswith("atTime"))
+    assert any(a["predicate"].str.endswith("atTime"))
+
+
 def test_ntriples_dataset_sink(ray_session, tmp_path):
     import ray.data as rd
 

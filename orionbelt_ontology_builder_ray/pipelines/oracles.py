@@ -292,6 +292,27 @@ def sql_events_hourly() -> str:
             "ORDER BY event_type, hour")
 
 
+def sql_kg_gazetteer_mentions() -> str:
+    """Mirror of queries.kg_gazetteer_mentions: join transcripts
+    against the nation/region alias vocabulary with a word-bounded
+    regex over the lowercased text, count distinct mentioning turns."""
+    kg = _sql_str(KG)
+    return f"""
+WITH {transcripts_cte()},
+aliases AS (
+  SELECT n_name AS name,
+         'place-' || replace(lower(n_name), ' ', '_') AS slug FROM nation
+  UNION ALL
+  SELECT r_name, 'region-' || replace(lower(r_name), ' ', '_') FROM region)
+SELECT {kg} || a.slug AS entity, a.name AS surface,
+       CAST(COUNT(DISTINCT t.conv_id || '-t' || t.turn_idx) AS BIGINT)
+         AS n_turns
+FROM transcripts t
+JOIN aliases a
+  ON regexp_matches(lower(t.text), '\\b' || lower(a.name) || '\\b')
+GROUP BY 1, 2 ORDER BY entity"""
+
+
 _EN_STOP = ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that")
 _DE_STOP = ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu")
 _FR_STOP = ("le", "la", "les", "et", "est", "un", "une", "dans", "pour")

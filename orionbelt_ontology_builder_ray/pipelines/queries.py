@@ -322,6 +322,32 @@ def events_hourly(sf_dir):
             .aggregate(Sum(on="n", alias_name="n")))
 
 
+def kg_gazetteer_mentions(sf_dir):
+    """Dictionary-NER mention scan over UNMARKED turn text: how many
+    distinct turns mention each known entity (word-bounded alias
+    regex, no ``[...]`` markup required).  Per-batch (turn, entity)
+    dedup bounds the shuffle; per-entity distinct-turn counts resolve
+    in the (vocabulary-sized) groupby."""
+    import ray
+
+    from ..stages.link import GazetteerMentionScanner, build_alias_dict
+
+    alias_ref = ray.put(build_alias_dict(sf_dir))
+    mentions = derive_transcripts(sf_dir).map_batches(
+        GazetteerMentionScanner,
+        fn_constructor_kwargs=dict(alias_ref=alias_ref),
+        batch_format="pandas", concurrency=pool_size())
+
+    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity": [g["entity"].iloc[0]],
+            "surface": [g["surface"].iloc[0]],
+            "n_turns": np.array([g["turn"].nunique()], dtype=np.int64)})
+
+    return mentions.groupby("entity").map_groups(per_entity,
+                                                 batch_format="pandas")
+
+
 def ann_topk_query(sf_dir, query_vec_id=0, k=10):
     import pyarrow.parquet as pq
 

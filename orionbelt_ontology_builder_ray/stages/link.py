@@ -165,3 +165,53 @@ class EntityLinker:
         out = pd.concat([passthrough] + [mention_triples] + entity_frames,
                         ignore_index=True)
         return out[TRIPLE_COLS]
+
+
+class GazetteerMentionScanner:
+    """NER-style dictionary mention detection over UNMARKED text
+    (actor-pool stage): one combined word-bounded regex over every
+    known alias, compiled once per actor from the broadcast alias
+    dict; matches need no ``[...]`` markup (STATUS round-1 gap:
+    non-bracketed mention patterns).
+
+    Emits (turn, entity, surface) rows, de-duplicated per batch; the
+    per-entity aggregation happens downstream.
+    """
+
+    def __init__(self, alias_ref, base: str = KG):
+        import re
+
+        try:
+            import ray
+
+            if isinstance(alias_ref, ray.ObjectRef):
+                alias_ref = ray.get(alias_ref)
+        except ImportError:
+            pass
+        self.alias: AliasDict = alias_ref
+        self.base = base
+        # longest-first so overlapping aliases prefer the longer match
+        keys = sorted(self.alias, key=len, reverse=True)
+        self.rx = re.compile(
+            r"\b(" + "|".join(re.escape(k) for k in keys) + r")\b") \
+            if keys else None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "turn": pd.Series([], dtype=str),
+            "entity": pd.Series([], dtype=str),
+            "surface": pd.Series([], dtype=str)})
+        if self.rx is None or not len(batch):
+            return empty
+        turn = (self.base + batch["conv_id"] + "-t"
+                + batch["turn_idx"].astype(str))
+        spans = batch["text"].str.lower().str.extractall(self.rx)
+        if not len(spans):
+            return empty
+        row_pos = batch.index.get_indexer(spans.index.get_level_values(0))
+        surf = spans[0]
+        return pd.DataFrame({
+            "turn": turn.to_numpy(dtype=object)[row_pos],
+            "entity": [self.alias[s][0] for s in surf],
+            "surface": [self.alias[s][2] for s in surf],
+        }).drop_duplicates()

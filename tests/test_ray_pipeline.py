@@ -344,3 +344,32 @@ def test_resume_after_midpipeline_failure(ray_session, tmp_path):
     assert sorted(map(tuple, full.to_numpy())) == \
         sorted(map(tuple, resumed.to_numpy()))
     assert ckpt.read_manifest(ck, "dedup")["complete"]
+
+
+def test_gazetteer_scanner_unmarked_text(ray_session):
+    """Dictionary-NER mentions need no [...] markup; word bounds hold
+    and overlapping aliases prefer the longer match."""
+    import pandas as pd
+
+    from orionbelt_ontology_builder_ray.functions.kg import KG, KG_PLACE
+    from orionbelt_ontology_builder_ray.stages.link import (
+        GazetteerMentionScanner,
+    )
+
+    alias = {
+        "france": (KG + "place-france", KG_PLACE, "FRANCE"),
+        "new france": (KG + "place-new_france", KG_PLACE, "NEW FRANCE"),
+    }
+    scanner = GazetteerMentionScanner(alias)
+    batch = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": [0, 1, 0],
+        "text": ["we shipped to France today",        # unmarked
+                 "New France was mentioned",          # longer alias wins
+                 "francesca is not a country"],       # word bound holds
+    })
+    out = scanner(batch)
+    got = set(zip(out["turn"], out["entity"], out["surface"]))
+    assert (KG + "c1-t0", KG + "place-france", "FRANCE") in got
+    assert (KG + "c1-t1", KG + "place-new_france", "NEW FRANCE") in got
+    assert not any(t.endswith("c2-t0") for t, _, _ in got)

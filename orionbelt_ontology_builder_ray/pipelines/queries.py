@@ -338,14 +338,32 @@ def kg_gazetteer_mentions(sf_dir):
         fn_constructor_kwargs=dict(alias_ref=alias_ref),
         batch_format="pandas", concurrency=pool_size())
 
-    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "entity": [g["entity"].iloc[0]],
-            "surface": [g["surface"].iloc[0]],
-            "n_turns": np.array([g["turn"].nunique()], dtype=np.int64)})
+    # two-phase exact distinct-turn count, hot-entity safe: (1) global
+    # (turn, entity) dedup in hash buckets — a hot entity spreads over
+    # all B buckets instead of one giant group — emitting per-bucket
+    # partial counts; (2) vocabulary-sized sum of partials.
+    B = 32
 
-    return mentions.groupby("entity").map_groups(per_entity,
-                                                 batch_format="pandas")
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (pd.util.hash_pandas_object(
+            df["turn"] + "\x1f" + df["entity"], index=False)
+            % B).astype(np.int32)
+        return df
+
+    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["turn", "entity"])
+        out = d.groupby(["entity", "surface"], sort=False) \
+            .size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    partials = mentions.map_batches(bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(partial_counts, batch_format="pandas")
+    return partials.groupby(["entity", "surface"]) \
+        .aggregate(Sum(on="n", alias_name="n_turns"))
 
 
 def ann_topk_query(sf_dir, query_vec_id=0, k=10):

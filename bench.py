@@ -111,7 +111,7 @@ def run_bench() -> dict:
     t0 = time.time()
     build_kg(SF_DIR, transcripts_path=transcript_dirs, final_sort=False,
              partition_buckets=16, dedup_strategy="scoped",
-             read_blocks=max(32, fused_pool * 3),
+             read_blocks=max(64, fused_pool * 8),
              extract_concurrency=(fused_pool + 1) // 2,
              link_concurrency=fused_pool // 2,
              dedup_buckets=max(16, NUM_CPUS * 2),

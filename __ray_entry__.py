@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q.doc_fingerprints,
         "doc_simhash": q.doc_simhash,
         "doc_minhash_clusters": q.doc_minhash_clusters,
+        "doc_corpus_clean": q.doc_corpus_clean,
         "embedding_near_dups": q.embedding_near_dups,
         "events_hourly": q.events_hourly,
         "ann_topk": q.ann_topk_query,
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact": o.sql_doc_dedup_exact(),
         "doc_token_counts": o.sql_doc_token_counts(),
         "doc_ngram_stats": o.sql_doc_ngram_stats(),
+        "doc_corpus_clean": o.sql_doc_corpus_clean(),
         "events_hourly": o.sql_events_hourly(),
         "ann_topk": o.sql_ann_topk(),
         "ann_ivf": o.sql_ann_topk(query_vec_id=7, k=10),

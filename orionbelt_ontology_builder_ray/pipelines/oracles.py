@@ -375,6 +375,41 @@ SELECT doc_id,
 FROM s ORDER BY doc_id"""
 
 
+def sql_doc_corpus_clean(min_tokens: int = 20,
+                         min_distinct_ratio: float = 0.2) -> str:
+    """Mirror of queries.doc_corpus_clean: quality + language filters,
+    then exact text dedup keeping the min doc_id."""
+    score_cols = ",\n    ".join(
+        f"len(list_filter(dtoks, t -> list_contains({_stop_list(lst)}, t)))"
+        f" AS s_{lang}"
+        for lang, lst in (("de", _DE_STOP), ("en", _EN_STOP),
+                          ("es", _ES_STOP), ("fr", _FR_STOP)))
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+      AS n_tokens,
+    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS dtoks
+  FROM documents),
+s AS (
+  SELECT doc_id, text, n_tokens,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE CAST(len(dtoks) AS DOUBLE) / n_tokens END AS distinct_ratio,
+    {score_cols}
+  FROM scored),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM s
+  WHERE n_tokens >= {min_tokens}
+    AND distinct_ratio >= {min_distinct_ratio}
+    AND greatest(s_de, s_en, s_es, s_fr) > 0
+    AND s_en = greatest(s_de, s_en, s_es, s_fr)
+    AND s_de < greatest(s_de, s_en, s_es, s_fr))
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(min(n_tokens) AS BIGINT) AS n_tokens
+FROM kept GROUP BY text ORDER BY doc_id"""
+
+
 _MD5_LOW64 = "CAST(('0x' || substr(md5({expr}), 1, 16)) AS UBIGINT)"
 
 

@@ -283,6 +283,18 @@ def doc_simhash(sf_dir):
     return simhash_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def doc_corpus_clean(sf_dir):
+    """Composite training-data ingest: fused quality+language filter
+    (pre-shuffle, only survivors move) -> exact text dedup keeping min
+    doc_id -> (doc_id, n_tokens).  The canonical 100-TB corpus-cleaning
+    flow as one streaming Dataset pipeline (oracle:
+    sql_doc_corpus_clean)."""
+    from ..stages.textops import clean_corpus
+
+    return clean_corpus(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
 def doc_minhash_clusters(sf_dir):
     from ..stages.dedup import minhash_dedup_clusters
 

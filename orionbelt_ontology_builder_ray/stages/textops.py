@@ -139,3 +139,66 @@ class Fingerprinter:
                 [self.fingerprint(str(t)) for t in batch[self.text_col]],
                 dtype=np.int64),
         })
+
+
+class CorpusCleaner:
+    """Fused corpus-cleaning stage: quality features + language ID +
+    keep-mask in ONE batch pass (the canonical training-data pipeline
+    head: filter before any shuffle so only survivors move).
+
+    Emits (doc_id, text, n_tokens) for docs passing:
+      n_tokens >= min_tokens, pred_lang in keep_langs,
+      distinct_token_ratio >= min_distinct_ratio.
+    Downstream: exact dedup (bucketed text-hash groupby) keeps the min
+    doc_id per surviving identical text.
+    """
+
+    def __init__(self, id_col="doc_id", text_col="text", min_tokens=20,
+                 keep_langs=("en",), min_distinct_ratio=0.2):
+        self.id_col, self.text_col = id_col, text_col
+        self.min_tokens = min_tokens
+        self.keep_langs = set(keep_langs)
+        self.min_distinct_ratio = min_distinct_ratio
+        self.langid = LangId(id_col, text_col)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_col].astype(str)
+        toks = text.str.lower().str.split()
+        n_tok = toks.str.len().fillna(0).astype(np.int64)
+        distinct_ratio = toks.map(
+            lambda ws: len(set(ws)) / max(1, len(ws)))
+        langs = pd.Series([self.langid.classify(t) for t in text],
+                          index=batch.index)
+        keep = ((n_tok >= self.min_tokens)
+                & langs.isin(self.keep_langs)
+                & (distinct_ratio >= self.min_distinct_ratio))
+        out = batch.loc[keep, [self.id_col, self.text_col]].copy()
+        out["n_tokens"] = n_tok[keep]
+        return out
+
+
+def clean_corpus(ds, id_col="doc_id", text_col="text", min_tokens=20,
+                 keep_langs=("en",), min_distinct_ratio=0.2,
+                 num_buckets=64):
+    """documents -> cleaned, deduplicated corpus (doc_id, n_tokens):
+    filter (fused single pass, pre-shuffle) -> exact text dedup keeping
+    min id -> stats columns.  The full composite a 100-TB training-data
+    ingest runs, expressed as one streaming Dataset flow."""
+    from ..functions.terms import pool_size
+    from .dedup import exact_dedup_docs
+
+    cleaned = ds.map_batches(
+        CorpusCleaner, fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, min_tokens=min_tokens,
+            keep_langs=keep_langs, min_distinct_ratio=min_distinct_ratio),
+        batch_format="pandas", concurrency=pool_size())
+    deduped = exact_dedup_docs(cleaned, id_col=id_col, text_col=text_col,
+                               num_buckets=num_buckets)
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col]].copy()
+        out["n_tokens"] = batch[text_col].astype(str).str.split() \
+            .str.len().fillna(0).astype(np.int64)
+        return out
+
+    return deduped.map_batches(stats, batch_format="pandas")

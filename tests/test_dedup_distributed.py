@@ -121,3 +121,27 @@ def test_embedding_near_dup_cap_selects_bucketed(ray_session):
     assert (out["id_a"] < out["id_b"]).all()
     assert (out["cosine"] >= 0.999).all()
     assert not out.duplicated(["id_a", "id_b"]).any()
+
+
+def test_corpus_clean_composite(ray_session):
+    """Quality+lang filter then dedup: short docs, non-English docs,
+    repetitive docs, and exact duplicates all drop; min id survives."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.textops import clean_corpus
+
+    base = ("the quick brown fox jumps over a lazy dog and then it ran "
+            "to the hills you see that is life")  # 21 tokens, english
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            base,                      # keeps
+            base,                      # exact duplicate -> dropped
+            "too short",               # < min_tokens
+            "der die das und ist nicht ein mit zu der die das und ist "
+            "nicht ein mit zu der die das",   # german
+            ("spam " * 25).strip(),    # distinct ratio 1/25 < 0.2
+        ],
+    })
+    out = clean_corpus(rd.from_pandas(df).repartition(2)).to_pandas()
+    assert set(map(tuple, out.to_numpy())) == {(1, 21)}

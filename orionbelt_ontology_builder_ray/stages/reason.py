@@ -61,8 +61,12 @@ def collect_schema(ds) -> dict:
                   & ~batch["object"].str.startswith("_:")]
         return m[["subject", "predicate", "object"]].drop_duplicates()
 
-    schema = ds.map_batches(slice_, batch_format="pandas").to_pandas() \
-        .drop_duplicates()
+    schema = ds.map_batches(slice_, batch_format="pandas").to_pandas()
+    if schema.empty or "predicate" not in schema.columns:
+        # an all-empty-blocks dataset can lose its schema entirely
+        schema = pd.DataFrame({"subject": [], "predicate": [],
+                               "object": []})
+    schema = schema.drop_duplicates()
     by_pred = {p: list(zip(g["subject"], g["object"]))
                for p, g in schema.groupby("predicate")}
     return {
@@ -160,27 +164,49 @@ class RdfsInferencer:
 def collect_owl_schema(ds) -> dict:
     """Gather the (small) OWL property-characteristics slice:
     inverse-of pairs (both directions), symmetric and transitive
-    property sets — schema-plane even at 10^12 assertions."""
+    property sets, and property-chain axioms (rdf-list walk over the
+    schema slice) — schema-plane even at 10^12 assertions."""
+    from ..functions.terms import (
+        OWL_PROPERTY_CHAIN_AXIOM, RDF_FIRST, RDF_REST, walk_rdf_list,
+    )
+
+    preds = [OWL_INVERSE_OF, OWL_PROPERTY_CHAIN_AXIOM, RDF_FIRST, RDF_REST]
 
     def slice_(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[
-            (batch["predicate"] == OWL_INVERSE_OF)
+            batch["predicate"].isin(preds)
             | ((batch["predicate"] == RDF_TYPE)
                & batch["object"].isin([OWL_SYMMETRIC, OWL_TRANSITIVE]))]
         return m[["subject", "predicate", "object"]].drop_duplicates()
 
-    schema = ds.map_batches(slice_, batch_format="pandas").to_pandas() \
-        .drop_duplicates()
+    schema = ds.map_batches(slice_, batch_format="pandas").to_pandas()
+    if schema.empty or "predicate" not in schema.columns:
+        schema = pd.DataFrame({"subject": [], "predicate": [],
+                               "object": []})
+    schema = schema.drop_duplicates()
     inv = schema[schema["predicate"] == OWL_INVERSE_OF]
     inverses = {}
     for a, b in zip(inv["subject"], inv["object"]):
         inverses[a] = b
         inverses[b] = a
     typ = schema[schema["predicate"] == RDF_TYPE]
+    first_map = dict(zip(
+        schema[schema["predicate"] == RDF_FIRST]["subject"],
+        schema[schema["predicate"] == RDF_FIRST]["object"]))
+    rest_map = dict(zip(
+        schema[schema["predicate"] == RDF_REST]["subject"],
+        schema[schema["predicate"] == RDF_REST]["object"]))
+    chains = []
+    chain_rows = schema[schema["predicate"] == OWL_PROPERTY_CHAIN_AXIOM]
+    for p, head in zip(chain_rows["subject"], chain_rows["object"]):
+        members = walk_rdf_list(head, first_map, rest_map)
+        if members:
+            chains.append((p, members))
     return {
         "inverses": inverses,
         "symmetric": set(typ[typ["object"] == OWL_SYMMETRIC]["subject"]),
         "transitive": set(typ[typ["object"] == OWL_TRANSITIVE]["subject"]),
+        "chains": sorted(chains),
     }
 
 
@@ -221,6 +247,72 @@ class OwlInferencer:
             if len(m):
                 frames.append(flipped(m, m["predicate"].to_numpy()))
         return pd.concat(frames, ignore_index=True)[TRIPLE_COLS]
+
+
+def _edge_slice(ds, pred: str):
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[(batch["predicate"] == pred)
+                  & (batch["object_kind"] == "uri")]
+        return m[["subject", "object"]].drop_duplicates()
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _compose_edges(left, right, num_buckets: int = 16):
+    """left ∘ right (left.object == right.subject) via a bucket-hash
+    join on the mid node."""
+
+    def tag_l(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": df["object"], "v": df["subject"], "_side": np.int8(0),
+            "_b": (pd.util.hash_pandas_object(df["object"], index=False)
+                   % num_buckets).astype(np.int32)})
+
+    def tag_r(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": df["subject"], "v": df["object"], "_side": np.int8(1),
+            "_b": (pd.util.hash_pandas_object(df["subject"], index=False)
+                   % num_buckets).astype(np.int32)})
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0]
+        r = df[df["_side"] == 1]
+        m = l.merge(r, on="k", suffixes=("_l", "_r"))
+        return pd.DataFrame({"subject": m["v_l"],
+                             "object": m["v_r"]}).drop_duplicates()
+
+    return left.map_batches(tag_l, batch_format="pandas").union(
+        right.map_batches(tag_r, batch_format="pandas")) \
+        .groupby("_b").map_groups(join, batch_format="pandas")
+
+
+def property_chain_edges(ds, chains, num_buckets: int = 16):
+    """prp-spo2 at the instance level, distributed: for each axiom
+    q1 ∘ … ∘ qn ⊑ p, compose the qi edge relations left-to-right with
+    bucket-hash joins and emit the derived p edges (full-schema rows).
+    ``chains`` comes from collect_owl_schema (schema-plane)."""
+    outs = []
+    for p, chain in chains:
+        cur = _edge_slice(ds, chain[0])
+        for q in chain[1:]:
+            cur = _compose_edges(cur, _edge_slice(ds, q), num_buckets)
+
+        def widen(df: pd.DataFrame, pred=p) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subject": df["subject"], "predicate": pred,
+                "object": df["object"], "object_kind": "uri",
+                "lang": "", "datatype": ""})[TRIPLE_COLS]
+
+        outs.append(cur.map_batches(widen, batch_format="pandas"))
+    if not outs:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {c: pd.Series([], dtype=object) for c in TRIPLE_COLS}))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
 
 
 def transitive_closure_edges(ds, transitive_preds, num_buckets: int = 16,
@@ -308,13 +400,21 @@ def transitive_closure_edges(ds, transitive_preds, num_buckets: int = 16,
 
 def apply_owl_closure(ds, max_rounds: int = 5):
     """Dataset -> Dataset with the OWL-RL(-lite) closure materialized:
-    the RDFS rules plus inverseOf / symmetric / transitive instance
-    rules, mirroring the driver's apply_reasoning("owl-rl") fixpoint.
+    the RDFS rules plus inverseOf / symmetric / transitive /
+    property-chain instance rules, mirroring the driver's
+    apply_reasoning("owl-rl") fixpoint.
 
     Outer rounds interleave the rule families so derivations that feed
     each other (e.g. an inverse edge of a transitive property) close;
     each round ends in an exact dedup, and iteration stops at fixpoint
     (row count stable) or after ``max_rounds``.
+
+    Deliberate scale boundary: owl:sameAs is NOT replicated here — at
+    assertion scale, replication multiplies the stream by alias-class
+    size; the canonicalization stage (stages/canonicalize.py) is the
+    scale-correct treatment (rewrite every reference onto the
+    canonical member).  The driver store implements full prp-eq
+    replication for workbench-sized graphs.
     """
     try:
         import ray
@@ -342,6 +442,9 @@ def apply_owl_closure(ds, max_rounds: int = 5):
         if owl["transitive"]:
             closed = transitive_closure_edges(out, owl["transitive"])
             out = dedup_triples(out.union(closed))
+        if owl["chains"]:
+            derived = property_chain_edges(out.materialize(), owl["chains"])
+            out = dedup_triples(out.union(derived))
         out = out.materialize()
         grown = out.count()
         if grown == total:

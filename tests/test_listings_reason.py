@@ -219,3 +219,28 @@ def test_owl_sameas_replication():
     # literal annotations replicate too
     assert any(t.subject == B + "a3" and t.object == "A"
                for t in s.rows)
+
+
+def test_owl_closure_ds_with_chains(ray_session):
+    """Distributed property-chain closure matches the driver fixpoint
+    on a chain-bearing fixture (hasParent ∘ hasParent ⊑ hasGrandparent
+    + an inverse that feeds it across rounds)."""
+    from orionbelt_ontology_builder_ray.stages.reason import apply_owl_closure
+
+    s = TripleStore(B)
+    s.add_object_property("hasParent")
+    s.add_object_property("hasChild", inverse_of="hasParent")
+    s.add_object_property("hasGrandparent")
+    s.add_property_chain("hasGrandparent", ["hasParent", "hasParent"])
+    s.add_individual_property("c", "hasParent", "p")
+    # the second hop arrives only via the inverse rule: g hasChild p
+    s.add_individual_property("g", "hasChild", "p")
+    ds = _ds(ray_session, s).repartition(3)
+    closed = apply_owl_closure(ds).to_pandas()
+    got = set(map(tuple, closed.to_numpy()))
+
+    s.apply_reasoning("owl-rl")
+    want = {tuple(t) for t in s.rows}
+    assert (B + "c", B + "hasGrandparent", B + "g",
+            "uri", "", "") in got
+    assert got == want

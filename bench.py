@@ -150,6 +150,14 @@ def run_bench() -> dict:
     q.events_hourly(SF_DIR).count()
     queries["events_hourly"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    q.doc_corpus_clean(SF_DIR).count()
+    queries["doc_corpus_clean"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    q.kg_gazetteer_mentions(SF_DIR).count()
+    queries["kg_gazetteer_mentions"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_build_e2e",

@@ -28,12 +28,22 @@ from ..functions.terms import (
 
 def extract_context_prefixes(data: str) -> Dict[str, str]:
     """Collect prefix -> http(s) namespace pairs from @context
-    (om:195-225: only http(s)-valued string entries count)."""
-    doc = json.loads(data)
-    ctx = doc.get("@context", {})
-    if not isinstance(ctx, dict):
+    (om:195-225: only http(s)-valued string entries count; list
+    contexts are merged left-to-right; invalid JSON yields {} rather
+    than raising — reference tests/test_jsonld.py:86-103)."""
+    try:
+        doc = json.loads(data)
+    except (ValueError, TypeError):
         return {}
-    return {k: v for k, v in ctx.items()
+    if not isinstance(doc, dict):
+        return {}
+    ctx = doc.get("@context", {})
+    merged: Dict[str, str] = {}
+    parts = ctx if isinstance(ctx, list) else [ctx]
+    for part in parts:
+        if isinstance(part, dict):
+            merged.update(part)
+    return {k: v for k, v in merged.items()
             if isinstance(v, str) and v.startswith(("http://", "https://"))}
 
 
@@ -52,16 +62,19 @@ def _expand(term: str, ctx: Dict[str, str]) -> str:
 
 def _term_map(ctx) -> Dict[str, str]:
     """Full term -> IRI expansion map, including ``{"@id": ...}`` term
-    definitions (extract_context_prefixes keeps the reference's
-    narrower http-string-only view for prefix adoption)."""
-    if not isinstance(ctx, dict):
-        return {}
+    definitions and list contexts merged left-to-right
+    (extract_context_prefixes keeps the reference's narrower
+    http-string-only view for prefix adoption)."""
+    parts = ctx if isinstance(ctx, list) else [ctx]
     out: Dict[str, str] = {}
-    for k, v in ctx.items():
-        if isinstance(v, str):
-            out[k] = v
-        elif isinstance(v, dict) and isinstance(v.get("@id"), str):
-            out[k] = v["@id"]
+    for part in parts:
+        if not isinstance(part, dict):
+            continue
+        for k, v in part.items():
+            if isinstance(v, str):
+                out[k] = v
+            elif isinstance(v, dict) and isinstance(v.get("@id"), str):
+                out[k] = v["@id"]
     return out
 
 

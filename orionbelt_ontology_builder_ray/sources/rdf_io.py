@@ -117,4 +117,8 @@ def load_store(data: str, format: str = "turtle",
     elif format == "xml":
         store.loaded_prefixes.update(
             {p: ns for p, ns in rdfxml.extract_prefixes(data).items() if p})
+    elif format == "json-ld":
+        store.loaded_prefixes.update(
+            {p: ns for p, ns in jsonld.extract_context_prefixes(data).items()
+             if p})
     return store

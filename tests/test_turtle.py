@@ -342,3 +342,29 @@ def test_upper_ontology_gist_loader():
                             modules=["gistMediaTypes"])
     with pytest.raises(ValueError):
         load_upper_ontology(TripleStore("http://x#"), "nope")
+
+
+@pytest.mark.parametrize("ttl,want_base", [
+    # reference tests/test_import_namespace.py: ontology declaration
+    # updates the namespace (hash style)
+    ("""@prefix : <http://imported.org/ont#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+<http://imported.org/ont> a owl:Ontology .
+:Dog a owl:Class ; rdfs:label "Dog" .
+""", "http://imported.org/ont#"),
+    # no owl:Ontology -> infer from the most-common typed namespace
+    ("""@prefix : <http://noont.org/schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+:Cat a owl:Class ; rdfs:label "Cat" .
+:hasColor a owl:DatatypeProperty .
+""", "http://noont.org/schema#"),
+    # slash-style namespaces keep the trailing slash
+    ("""@prefix : <http://example.com/vocab/> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+<http://example.com/vocab> a owl:Ontology .
+:Fruit a owl:Class .
+""", "http://example.com/vocab/"),
+])
+def test_import_namespace_inference(ttl, want_base):
+    store = load_store(ttl, "turtle")
+    assert store.base_uri == want_base

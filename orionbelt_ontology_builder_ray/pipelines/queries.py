@@ -49,6 +49,18 @@ def _read(sf_dir, name, columns=None):
                            override_num_blocks=blocks)
 
 
+_TRANSCRIPTS_CACHE: dict = {}
+
+
+def _transcripts(sf_dir):
+    """Derived transcripts table, materialized once per session (the
+    per-conversation derivation groupby otherwise reruns for every
+    consumer query)."""
+    if sf_dir not in _TRANSCRIPTS_CACHE:
+        _TRANSCRIPTS_CACHE[sf_dir] = derive_transcripts(sf_dir).materialize()
+    return _TRANSCRIPTS_CACHE[sf_dir]
+
+
 _TRIPLES_CACHE: dict = {}
 
 
@@ -72,7 +84,7 @@ def _triples(sf_dir, final_sort=False):
 
 
 def kg_transcripts(sf_dir):
-    return derive_transcripts(sf_dir)
+    return _transcripts(sf_dir)
 
 
 def kg_triples(sf_dir):
@@ -97,7 +109,7 @@ def kg_statistics(sf_dir):
 def kg_conversation_lengths(sf_dir):
     from ray.data.aggregate import Count, Max
 
-    ds = derive_transcripts(sf_dir)
+    ds = _transcripts(sf_dir)
     agg = ds.groupby("conv_id").aggregate(
         Count(alias_name="n_turns"),
         Max("turn_idx", alias_name="max_turn_idx"))
@@ -218,7 +230,7 @@ def kg_usages(sf_dir, entity_local="region-europe"):
 
 
 def kg_turn_text_by_role(sf_dir, role="tool"):
-    ds = derive_transcripts(sf_dir)
+    ds = _transcripts(sf_dir)
 
     def flt(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[batch["role"] == role]
@@ -345,7 +357,7 @@ def kg_gazetteer_mentions(sf_dir):
     from ..stages.link import GazetteerMentionScanner, build_alias_dict
 
     alias_ref = ray.put(build_alias_dict(sf_dir))
-    mentions = derive_transcripts(sf_dir).map_batches(
+    mentions = _transcripts(sf_dir).map_batches(
         GazetteerMentionScanner,
         fn_constructor_kwargs=dict(alias_ref=alias_ref),
         batch_format="pandas", concurrency=pool_size())

@@ -102,8 +102,8 @@ def build_kg(sf_dir: Optional[str] = None,
              canonicalize_labels: bool = False,
              dedup_buckets: int = 32,
              dedup_strategy: str = "auto",
-             extract_concurrency: int = 8,
-             link_concurrency: int = 8,
+             extract_concurrency: Optional[int] = None,
+             link_concurrency: Optional[int] = None,
              batch_size: int = 8192,
              fused: bool = True,
              read_blocks: Optional[int] = None,
@@ -119,6 +119,23 @@ def build_kg(sf_dir: Optional[str] = None,
     stage still runs for explicit sameAs pairs and is exercised with
     variants in tests and the bench.
     """
+    # Default actor-pool sizing follows the SESSION, never exceeds
+    # cpus-2: a fixed pool that reserves every CPU starves the
+    # ReadParquet/Write task operators and the pipeline hangs (measured
+    # on a 4-CPU session; the round-1 autoscaling cliff in new clothes).
+    if extract_concurrency is None or link_concurrency is None:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        pool = max(1, min(16, cpus - 2))
+        if extract_concurrency is None:
+            extract_concurrency = max(1, (pool + 1) // 2)
+        if link_concurrency is None:
+            link_concurrency = max(1, pool // 2)
+
     if transcripts_path:
         # read_blocks bounds the block count through the whole DAG:
         # every downstream stage inherits it, and the hive write emits
@@ -279,3 +296,82 @@ def build_kg(sf_dir: Optional[str] = None,
     if output_path:
         triples.write_parquet(output_path)
     return triples
+
+
+def update_kg(existing_path: str,
+              sf_dir: Optional[str] = None,
+              transcripts_path: Optional[str] = None,
+              output_path: Optional[str] = None,
+              num_buckets: int = 32,
+              **build_kwargs):
+    """Incremental ingest: extract/link NEW transcripts, anti-join
+    against the EXISTING triples store, and return (added_ds, stats).
+
+    Continuous-ingestion shape for the 100-TB target:
+
+    - the existing store's *payload never moves* — only its 128-bit
+      content-hash column (16 B/row, two independent 64-bit hashes so
+      a collision cannot silently drop a genuinely-new triple) crosses
+      the wire into hash buckets;
+    - new triples carry their payload into the same buckets (hash %
+      num_buckets) and survive iff their hash pair is absent there;
+    - ``output_path`` appends the additions as their own parquet
+      directory — the store stays an append-only family of runs, so a
+      failed ingest re-runs without touching prior data.
+
+    The reference has no incremental path at all (every import re-walks
+    the whole in-memory graph); this is engine-native functionality.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.graph_ops import _HASH_DTYPE, _row_hashes
+
+    new_triples = build_kg(sf_dir=sf_dir, transcripts_path=transcripts_path,
+                           final_sort=False, **build_kwargs)
+    existing = rd.read_parquet(existing_path)
+
+    def tag_existing(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = [c for c in TRIPLE_COLS if c in batch.columns]
+        h = _row_hashes(batch[cols].reindex(columns=TRIPLE_COLS,
+                                            fill_value=""))
+        return pd.DataFrame({
+            "_h1": h["h1"], "_h2": h["h2"], "_new": np.int8(0),
+            "_b": (h["h1"] % num_buckets).astype(np.int32)})
+
+    def tag_new(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[c for c in TRIPLE_COLS if c in batch.columns]].copy()
+        h = _row_hashes(batch)
+        batch["_h1"] = h["h1"]
+        batch["_h2"] = h["h2"]
+        batch["_new"] = np.int8(1)
+        batch["_b"] = (h["h1"] % num_buckets).astype(np.int32)
+        return batch
+
+    def anti_join(g: pd.DataFrame) -> pd.DataFrame:
+        old = g["_new"] == 0
+        seen = np.empty(int(old.sum()), dtype=_HASH_DTYPE)
+        seen["h1"] = g.loc[old, "_h1"].to_numpy()
+        seen["h2"] = g.loc[old, "_h2"].to_numpy()
+        seen = np.sort(seen)
+        new = g[~old]
+        q = np.empty(len(new), dtype=_HASH_DTYPE)
+        q["h1"] = new["_h1"].to_numpy()
+        q["h2"] = new["_h2"].to_numpy()
+        if len(seen):
+            idx = np.searchsorted(seen, q)
+            idx[idx >= len(seen)] = len(seen) - 1
+            fresh = ~(seen[idx] == q)
+        else:
+            fresh = np.ones(len(new), dtype=bool)
+        return new.loc[fresh, TRIPLE_COLS]
+
+    tagged_old = existing.map_batches(tag_existing, batch_format="pandas")
+    tagged_new = new_triples.map_batches(tag_new, batch_format="pandas")
+    added = tagged_new.union(tagged_old).groupby("_b").map_groups(
+        anti_join, batch_format="pandas")
+    if output_path:
+        added = added.materialize()
+        added.write_parquet(output_path)
+    return added

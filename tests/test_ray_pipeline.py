@@ -373,3 +373,40 @@ def test_gazetteer_scanner_unmarked_text(ray_session):
     assert (KG + "c1-t0", KG + "place-france", "FRANCE") in got
     assert (KG + "c1-t1", KG + "place-new_france", "NEW FRANCE") in got
     assert not any(t.endswith("c2-t0") for t, _, _ in got)
+
+
+def test_incremental_update_equals_full_build(ray_session, tmp_path):
+    """update_kg: build on half the conversations, ingest the other
+    half incrementally — existing ∪ added must equal the full build
+    (existing payload never reshuffled; anti-join on 128-bit hashes)."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import (
+        build_kg, update_kg,
+    )
+    from orionbelt_ontology_builder_ray.sources.transcripts import (
+        derive_transcripts,
+    )
+
+    all_t = derive_transcripts(SF).to_pandas()
+    convs = sorted(all_t["conv_id"].unique())
+    half = set(convs[: len(convs) // 2])
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    rd.from_pandas(all_t[all_t.conv_id.isin(half)]).write_parquet(a_dir)
+    rd.from_pandas(all_t[~all_t.conv_id.isin(half)]).write_parquet(b_dir)
+
+    store_dir = str(tmp_path / "store")
+    build_kg(SF, transcripts_path=a_dir, final_sort=False,
+             output_path=store_dir)
+    added_dir = str(tmp_path / "added")
+    added = update_kg(store_dir, sf_dir=SF, transcripts_path=b_dir,
+                      output_path=added_dir)
+    n_added = added.count()
+    assert n_added > 0
+
+    full = build_kg(SF, final_sort=False).to_pandas()
+    merged = pd.concat([rd.read_parquet(store_dir).to_pandas()[TRIPLE_COLS],
+                        rd.read_parquet(added_dir).to_pandas()[TRIPLE_COLS]])
+    assert not merged.duplicated().any()  # additions are genuinely new
+    assert (set(map(tuple, merged.to_numpy()))
+            == set(map(tuple, full.to_numpy())))

@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     ap.add_argument("--emit-ts", action="store_true", default=True)
     ap.add_argument("--canonicalize", action="store_true",
                     help="enable the label-merge canonicalization stage")
+    ap.add_argument("--update-from", default=None, metavar="EXISTING",
+                    help="incremental ingest: anti-join the new "
+                         "triples against this existing triples store "
+                         "and write ONLY the additions to --output")
     args = ap.parse_args(argv)
 
     import ray
@@ -58,25 +62,40 @@ def main(argv=None) -> int:
     from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
 
     t0 = time.time()
-    build_kg(
-        args.sf_dir,
-        transcripts_path=args.transcripts,
-        emit_ts=args.emit_ts,
-        canonicalize_labels=args.canonicalize,
-        dedup_strategy="scoped" if not args.canonicalize else "broadcast",
-        ckpt_dir=args.ckpt_dir,
-        final_sort=args.sort,
-        partition_buckets=(args.partition_buckets
-                           if not args.sort else None),
-        output_path=args.output,
-    )
+    if args.update_from:
+        from orionbelt_ontology_builder_ray.pipelines.kg_build import update_kg
+
+        update_kg(args.update_from,
+                  sf_dir=args.sf_dir,
+                  transcripts_path=args.transcripts,
+                  output_path=args.output,
+                  emit_ts=args.emit_ts,
+                  canonicalize_labels=args.canonicalize)
+    else:
+        build_kg(
+            args.sf_dir,
+            transcripts_path=args.transcripts,
+            emit_ts=args.emit_ts,
+            canonicalize_labels=args.canonicalize,
+            dedup_strategy="scoped" if not args.canonicalize else "broadcast",
+            ckpt_dir=args.ckpt_dir,
+            final_sort=args.sort,
+            partition_buckets=(args.partition_buckets
+                               if not args.sort else None),
+            output_path=args.output,
+        )
     wall = time.time() - t0
+
+    import os
 
     import pyarrow.dataset as pads
 
-    rows = pads.dataset(args.output,
-                        partitioning="hive" if args.partition_buckets
-                        else None).count_rows()
+    if not os.path.exists(args.output):
+        rows = 0  # an incremental run with zero additions writes nothing
+    else:
+        rows = pads.dataset(args.output,
+                            partitioning="hive" if args.partition_buckets
+                            and not args.update_from else None).count_rows()
     manifests = {}
     if args.ckpt_dir:
         for stage in ("extract_link", "canonical", "dedup"):

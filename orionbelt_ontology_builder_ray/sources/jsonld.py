@@ -78,15 +78,36 @@ def _term_map(ctx) -> Dict[str, str]:
     return out
 
 
+def _used_bnode_labels(obj, out=None) -> set:
+    """Explicit ``_:`` labels anywhere in the document — generated
+    anonymous ids must not collide with them (silent node merge)."""
+    if out is None:
+        out = set()
+    if isinstance(obj, dict):
+        v = obj.get("@id")
+        if isinstance(v, str) and v.startswith("_:"):
+            out.add(v)
+        for val in obj.values():
+            _used_bnode_labels(val, out)
+    elif isinstance(obj, list):
+        for val in obj:
+            _used_bnode_labels(val, out)
+    return out
+
+
 class _JsonLdParser:
-    def __init__(self, ctx: Dict[str, str]):
+    def __init__(self, ctx: Dict[str, str], used_labels=()):
         self.ctx = ctx
         self.triples: List[Triple] = []
         self._gen = 0
+        self._used_labels = set(used_labels)
 
     def _fresh(self) -> str:
-        self._gen += 1
-        return f"_:genid{self._gen}"
+        while True:
+            self._gen += 1
+            label = f"_:genid{self._gen}"
+            if label not in self._used_labels:
+                return label
 
     def node(self, obj: dict) -> Tuple[str, str]:
         """Emit a node object's triples (recursing into nested nodes);
@@ -120,11 +141,19 @@ class _JsonLdParser:
         """A value position -> (object, kind, lang, datatype)."""
         if isinstance(v, dict):
             if "@value" in v:
-                dtype = (_expand(v["@type"], self.ctx)
-                         if "@type" in v else "")
+                val = v["@value"]
+                if "@type" in v:
+                    dtype = _expand(v["@type"], self.ctx)
+                elif isinstance(val, bool):
+                    dtype = XSD + "boolean"  # natives type identically
+                elif isinstance(val, int):
+                    dtype = XSD + "integer"  # whether bare or in @value
+                elif isinstance(val, float):
+                    dtype = XSD + "double"
+                else:
+                    dtype = ""
                 if dtype == XSD_STRING:
                     dtype = ""
-                val = v["@value"]
                 val = self._native_str(val) if not isinstance(val, str) \
                     else val
                 return val, LITERAL, v.get("@language", ""), dtype
@@ -177,7 +206,7 @@ def parse_jsonld(data: str) -> List[Triple]:
         if nodes is None:
             nodes = [doc] if any(not k.startswith("@") or k in
                                  ("@id", "@type") for k in doc) else []
-    p = _JsonLdParser(_term_map(ctx))
+    p = _JsonLdParser(_term_map(ctx), _used_bnode_labels(doc))
     for node in nodes:
         if isinstance(node, dict):
             p.node(node)

@@ -75,14 +75,20 @@ def extract_prefixes(data: str) -> Dict[str, str]:
 
 
 class _XmlParser:
-    def __init__(self, base_uri: str):
+    def __init__(self, base_uri: str, used_labels=()):
         self.base = base_uri
         self.triples: List[Triple] = []
         self._gen = 0
+        # generated anonymous ids must not collide with explicit
+        # rdf:nodeID labels (silent node merge)
+        self._used_labels = set(used_labels)
 
     def _fresh(self) -> str:
-        self._gen += 1
-        return f"_:genid{self._gen}"
+        while True:
+            self._gen += 1
+            label = f"_:genid{self._gen}"
+            if label not in self._used_labels:
+                return label
 
     def _resolve(self, ref: str, base: str) -> str:
         if "://" in ref or ref.startswith("urn:"):
@@ -208,7 +214,9 @@ def parse_rdfxml(data: str, base_uri: str = "") -> List[Triple]:
     root = ET.fromstring(data)
     base = root.attrib.get(_XML_BASE, base_uri)
     lang = root.attrib.get(_XML_LANG, "")
-    p = _XmlParser(base)
+    used = {"_:" + el.attrib[_RDF_NODEID]
+            for el in root.iter() if _RDF_NODEID in el.attrib}
+    p = _XmlParser(base, used)
     if _tag_uri(root) == RDF + "RDF":
         for child in root:
             p.node_element(child, base, lang)

@@ -29,13 +29,16 @@ from ..functions.terms import (
 from .ntriples import escape_literal, unescape_literal
 
 _PREFIX_RE = re.compile(r'@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>\s*\.')
-_BASE_RE = re.compile(r'@base\s+<([^>]*)>\s*\.')
 # Turtle 1.1 also allows SPARQL-style directives (case-insensitive, no dot)
-_SPARQL_PREFIX_RE = re.compile(r'(?im)^[ \t]*PREFIX[ \t]+([A-Za-z0-9_-]*):[ \t]*<([^>]*)>[ \t]*$')
-_SPARQL_BASE_RE = re.compile(r'(?im)^[ \t]*BASE[ \t]+<([^>]*)>[ \t]*$')
+_SPARQL_PREFIX_RE = re.compile(
+    r'(?im)^[ \t]*PREFIX[ \t]+([A-Za-z0-9_-]*):[ \t]*<([^>]*)>')
 
 # NOTE: bnode MUST precede pname, else '_:label' lexes as pname with
-# prefix '_' and parsing fails on every blank-node label.
+# prefix '_' and parsing fails on every blank-node label; the @prefix/
+# @base directives MUST precede langtag, else '@prefix' lexes as a
+# language tag.  Directives are TOKENS handled by the parser (never
+# regex-stripped from raw text — stripping corrupted directive-shaped
+# lines inside triple-quoted literals).
 _TOKEN_RE = re.compile(r'''
     (?P<comment>\#[^\n]*)
   | (?P<iri><[^>]*>)
@@ -49,15 +52,28 @@ _TOKEN_RE = re.compile(r'''
   | (?P<number>[+-]?(?:[0-9]+\.[0-9]+(?:[eE][+-]?[0-9]+)?|\.[0-9]+(?:[eE][+-]?[0-9]+)?|[0-9]+(?:[eE][+-]?[0-9]+)?))
   | (?P<bool>\btrue\b|\bfalse\b)
   | (?P<a>\ba\b)
+  | (?P<directive>@prefix\b|@base\b)
+  | (?P<sparql_directive>(?i:PREFIX|BASE)(?=\s))
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<punct>[;,.\[\]()])
   | (?P<ws>\s+)
 ''', re.VERBOSE)
 
+# Turtle string escapes: ECHAR also covers \' (single-quoted literals)
+_TTL_UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\'": "'",
+                  "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+_TTL_UNESCAPE_RE = re.compile(r"\\[\\\"'nrt]")
+
+
+def _unescape_turtle(value: str) -> str:
+    return _TTL_UNESCAPE_RE.sub(lambda m: _TTL_UNESCAPES[m.group(0)], value)
+
 
 def extract_prefixes(text: str) -> Dict[str, str]:
     """@prefix / PREFIX declarations (reference
-    _extract_prefixes_from_ttl, om:178-193)."""
+    _extract_prefixes_from_ttl, om:178-193 — regex-based like the
+    reference, so a directive-shaped line inside a literal may be
+    over-collected here; the PARSER's bindings are token-accurate)."""
     out = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(text)}
     out.update({m.group(1): m.group(2)
                 for m in _SPARQL_PREFIX_RE.finditer(text)})
@@ -99,6 +115,9 @@ class _Parser:
         self.i = 0
         self.triples: List[Triple] = []
         self._gen = 0
+        # generated anonymous ids must never collide with the
+        # document's explicit labels (merging distinct nodes silently)
+        self._used_labels = {tok for kind, tok in toks if kind == "bnode"}
 
     # -- helpers ----------------------------------------------------------
     def _peek(self):
@@ -112,8 +131,11 @@ class _Parser:
         self.i += 1
 
     def _fresh_bnode(self) -> str:
-        self._gen += 1
-        return f"_:genid{self._gen}"
+        while True:
+            self._gen += 1
+            label = f"_:genid{self._gen}"
+            if label not in self._used_labels:
+                return label
 
     def _resolve_pname(self, tok: str) -> str:
         prefix, _, local = tok.partition(":")
@@ -134,8 +156,39 @@ class _Parser:
             self._statement()
         return self.triples
 
+    def _directive(self, sparql: bool) -> None:
+        """@prefix/@base (dot-terminated) or SPARQL PREFIX/BASE (bare);
+        bindings apply to subsequent statements."""
+        kw = self.toks[self.i][1].lower().lstrip("@")
+        self.i += 1
+        if kw == "prefix":
+            kind, tok = self._peek()
+            if kind != "pname" or not tok.endswith(":"):
+                raise ValueError(f"Bad prefix declaration near {tok!r}")
+            prefix = tok[:-1]
+            self.i += 1
+            kind, tok = self._peek()
+            if kind != "iri":
+                raise ValueError(f"Bad prefix IRI near {tok!r}")
+            self.prefixes[prefix] = self._resolve_iri(tok)
+            self.i += 1
+        else:  # base
+            kind, tok = self._peek()
+            if kind != "iri":
+                raise ValueError(f"Bad base IRI near {tok!r}")
+            self.base_uri = tok[1:-1]
+            self.i += 1
+        if not sparql:
+            self._expect_punct(".")
+
     def _statement(self) -> None:
         kind, tok = self._peek()
+        if kind == "directive":
+            self._directive(sparql=False)
+            return
+        if kind == "sparql_directive":
+            self._directive(sparql=True)
+            return
         if kind == "punct" and tok == "[":
             # blankNodePropertyList as subject; predicateObjectList optional
             subj = self._bnode_prop_list()
@@ -210,7 +263,7 @@ class _Parser:
         if kind in ("lit", "triple_lit"):
             self.i += 1
             value = tok[3:-3] if kind == "triple_lit" else tok[1:-1]
-            value = unescape_literal(value)
+            value = _unescape_turtle(value)  # ECHAR incl. \' (sq lits)
             lang, dtype = "", ""
             nkind, ntok = self._peek()
             if nkind == "langtag":
@@ -285,16 +338,11 @@ class _Parser:
 
 
 def parse_turtle(text: str, base_uri: str = "") -> List[Triple]:
-    """Parse a Turtle document into triple rows."""
+    """Parse a Turtle document into triple rows.  Directives are
+    handled as tokens inside the statement stream (document order), so
+    directive-shaped text inside literals stays literal."""
     prefixes = dict(STANDARD_PREFIXES)
-    prefixes.update(extract_prefixes(text))
-    base_m = _BASE_RE.search(text) or _SPARQL_BASE_RE.search(text)
-    if base_m:
-        base_uri = base_m.group(1)
-    # strip directive lines before tokenizing statements
-    body = _PREFIX_RE.sub("", _BASE_RE.sub("", text))
-    body = _SPARQL_PREFIX_RE.sub("", _SPARQL_BASE_RE.sub("", body))
-    toks = list(_tokens(body))
+    toks = list(_tokens(text))
     return _Parser(toks, prefixes, base_uri).parse()
 
 

@@ -639,6 +639,12 @@ def _propagate_min_labels(edges, max_rounds: int = 50,
         labels = merged.drop_columns(["changed"])
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} "
+            "rounds (component diameter exceeds the bound) — silent "
+            "partial labels would split connected components; raise "
+            "max_rounds")
     return labels.to_pandas()
 
 

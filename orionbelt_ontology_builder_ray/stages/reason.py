@@ -374,7 +374,9 @@ def transitive_closure_edges(ds, transitive_preds, num_buckets: int = 16,
             right = df[df["_side"] == 1]
             m = left.merge(right, on=["predicate", "mid"],
                            suffixes=("_l", "_r"))
-            m = m[m["a_l"] != m["a_r"]]
+            # keep reflexive derivations: a cycle under a transitive
+            # property entails a P a (driver parity, graph.py rdfs-owl
+            # fixpoint derives it too)
             return pd.DataFrame({
                 "predicate": m["predicate"],
                 "subject": m["a_l"], "object": m["a_r"]

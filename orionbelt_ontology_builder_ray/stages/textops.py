@@ -185,20 +185,25 @@ def clean_corpus(ds, id_col="doc_id", text_col="text", min_tokens=20,
     min id -> stats columns.  The full composite a 100-TB training-data
     ingest runs, expressed as one streaming Dataset flow."""
     from ..functions.terms import pool_size
-    from .dedup import exact_dedup_docs
 
     cleaned = ds.map_batches(
         CorpusCleaner, fn_constructor_kwargs=dict(
             id_col=id_col, text_col=text_col, min_tokens=min_tokens,
             keep_langs=keep_langs, min_distinct_ratio=min_distinct_ratio),
         batch_format="pandas", concurrency=pool_size())
-    deduped = exact_dedup_docs(cleaned, id_col=id_col, text_col=text_col,
-                               num_buckets=num_buckets)
 
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[[id_col]].copy()
-        out["n_tokens"] = batch[text_col].astype(str).str.split() \
-            .str.len().fillna(0).astype(np.int64)
-        return out
+    # inline bucketed text dedup that CARRIES the n_tokens the cleaner
+    # already computed (re-tokenizing every survivor after
+    # exact_dedup_docs would be a second full pass over the corpus)
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = pd.util.hash_pandas_object(batch[text_col], index=False)
+        batch["_b"] = (h % num_buckets).astype(np.int32)
+        return batch
 
-    return deduped.map_batches(stats, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values(id_col).drop_duplicates(text_col)
+        return keep[[id_col, "n_tokens"]]
+
+    return cleaned.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas")

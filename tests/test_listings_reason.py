@@ -244,3 +244,19 @@ def test_owl_closure_ds_with_chains(ray_session):
     assert (B + "c", B + "hasGrandparent", B + "g",
             "uri", "", "") in got
     assert got == want
+
+
+def test_transitive_cycle_reflexive_parity(ray_session):
+    """A cycle under a transitive property entails a P a — driver and
+    distributed closures must agree (review r2)."""
+    from orionbelt_ontology_builder_ray.stages.reason import apply_owl_closure
+
+    s = TripleStore(B)
+    s.add_object_property("partOf", transitive=True)
+    s.add_individual_property("a", "partOf", "b")
+    s.add_individual_property("b", "partOf", "a")
+    ds = _ds(ray_session, s).repartition(2)
+    closed = set(map(tuple, apply_owl_closure(ds).to_pandas().to_numpy()))
+    s.apply_reasoning("owl-rl")
+    assert (B + "a", B + "partOf", B + "a", "uri", "", "") in closed
+    assert closed == {tuple(t) for t in s.rows}

@@ -368,3 +368,32 @@ def test_upper_ontology_gist_loader():
 def test_import_namespace_inference(ttl, want_base):
     store = load_store(ttl, "turtle")
     assert store.base_uri == want_base
+
+
+def test_generated_bnode_never_collides_with_explicit():
+    """Review r2: an anonymous [ ] node must not merge with a
+    document's explicit _:genidN label (turtle / jsonld / rdfxml)."""
+    ts = parse_turtle("@prefix ex: <http://e/> .\n"
+                      "_:genid1 ex:p ex:o1 .\n"
+                      "ex:s ex:q [ ex:r ex:o2 ] .")
+    anon = next(t.object for t in ts if t.predicate == "http://e/q")
+    assert anon != "_:genid1"
+    assert not any(t.subject == anon and t.predicate == "http://e/p"
+                   for t in ts)
+
+
+def test_single_quoted_escape():
+    [t] = parse_turtle("@prefix ex: <http://e/> .\nex:s ex:p 'it\\'s' .")
+    assert t.object == "it's"
+
+
+def test_inline_sparql_prefix_and_literal_immunity():
+    """Directives are tokens: a statement may share the PREFIX line,
+    and directive-shaped text inside a triple-quoted literal stays
+    part of the literal."""
+    ts = parse_turtle("PREFIX ex: <http://e/> ex:a ex:b ex:c .")
+    assert ts[0].subject == "http://e/a"
+    [t] = parse_turtle('@prefix ex: <http://e/> .\n'
+                       'ex:s ex:p """line1\nPREFIX zz: <http://x/>\n'
+                       'line3""" .')
+    assert "PREFIX zz:" in t.object

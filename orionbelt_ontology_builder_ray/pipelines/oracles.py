@@ -414,7 +414,7 @@ _MD5_LOW64 = "CAST(('0x' || substr(md5({expr}), 1, 16)) AS UBIGINT)"
 
 
 def sql_doc_simhash() -> str:
-    """Mirror of stages.dedup.SimHasher: md5-low-64 token hashes,
+    """Mirror of stages.dedup.SimHasher: leading-64-bit md5 token hashes,
     majority vote over bits 0..62."""
     h = _MD5_LOW64.format(expr="tok")
     return f"""
@@ -440,7 +440,7 @@ ORDER BY doc_id"""
 
 
 def sql_doc_fingerprints(k: int = 3) -> str:
-    """Mirror of stages.textops.Fingerprinter: min 63-bit md5 hash over
+    """Mirror of stages.textops.Fingerprinter: min 63-bit (leading) md5 hash over
     k-token shingle windows."""
     h = _MD5_LOW64.format(expr="g")
     return f"""

@@ -704,7 +704,7 @@ def _minhash_clusters_driver_reference(ds, threshold=0.7, num_perm=64,
 class SimHasher:
     """63-bit SimHash over whitespace tokens (actor-pool stage).
 
-    Token hash = low 64 bits of md5, majority vote over bits 0..62 —
+    Token hash = leading 64 bits of the md5 digest, majority vote over bits 0..62 —
     63 bits so the value is a non-negative int64 and the whole
     computation has an exact DuckDB mirror (md5 + bit ops), making the
     operator oracle-checkable (sql_doc_simhash)."""

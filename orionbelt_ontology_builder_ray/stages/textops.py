@@ -113,7 +113,7 @@ class Fingerprinter:
     """Winnowing-style document fingerprint: the minimum over the
     63-bit hashes of all k-token shingle windows (min-sampling the
     window hashes ~ robust to small edits) -> (doc_id, fingerprint
-    int64).  Window hash = low 64 bits of md5 shifted right once, so
+    int64).  Window hash = leading 64 bits of the md5 digest shifted right once, so
     the operator has an exact DuckDB mirror (sql_doc_fingerprints)."""
 
     def __init__(self, id_col="doc_id", text_col="text", k=3):

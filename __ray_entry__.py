@@ -119,10 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_annotation_predicates": o.sql_kg_annotation_predicates(),
         "kg_triples_canonicalized": o.sql_kg_triples_canonicalized(),
         "kg_canonicalization_demo": o.sql_kg_canonicalization_demo(),
-        # rows-only (non-SQL-expressible): doc_minhash_clusters
-        # (LSH banding + iterative components), embedding_near_dups
-        # (float cosine accumulation order differs between numpy and
-        # SQL)
+        "doc_minhash_clusters": o.sql_doc_minhash_clusters(),
+        "embedding_near_dups": o.sql_embedding_near_dups(),
     }
     from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_ORACLES
 

@@ -680,3 +680,102 @@ def sql_kg_annotation_predicates() -> str:
 SELECT DISTINCT predicate FROM triples
 WHERE object_kind = 'literal' AND predicate NOT IN ({blist})
 ORDER BY predicate""")
+
+
+def sql_doc_minhash_clusters(num_perm: int = 64, num_bands: int = 16,
+                             shingle_k: int = 3,
+                             threshold: float = 0.7) -> str:
+    """Exact DuckDB mirror of the whole distributed MinHash pipeline in
+    md5 hash mode (stages.dedup.minhash_dedup_clusters_ds): 3-token
+    shingles -> leading-64-bit md5 shingle hashes -> 64 affine minhash
+    permutations (uint64 wraparound then mod the Mersenne prime, as
+    numpy computes it) -> 16 band hashes (md5 of the comma-joined
+    signature slice, >> 1) -> candidate pairs per band bucket -> exact
+    Jaccard verify over the shingle-hash sets -> connected components
+    via a recursive transitive closure -> (doc_id, cluster = min id in
+    component).  The permutation table is re-derived here independently
+    from the published seed (np.random.RandomState(7))."""
+    import numpy as np
+
+    rows_per_band = num_perm // num_bands
+    m = (1 << 61) - 1
+    rng = np.random.RandomState(7)
+    a = rng.randint(1, m, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, m, size=num_perm, dtype=np.uint64)
+    perm_rows = ",\n    ".join(
+        f"({i}, CAST({int(a[i])} AS UBIGINT), CAST({int(b[i])} AS UBIGINT))"
+        for i in range(num_perm))
+    k = shingle_k
+    h = _MD5_LOW64.format(expr="g")
+    hstr = _MD5_LOW64.format(expr="sig_str")
+    return f"""
+WITH RECURSIVE perms(perm_id, a, b) AS (VALUES
+    {perm_rows}),
+d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {k}
+         THEN list_distinct(list_transform(range(len(toks) - {k - 1}),
+                            i -> array_to_string(toks[i+1:i+{k}], ' ')))
+         ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM d),
+hs AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh),
+hv AS (
+  SELECT doc_id, {h} AS x FROM hs),
+hlists AS (
+  SELECT doc_id, list(x) AS hlist, count(*) AS n_sh FROM hv GROUP BY doc_id),
+sig AS (
+  SELECT hv.doc_id, p.perm_id,
+    min(CAST((((CAST(p.a AS HUGEINT) * hv.x) % 18446744073709551616
+               + p.b) % 18446744073709551616)
+             % 2305843009213693951 AS UBIGINT)) AS mh
+  FROM hv CROSS JOIN perms p GROUP BY hv.doc_id, p.perm_id),
+band AS (
+  SELECT doc_id, perm_id // {rows_per_band} AS band_id,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm_id) AS sig_str
+  FROM sig GROUP BY doc_id, perm_id // {rows_per_band}),
+bh AS (
+  SELECT doc_id, band_id,
+         CAST({hstr} >> 1 AS BIGINT) AS band_hash
+  FROM band),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bh x JOIN bh y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id),
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN hlists ha ON ha.doc_id = c.id_a
+  JOIN hlists hb ON hb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(ha.hlist, hb.hlist)) AS DOUBLE)
+        / (ha.n_sh + hb.n_sh
+           - len(list_intersect(ha.hlist, hb.hlist))) >= {threshold}),
+sym(a, b) AS (
+  SELECT id_a, id_b FROM ver UNION SELECT id_b, id_a FROM ver),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+labels AS (
+  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+SELECT CAST(doc.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(l.label, doc.doc_id) AS BIGINT) AS cluster
+FROM documents doc LEFT JOIN labels l ON doc.doc_id = l.node
+ORDER BY doc_id"""
+
+
+def sql_embedding_near_dups(threshold: float = 0.45) -> str:
+    """Mirror of queries.embedding_near_dups: all-pairs cosine >=
+    threshold over the embeddings table (the Ray side's exact blocked-
+    broadcast strategy at oracle scale).  Pair set only — see the query
+    docstring for why the float cosine itself is not compared."""
+    return f"""
+SELECT x.vec_id AS id_a, y.vec_id AS id_b
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= {threshold}
+ORDER BY id_a, id_b"""

@@ -145,3 +145,36 @@ def test_corpus_clean_composite(ray_session):
     })
     out = clean_corpus(rd.from_pandas(df).repartition(2)).to_pandas()
     assert set(map(tuple, out.to_numpy())) == {(1, 21)}
+
+
+def test_minhash_clusters_md5_mode_equals_driver(ray_session):
+    """md5 hash mode (the DuckDB-oracle-checkable primitive) runs the
+    same topology and matches the md5-mode driver reference; the
+    dataset-returning assign_clusters path feeds both."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        _minhash_clusters_driver_reference, minhash_dedup_clusters,
+    )
+
+    ds = rd.from_pandas(_near_dup_docs(n_groups=12)).repartition(4)
+    dist = minhash_dedup_clusters(ds, hash_mode="md5")
+    ref = _minhash_clusters_driver_reference(ds, hash_mode="md5")
+    assert dist == ref
+    assert sum(1 for i, c in dist if i != c) >= 8
+
+
+def test_assign_clusters_dataset_path(ray_session):
+    """assign_clusters returns a streaming Dataset with the broadcast
+    mapping applied; unmapped ids are their own cluster."""
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import assign_clusters
+
+    corpus = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 7, 9]})).repartition(3)
+    labels = pd.DataFrame({"node": [3, 2, 9], "label": [1, 1, 9]})
+    out = assign_clusters(corpus, labels).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}

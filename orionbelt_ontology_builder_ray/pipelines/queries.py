@@ -392,12 +392,26 @@ def kg_gazetteer_mentions(sf_dir):
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    from ray.data.aggregate import Sum
-
-    partials = mentions.map_batches(bucket, batch_format="pandas") \
+    # coalesce to bucket count first: merges the no-match empty blocks
+    # away (empty blocks bypass map UDFs and carry a 0-column schema —
+    # the round-2 bench-tail warnings) and removes the sort's fixed
+    # per-block cost on the wide-but-sparse mention stream
+    partials = mentions.repartition(B) \
+        .map_batches(bucket, batch_format="pandas") \
         .groupby("_b").map_groups(partial_counts, batch_format="pandas")
-    return partials.groupby(["entity", "surface"]) \
-        .aggregate(Sum(on="n", alias_name="n_turns"))
+
+    # final sum: the partials are vocabulary-sized (≤ B rows per
+    # entity), so ONE merged block replaces a second Ray all-to-all
+    # aggregate (fixed ~1.5-3 s at any scale) — and its empty output
+    # partitions, the last schema-warning source
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["entity", "surface"], sort=False)["n"] \
+            .sum().reset_index(name="n_turns")
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out
+
+    return partials.repartition(1).map_batches(
+        final_sum, batch_size=None, batch_format="pandas")
 
 
 def ann_topk_query(sf_dir, query_vec_id=0, k=10):

@@ -167,10 +167,12 @@ def collect_owl_schema(ds) -> dict:
     property sets, and property-chain axioms (rdf-list walk over the
     schema slice) — schema-plane even at 10^12 assertions."""
     from ..functions.terms import (
-        OWL_PROPERTY_CHAIN_AXIOM, RDF_FIRST, RDF_REST, walk_rdf_list,
+        OWL_HAS_KEY, OWL_PROPERTY_CHAIN_AXIOM, RDF_FIRST, RDF_REST,
+        walk_rdf_list,
     )
 
-    preds = [OWL_INVERSE_OF, OWL_PROPERTY_CHAIN_AXIOM, RDF_FIRST, RDF_REST]
+    preds = [OWL_INVERSE_OF, OWL_PROPERTY_CHAIN_AXIOM, OWL_HAS_KEY,
+             RDF_FIRST, RDF_REST]
 
     def slice_(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[
@@ -202,11 +204,18 @@ def collect_owl_schema(ds) -> dict:
         members = walk_rdf_list(head, first_map, rest_map)
         if members:
             chains.append((p, members))
+    keys = []
+    key_rows = schema[schema["predicate"] == OWL_HAS_KEY]
+    for c, head in zip(key_rows["subject"], key_rows["object"]):
+        members = walk_rdf_list(head, first_map, rest_map)
+        if members:
+            keys.append((c, members))
     return {
         "inverses": inverses,
         "symmetric": set(typ[typ["object"] == OWL_SYMMETRIC]["subject"]),
         "transitive": set(typ[typ["object"] == OWL_TRANSITIVE]["subject"]),
         "chains": sorted(chains),
+        "keys": sorted(keys),
     }
 
 
@@ -400,24 +409,236 @@ def transitive_closure_edges(ds, transitive_preds, num_buckets: int = 16,
     return edges.map_batches(widen, batch_format="pandas")
 
 
-def apply_owl_closure(ds, max_rounds: int = 5):
+def _empty_triples():
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {c: pd.Series([], dtype=object) for c in TRIPLE_COLS}))
+
+
+def has_key_same_as_edges(ds, keys, num_buckets: int = 16):
+    """prp-key distributed (reference's "OWL-RL Extended" profile,
+    app.py:2887): for each (class, [key properties]) axiom from
+    collect_owl_schema, individuals of the class sharing a value for
+    EVERY key property are owl:sameAs.
+
+    Shape: one subject-hash bucket shuffle co-locates each
+    individual's typed/value rows (partitioning assumption: an
+    individual's key rows fit one group — they are per-entity, not
+    per-corpus); each bucket emits the cartesian key-combo strings per
+    individual; a second combo-hash bucket groupby finds combos shared
+    by >1 individual and emits (min sameAs other) edges.  The
+    symmetric/transitive closure is completed by replicate_same_as.
+    Only rows touching keyed classes/properties enter the shuffle."""
+    from itertools import product
+
+    from ..functions.terms import OWL_SAME_AS, is_bnode
+
+    if not keys:
+        return _empty_triples()
+    keys_list = [(c, list(ps)) for c, ps in keys]
+    keyed_classes = sorted({c for c, _ in keys_list})
+    key_props = sorted({p for _, ps in keys_list for p in ps})
+
+    def slice_(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[
+            ((batch["predicate"] == RDF_TYPE)
+             & batch["object"].isin(keyed_classes))
+            | batch["predicate"].isin(key_props)]
+        out = m[["subject", "predicate", "object", "object_kind",
+                 "lang", "datatype"]].drop_duplicates()
+        out = out.copy()
+        out["_b"] = (pd.util.hash_pandas_object(out["subject"], index=False)
+                     % num_buckets).astype(np.int32)
+        return out
+
+    def combos_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_combo: list = []
+        out_subj: list = []
+        typed = df[df["predicate"] == RDF_TYPE]
+        vals = df[df["predicate"] != RDF_TYPE]
+        val_groups = {s: g for s, g in vals.groupby("subject")} \
+            if len(vals) else {}
+        for ci, (c, props) in enumerate(keys_list):
+            for x in typed.loc[typed["object"] == c, "subject"].unique():
+                if is_bnode(x):
+                    continue
+                g = val_groups.get(x)
+                if g is None:
+                    continue
+                sets = []
+                for p in props:
+                    vs = g[g["predicate"] == p]
+                    if not len(vs):
+                        break
+                    sets.append({
+                        "\x01".join((o, k, la, d)) for o, k, la, d in zip(
+                            vs["object"], vs["object_kind"],
+                            vs["lang"], vs["datatype"])})
+                else:
+                    for combo in product(*sets):
+                        out_combo.append(f"{ci}\x02" + "\x02".join(combo))
+                        out_subj.append(x)
+        return pd.DataFrame({"_combo": pd.Series(out_combo, dtype=object),
+                             "subject": pd.Series(out_subj, dtype=object)})
+
+    combos = ds.map_batches(slice_, batch_format="pandas") \
+        .groupby("_b").map_groups(combos_in_bucket, batch_format="pandas")
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (pd.util.hash_pandas_object(df["_combo"], index=False)
+                    % num_buckets).astype(np.int32)
+        return df
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        subs: list = []
+        objs: list = []
+        for _, g in df.groupby("_combo", sort=False):
+            xs = sorted(g["subject"].unique())
+            for y in xs[1:]:
+                subs.append(xs[0])
+                objs.append(y)
+        n = len(subs)
+        return pd.DataFrame({
+            "subject": pd.Series(subs, dtype=object),
+            "predicate": pd.Series([OWL_SAME_AS] * n, dtype=object),
+            "object": pd.Series(objs, dtype=object),
+            "object_kind": pd.Series(["uri"] * n, dtype=object),
+            "lang": pd.Series([""] * n, dtype=object),
+            "datatype": pd.Series([""] * n, dtype=object)})[TRIPLE_COLS]
+
+    return combos.map_batches(rebucket, batch_format="pandas") \
+        .groupby("_b").map_groups(pairs_in_bucket, batch_format="pandas")
+
+
+def replicate_same_as(ds, num_buckets: int = 16):
+    """prp-eq with statement replication, distributed — the option for
+    users who need sameAs statements PRESERVED rather than rewritten
+    (the default scale treatment is stages/canonicalize.py, which
+    rewrites references onto the canonical member; see the
+    apply_owl_closure docstring for the trade).
+
+    The sameAs alias graph is collected to the driver (documented
+    boundary: the alias EDGE set must fit driver memory — it is
+    vocabulary-sized in workbench ontologies; at assertion-scale alias
+    graphs use canonicalization instead), union-found, and the member
+    -> alias-group map broadcast once via ``ray.put``.  Each assertion
+    batch then expands subject/object across their alias groups —
+    non-alias rows (the overwhelming majority) pass through untouched
+    by a vectorized mask; the full symmetric/transitive sameAs closure
+    ships as one small driver-built frame.  Output needs a dedup
+    downstream (apply_owl_closure runs one each round)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.terms import OWL_SAME_AS
+
+    def same_slice(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[(batch["predicate"] == OWL_SAME_AS)
+                  & (batch["object_kind"] == "uri")]
+        return m[["subject", "object"]].drop_duplicates()
+
+    edges = ds.map_batches(same_slice, batch_format="pandas").to_pandas()
+    if edges.empty or "subject" not in edges.columns:
+        return ds
+    edges = edges.drop_duplicates()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["subject"], edges["object"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = defaultdict(set)
+    for x in parent:
+        members[find(x)].add(x)
+    alias = {x: tuple(sorted(members[find(x)])) for x in parent
+             if len(members[find(x)]) > 1}
+    if not alias:
+        return ds
+    ref = ray.put(alias)
+
+    class Replicator:
+        def __init__(self):
+            self.alias = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            non_same = batch[batch["predicate"] != OWL_SAME_AS]
+            hit_s = non_same["subject"].isin(self.alias)
+            hit_o = (non_same["object"].isin(self.alias)
+                     & (non_same["object_kind"] == "uri"))
+            todo = non_same[hit_s | hit_o]
+            frames = [batch]  # originals pass through; dedup downstream
+            rows = {c: [] for c in TRIPLE_COLS}
+            for t in todo.itertuples(index=False):
+                subs = self.alias.get(t.subject, (t.subject,))
+                objs = self.alias.get(t.object, (t.object,)) \
+                    if t.object_kind == "uri" else (t.object,)
+                for s2 in subs:
+                    for o2 in objs:
+                        rows["subject"].append(s2)
+                        rows["predicate"].append(t.predicate)
+                        rows["object"].append(o2)
+                        rows["object_kind"].append(t.object_kind)
+                        rows["lang"].append(t.lang)
+                        rows["datatype"].append(t.datatype)
+            if rows["subject"]:
+                frames.append(pd.DataFrame(
+                    {c: pd.Series(v, dtype=object)
+                     for c, v in rows.items()}))
+            return pd.concat(frames, ignore_index=True)[TRIPLE_COLS]
+
+    closure_rows = {c: [] for c in TRIPLE_COLS}
+    for group in {g: None for g in alias.values()}:
+        for x in group:
+            for y in group:
+                if x != y:
+                    closure_rows["subject"].append(x)
+                    closure_rows["predicate"].append(OWL_SAME_AS)
+                    closure_rows["object"].append(y)
+                    closure_rows["object_kind"].append("uri")
+                    closure_rows["lang"].append("")
+                    closure_rows["datatype"].append("")
+    closure = rd.from_pandas(pd.DataFrame(
+        {c: pd.Series(v, dtype=object) for c, v in closure_rows.items()}))
+
+    out = ds.map_batches(Replicator, batch_format="pandas",
+                         concurrency=pool_size())
+    return out.union(closure)
+
+
+def apply_owl_closure(ds, max_rounds: int = 5, profile: str = "owl-rl",
+                      replicate_same_as_stmts: bool | None = None):
     """Dataset -> Dataset with the OWL-RL(-lite) closure materialized:
     the RDFS rules plus inverseOf / symmetric / transitive /
     property-chain instance rules, mirroring the driver's
-    apply_reasoning("owl-rl") fixpoint.
+    apply_reasoning("owl-rl") fixpoint.  ``profile="owl-rl-ext"``
+    additionally runs prp-key (owl:hasKey -> owl:sameAs,
+    has_key_same_as_edges) and full prp-eq sameAs statement
+    replication, matching the driver's "owl-rl-ext" profile (the
+    reference's "OWL-RL Extended", app.py:2887).
 
     Outer rounds interleave the rule families so derivations that feed
     each other (e.g. an inverse edge of a transitive property) close;
     each round ends in an exact dedup, and iteration stops at fixpoint
     (row count stable) or after ``max_rounds``.
 
-    Deliberate scale boundary: owl:sameAs is NOT replicated here — at
-    assertion scale, replication multiplies the stream by alias-class
-    size; the canonicalization stage (stages/canonicalize.py) is the
-    scale-correct treatment (rewrite every reference onto the
-    canonical member).  The driver store implements full prp-eq
-    replication for workbench-sized graphs.
-    """
+    Deliberate scale boundary: under the default profile owl:sameAs is
+    NOT replicated — at assertion scale, replication multiplies the
+    stream by alias-class size; the canonicalization stage
+    (stages/canonicalize.py) is the scale-correct treatment (rewrite
+    every reference onto the canonical member).  Users who need sameAs
+    statements preserved opt in with
+    ``replicate_same_as_stmts=True`` (defaults to True only for the
+    ext profile); see replicate_same_as for its driver-memory
+    boundary."""
     try:
         import ray
 
@@ -425,6 +646,10 @@ def apply_owl_closure(ds, max_rounds: int = 5):
     except ImportError:
         put = lambda x: x  # noqa: E731
     from .dedup import dedup_triples
+
+    ext = profile == "owl-rl-ext"
+    if replicate_same_as_stmts is None:
+        replicate_same_as_stmts = ext
 
     out = ds.materialize()
     total = out.count()
@@ -447,6 +672,11 @@ def apply_owl_closure(ds, max_rounds: int = 5):
         if owl["chains"]:
             derived = property_chain_edges(out.materialize(), owl["chains"])
             out = dedup_triples(out.union(derived))
+        if ext and owl["keys"]:
+            same = has_key_same_as_edges(out.materialize(), owl["keys"])
+            out = dedup_triples(out.union(same))
+        if replicate_same_as_stmts:
+            out = dedup_triples(replicate_same_as(out.materialize()))
         out = out.materialize()
         grown = out.count()
         if grown == total:

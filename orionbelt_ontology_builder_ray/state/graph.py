@@ -1578,12 +1578,15 @@ class TripleStore:
 
     def apply_reasoning(self, profile: str = "rdfs") -> int:
         """Monotone fixpoint over the core RDFS rules (rdfs2/3/5/7/9/11).
-        ``owl-rl`` / ``owl-rl-ext`` (any ``owl*`` profile name, matching
-        the reference's three-profile surface, om:2853-2864) additionally
-        run the OWL-RL instance rules: inverseOf, symmetric and
-        transitive object properties, property-chain closure
-        (prp-spo2), and owl:sameAs symmetric/transitive closure with
-        statement replication across the equivalence class (prp-eq)."""
+        Any ``owl*`` profile name (matching the reference's
+        three-profile surface, om:2853-2864, app.py:2884-2887)
+        additionally runs the OWL-RL instance rules: inverseOf,
+        symmetric and transitive object properties, property-chain
+        closure (prp-spo2), and owl:sameAs symmetric/transitive closure
+        with statement replication across the equivalence class
+        (prp-eq).  ``owl-rl-ext`` (the reference's "OWL-RL Extended" ->
+        owlrl OWLRL_Extension) FURTHER runs prp-key: owl:hasKey
+        instance identification emitting owl:sameAs."""
         before = len(self.rows)
         changed = True
         while changed:
@@ -1673,6 +1676,45 @@ class TripleStore:
                                  for o2 in step.get(o, ())}
                     for s, o in paths:
                         new_rows.add(uri_triple(s, t.subject, o))
+                # prp-key (owl-rl-ext ONLY — the reference's third
+                # profile, app.py:2887 -> owlrl OWLRL_Extension): for a
+                # class with owl:hasKey (p1..pn), two non-bnode
+                # instances sharing a value for EVERY key property are
+                # owl:sameAs.  Implemented as the standard key-combo
+                # join: each instance emits the cartesian product of
+                # its per-property value sets; a combo seen on >1
+                # instance merges them.  The sameAs facts feed prp-eq
+                # below within the same fixpoint.
+                if profile == "owl-rl-ext":
+                    from itertools import product as _product
+
+                    from ..functions.terms import OWL_HAS_KEY
+
+                    for t in self.match(None, OWL_HAS_KEY, None):
+                        key_props = self._list_members(t.object)
+                        if not key_props:
+                            continue
+                        combo_index = defaultdict(set)
+                        for x in self.subjects(RDF_TYPE, t.subject):
+                            if is_bnode(x):
+                                continue
+                            value_sets = []
+                            for p in key_props:
+                                vals = {(e.object, e.object_kind, e.lang,
+                                         e.datatype)
+                                        for e in self.match(x, p, None)}
+                                if not vals:
+                                    break
+                                value_sets.append(vals)
+                            else:
+                                for combo in _product(*value_sets):
+                                    combo_index[combo].add(x)
+                        for xs in combo_index.values():
+                            if len(xs) > 1:
+                                first, *rest = sorted(xs)
+                                for y in rest:
+                                    new_rows.add(uri_triple(
+                                        first, OWL_SAME_AS, y))
                 # prp-eq: owl:sameAs symmetric/transitive closure +
                 # statement replication across equivalence members
                 same_edges = [(t.subject, t.object)

@@ -260,3 +260,45 @@ def test_transitive_cycle_reflexive_parity(ray_session):
     s.apply_reasoning("owl-rl")
     assert (B + "a", B + "partOf", B + "a", "uri", "", "") in closed
     assert closed == {tuple(t) for t in s.rows}
+
+
+def test_owl_closure_ds_ext_haskey_equals_driver(ray_session):
+    """Distributed owl-rl-ext (prp-key + prp-eq replication) matches
+    the driver's owl-rl-ext fixpoint EXACTLY on the hasKey fixture."""
+    from orionbelt_ontology_builder_ray.pipelines.goldens import haskey_store
+    from orionbelt_ontology_builder_ray.stages.reason import apply_owl_closure
+
+    s = haskey_store()
+    ds = _ds(ray_session, s).repartition(3)
+    closed = apply_owl_closure(ds, profile="owl-rl-ext").to_pandas()
+    got = set(map(tuple, closed.to_numpy()))
+    s.apply_reasoning("owl-rl-ext")
+    want = {tuple(t) for t in s.rows}
+    assert got == want
+    # and the default profile must NOT merge (dispatch distinction)
+    s2 = haskey_store()
+    ds2 = _ds(ray_session, s2).repartition(3)
+    plain = apply_owl_closure(ds2).to_pandas()
+    from orionbelt_ontology_builder_ray.functions.terms import OWL_SAME_AS
+    assert not (plain["predicate"] == OWL_SAME_AS).any()
+
+
+def test_replicate_same_as_ds_equals_driver(ray_session):
+    """Distributed prp-eq replication option matches the driver
+    store's sameAs replication on the asserted-sameAs fixture."""
+    from orionbelt_ontology_builder_ray.stages.reason import apply_owl_closure
+
+    s = TripleStore(B)
+    s.add_class("Person")
+    s.add_individual("a1", "Person", label="A")
+    s.add_individual("a2", "Person")
+    s.add_individual("a3", "Person")
+    s.add_individual_relation("a1", "sameAs", "a2")
+    s.add_individual_relation("a2", "sameAs", "a3")
+    s.add_individual_property("a1", "likes", "a3")
+    ds = _ds(ray_session, s).repartition(2)
+    closed = apply_owl_closure(ds, replicate_same_as_stmts=True).to_pandas()
+    got = set(map(tuple, closed.to_numpy()))
+    s.apply_reasoning("owl-rl")
+    want = {tuple(t) for t in s.rows}
+    assert got == want

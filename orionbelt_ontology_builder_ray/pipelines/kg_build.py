@@ -110,7 +110,8 @@ def build_kg(sf_dir: Optional[str] = None,
              ckpt_dir: Optional[str] = None,
              final_sort: bool = True,
              partition_buckets: Optional[int] = None,
-             output_path: Optional[str] = None):
+             output_path: Optional[str] = None,
+             kernel: str = "arrow"):
     """Run the flagship KG-construction pipeline; returns the triples
     Dataset (sorted when ``final_sort``).
 
@@ -181,17 +182,24 @@ def build_kg(sf_dir: Optional[str] = None,
         alias_ref = ray.put(build_alias_dict(alias_source))
         if fused:
             # one pool runs extract->link->local-dedup per batch: same
-            # semantics, 1/3 the conversions, sized to the whole node
-            from ..stages.link import ExtractLinkFused
+            # semantics, 1/3 the conversions, sized to the whole node.
+            # kernel="arrow" (default) computes on zero-copy pyarrow
+            # batches — measured 2.7x the pandas kernel per batch
+            # (BASELINE.md round-3 A/B); "pandas" kept for A/B and as
+            # a fallback, byte-identical output either way.
+            from ..stages.link import ExtractLinkFused, ExtractLinkFusedArrow
 
             scoped = dedup_strategy == "scoped"
+            fused_cls = (ExtractLinkFusedArrow if kernel == "arrow"
+                         else ExtractLinkFused)
             triples = transcripts.map_batches(
-                ExtractLinkFused,
+                fused_cls,
                 fn_constructor_kwargs=dict(alias_ref=alias_ref,
                                            emit_ts=emit_ts,
                                            with_dedup_hash=not scoped,
                                            with_local_dedup=scoped),
-                batch_format="pandas", batch_size=batch_size,
+                batch_format="pyarrow" if kernel == "arrow" else "pandas",
+                batch_size=batch_size,
                 concurrency=extract_concurrency + link_concurrency)
             if include_seed_schema:
                 seed = seed_schema_dataset()

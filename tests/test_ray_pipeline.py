@@ -410,3 +410,66 @@ def test_incremental_update_equals_full_build(ray_session, tmp_path):
     assert not merged.duplicated().any()  # additions are genuinely new
     assert (set(map(tuple, merged.to_numpy()))
             == set(map(tuple, full.to_numpy())))
+
+
+def _fused_sets(batch_pd: pd.DataFrame, **kw):
+    """Run pandas and arrow fused kernels on the same batch; return
+    both results as row-tuple multiset-equivalent sorted frames."""
+    from orionbelt_ontology_builder_ray.stages.link import (
+        ExtractLinkFused, ExtractLinkFusedArrow,
+    )
+
+    out_pd = ExtractLinkFused(ALIAS, **kw)(batch_pd)
+    if not isinstance(out_pd, pd.DataFrame):
+        out_pd = out_pd.to_pandas()
+    out_pa = ExtractLinkFusedArrow(
+        ALIAS, **kw)(pa.Table.from_pandas(batch_pd, preserve_index=False))
+    return out_pd, out_pa.to_pandas()
+
+
+@pytest.mark.parametrize("kw", [
+    dict(with_dedup_hash=False, with_local_dedup=False),
+    dict(with_dedup_hash=False, with_local_dedup=True),
+    dict(with_dedup_hash=True, with_local_dedup=False),
+])
+def test_arrow_fused_equals_pandas_fused(kw):
+    """The pyarrow-native fused kernel emits EXACTLY the pandas fused
+    kernel's triples (incl. the _h dedup-hash column when enabled) on a
+    batch with tools, linked + NIL mentions, and ts literals."""
+    a, b = _fused_sets(tiny_transcripts(), emit_ts=True, **kw)
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(a.columns)
+    sa = a[cols].sort_values(cols).reset_index(drop=True)
+    sb = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
+
+
+def test_arrow_fused_edge_batches():
+    """Empty batch and mention-free/tool-free batch keep a stable
+    6-column string schema (the round-2 empty-block lesson)."""
+    from orionbelt_ontology_builder_ray.stages.link import ExtractLinkFusedArrow
+
+    fused = ExtractLinkFusedArrow(ALIAS, with_dedup_hash=False,
+                                  with_local_dedup=True)
+    empty = tiny_transcripts().iloc[:0]
+    out = fused(pa.Table.from_pandas(empty, preserve_index=False))
+    assert out.column_names == TRIPLE_COLS
+    assert len(out) == 0
+    assert all(t == pa.string() for t in out.schema.types)
+
+    plain = tiny_transcripts().assign(text=["a", "b", "c"],
+                                      tool=["", "", ""])
+    out2 = fused(pa.Table.from_pandas(plain, preserve_index=False))
+    assert out2.column_names == TRIPLE_COLS
+    a, b = _fused_sets(plain, with_dedup_hash=False, with_local_dedup=True)
+    assert set(map(tuple, a.to_numpy())) == set(map(tuple, b.to_numpy()))
+
+
+def test_build_kg_kernel_ab_same_output(ray_session):
+    """build_kg(kernel="arrow") == build_kg(kernel="pandas") exactly."""
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    a = build_kg(SF, final_sort=False, kernel="arrow").to_pandas()
+    b = build_kg(SF, final_sort=False, kernel="pandas").to_pandas()
+    assert set(map(tuple, a[TRIPLE_COLS].to_numpy())) \
+        == set(map(tuple, b[TRIPLE_COLS].to_numpy()))

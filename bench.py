@@ -158,6 +158,38 @@ def run_bench() -> dict:
     q.kg_gazetteer_mentions(SF_DIR).count()
     queries["kg_gazetteer_mentions"] = round(time.time() - t0, 3)
 
+    # incremental ingest (update_kg): the 16 B/row anti-join claim gets
+    # a recorded number.  zero-addition: existing store == headline
+    # output, new == the same transcripts -> re-extract + anti-join,
+    # 0 rows added.  half: store built from half the replicas, update
+    # with all -> ~half the triples are genuinely new and get appended.
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import update_kg
+
+    common = dict(dedup_strategy="scoped",
+                  read_blocks=max(64, fused_pool * 8),
+                  extract_concurrency=(fused_pool + 1) // 2,
+                  link_concurrency=fused_pool // 2,
+                  dedup_buckets=max(16, NUM_CPUS * 2))
+    t0 = time.time()
+    n_zero = update_kg(out_dir, sf_dir=SF_DIR,
+                       transcripts_path=transcript_dirs, **common).count()
+    queries["update_kg_zero"] = round(time.time() - t0, 3)
+    assert n_zero == 0, n_zero
+
+    half = [p for p in transcript_dirs
+            if f"{os.sep}r0{os.sep}" in p or f"{os.sep}r1{os.sep}" in p] \
+        or transcript_dirs[: max(1, len(transcript_dirs) // 2)]
+    half_store = os.environ.get("GRAFT_BENCH_HALF", "/dev/shm/bench_kg_half")
+    shutil.rmtree(half_store, ignore_errors=True)
+    build_kg(SF_DIR, transcripts_path=half, output_path=half_store,
+             final_sort=False, partition_buckets=16, **common)  # setup, untimed
+    added_dir = "/dev/shm/bench_kg_added"
+    shutil.rmtree(added_dir, ignore_errors=True)
+    t0 = time.time()
+    update_kg(half_store, sf_dir=SF_DIR, transcripts_path=transcript_dirs,
+              output_path=added_dir, **common)
+    queries["update_kg_half"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_build_e2e",

@@ -359,51 +359,38 @@ def events_hourly(sf_dir):
 def kg_gazetteer_mentions(sf_dir):
     """Dictionary-NER mention scan over UNMARKED turn text: how many
     distinct turns mention each known entity (word-bounded alias
-    regex, no ``[...]`` markup required).  Per-batch (turn, entity)
-    dedup bounds the shuffle; per-entity distinct-turn counts resolve
-    in the (vocabulary-sized) groupby."""
+    regex, no ``[...]`` markup required).
+
+    Shuffle-free exact count: each turn is ONE input row living in
+    exactly one batch, and the scanner dedups (turn, entity) within
+    the batch — so (turn, entity) pairs are already globally unique
+    and per-batch counts are exact partials.  The scan+count fuse into
+    one actor-pool stage over the dense transcript stream (no sparse
+    mention stream, no empty blocks, no Sort — the round-2 bench-tail
+    schema warnings came from empty sort partitions), then the
+    vocabulary-sized partials merge into one block for the final sum.
+    Hot entities are safe: a partial row per (batch, entity) is
+    bounded by vocabulary size, never by turn count."""
     import ray
 
     from ..stages.link import GazetteerMentionScanner, build_alias_dict
 
     alias_ref = ray.put(build_alias_dict(sf_dir))
-    mentions = _transcripts(sf_dir).map_batches(
-        GazetteerMentionScanner,
-        fn_constructor_kwargs=dict(alias_ref=alias_ref),
-        batch_format="pandas", concurrency=pool_size())
 
-    # two-phase exact distinct-turn count, hot-entity safe: (1) global
-    # (turn, entity) dedup in hash buckets — a hot entity spreads over
-    # all B buckets instead of one giant group — emitting per-bucket
-    # partial counts; (2) vocabulary-sized sum of partials.
-    B = 32
+    class ScanCount:
+        def __init__(self):
+            self.scan = GazetteerMentionScanner(alias_ref)
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_b"] = (pd.util.hash_pandas_object(
-            df["turn"] + "\x1f" + df["entity"], index=False)
-            % B).astype(np.int32)
-        return df
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = self.scan(batch)
+            out = m.groupby(["entity", "surface"], sort=False) \
+                .size().reset_index(name="n")
+            out["n"] = out["n"].astype(np.int64)
+            return out
 
-    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["turn", "entity"])
-        out = d.groupby(["entity", "surface"], sort=False) \
-            .size().reset_index(name="n")
-        out["n"] = out["n"].astype(np.int64)
-        return out
+    partials = _transcripts(sf_dir).map_batches(
+        ScanCount, batch_format="pandas", concurrency=pool_size())
 
-    # coalesce to bucket count first: merges the no-match empty blocks
-    # away (empty blocks bypass map UDFs and carry a 0-column schema —
-    # the round-2 bench-tail warnings) and removes the sort's fixed
-    # per-block cost on the wide-but-sparse mention stream
-    partials = mentions.repartition(B) \
-        .map_batches(bucket, batch_format="pandas") \
-        .groupby("_b").map_groups(partial_counts, batch_format="pandas")
-
-    # final sum: the partials are vocabulary-sized (≤ B rows per
-    # entity), so ONE merged block replaces a second Ray all-to-all
-    # aggregate (fixed ~1.5-3 s at any scale) — and its empty output
-    # partitions, the last schema-warning source
     def final_sum(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["entity", "surface"], sort=False)["n"] \
             .sum().reset_index(name="n_turns")

@@ -473,3 +473,30 @@ def test_build_kg_kernel_ab_same_output(ray_session):
     b = build_kg(SF, final_sort=False, kernel="pandas").to_pandas()
     assert set(map(tuple, a[TRIPLE_COLS].to_numpy())) \
         == set(map(tuple, b[TRIPLE_COLS].to_numpy()))
+
+
+def test_pair_index_membership_with_dup_h1():
+    """The lexsorted pair index stays collision-safe when the leading
+    64-bit hash collides: duplicated-h1 groups resolve via the exact
+    side table, with correct positions."""
+    import numpy as np
+
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import (
+        _pair_index, _pair_member, _pair_positions, _subset_index,
+    )
+
+    h1 = np.array([5, 5, 5, 2, 9], dtype=np.int64)
+    h2 = np.array([10, 30, 20, 1, 7], dtype=np.int64)
+    idx = _pair_index(h1, h2)
+    assert list(idx["s1"]) == [2, 5, 5, 5, 9]
+    assert list(idx["s2"]) == [1, 10, 20, 30, 7]
+    qa = np.array([5, 5, 5, 5, 2, 9, 9, 4], dtype=np.int64)
+    qb = np.array([10, 20, 30, 99, 1, 7, 8, 4], dtype=np.int64)
+    m, pos = _pair_positions(idx, qa, qb)
+    assert list(m) == [True, True, True, False, True, True, False, False]
+    assert [int(p) for p, ok in zip(pos, m) if ok] == [1, 2, 3, 0, 4]
+    assert list(_pair_member(idx, qa, qb)) == list(m)
+    # subset keeps sorted order and rebuilds the dup table
+    keep = _subset_index(idx, np.array([True, True, False, True, True]))
+    m2 = _pair_member(keep, qa, qb)
+    assert list(m2) == [True, False, True, False, True, True, False, False]

@@ -76,15 +76,52 @@ def _warm_cache(paths) -> None:
                         pass
 
 
+def _quiet_benign_advisories() -> None:
+    """Drop ONLY two benign Ray advisories so real warnings stand out:
+
+    - the empty-shuffle-partition schema advisory: Ray's sort-based
+      groupby emits zero-row partitions as 0-column blocks that bypass
+      downstream UDFs, logging "different schema ... names=[]" each
+      time.  Every UDF in this repo emits schema-stable (typed,
+      possibly empty) batches — verified by reading each warning: all
+      are `<real schema> vs names=[]`.  Real mismatches (both sides
+      non-empty) still log.
+    - the "Failed to hash the schemas (for deduplication)" notice:
+      fires for inputs whose Arrow schema carries the tensor-extension
+      metadata dict (the embeddings list<float> column) — a fallback
+      inside Ray's block concat, not a defect in any stage here."""
+    import logging
+
+    class _DropKnownAdvisories(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if ("different schema than the previous" in msg
+                    and "names=[], types=[]" in msg):
+                return False
+            if "Failed to hash the schemas (for deduplication)" in msg:
+                return False
+            return True
+
+    for name in ("ray.data._internal.execution.streaming_executor_state",
+                 "ray.data._internal.arrow_ops.transform_pyarrow"):
+        logging.getLogger(name).addFilter(_DropKnownAdvisories())
+
+
 def run_bench() -> dict:
+    # address Ray's object-store sizing advisory for real (it wants
+    # >=50% of available memory for Ray Data workloads)
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION",
+                          "0.5")
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    _quiet_benign_advisories()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.enable_progress_bar_name_truncation = False
     ctx.execution_options.verbose_progress = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

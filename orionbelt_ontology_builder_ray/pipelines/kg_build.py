@@ -111,7 +111,8 @@ def build_kg(sf_dir: Optional[str] = None,
              final_sort: bool = True,
              partition_buckets: Optional[int] = None,
              output_path: Optional[str] = None,
-             kernel: str = "arrow"):
+             kernel: str = "arrow",
+             store_hashes: bool = False):
     """Run the flagship KG-construction pipeline; returns the triples
     Dataset (sorted when ``final_sort``).
 
@@ -273,6 +274,14 @@ def build_kg(sf_dir: Optional[str] = None,
     #   each entity's triples), written as one parquet directory per
     #   bucket, rows sorted within each written block.  Resumable:
     #   a re-run reproduces the same bucket dirs.
+    # store_hashes: persist the 128-bit content-hash pair as two int64
+    # store columns (16 B/row on disk) so incremental ingest
+    # (update_kg) probes the store by READING 2 pruned columns instead
+    # of re-hashing the full payload — the exabyte-store layout named
+    # in the update_kg docstring.
+    if store_hashes and output_path:
+        triples = triples.map_batches(_add_hash_cols, batch_format="pandas")
+
     if partition_buckets:
         import pandas as pd
 
@@ -304,6 +313,20 @@ def build_kg(sf_dir: Optional[str] = None,
     if output_path:
         triples.write_parquet(output_path)
     return triples
+
+
+def _add_hash_cols(batch):
+    """Append the collision-safe 128-bit content-hash pair (two
+    independent int64 hashes) of the 6-column triple identity."""
+    from ..stages.graph_ops import _row_hashes
+
+    batch = batch[[c for c in TRIPLE_COLS if c in batch.columns]] \
+        .reindex(columns=TRIPLE_COLS, fill_value="")
+    h = _row_hashes(batch)
+    batch = batch.copy()
+    batch["_h1"] = h["h1"]
+    batch["_h2"] = h["h2"]
+    return batch
 
 
 def _pair_index(h1, h2) -> dict:
@@ -441,21 +464,12 @@ def update_kg(existing_path: str,
 
     from ..stages.graph_ops import _row_hashes
 
-    def add_hash_cols(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[c for c in TRIPLE_COLS if c in batch.columns]] \
-            .reindex(columns=TRIPLE_COLS, fill_value="")
-        h = _row_hashes(batch)
-        batch = batch.copy()
-        batch["_h1"] = h["h1"]
-        batch["_h2"] = h["h2"]
-        return batch
-
     # materialize ONCE, with the hash pair attached — the delta is
     # hashed a single time and both the q collection and the final
     # filter reuse the columns
     new_hashed = build_kg(sf_dir=sf_dir, transcripts_path=transcripts_path,
                           final_sort=False, **build_kwargs) \
-        .map_batches(add_hash_cols, batch_format="pandas").materialize()
+        .map_batches(_add_hash_cols, batch_format="pandas").materialize()
     qdf = new_hashed.select_columns(["_h1", "_h2"]).to_pandas()
     q_idx = _pair_index(qdf["_h1"].to_numpy(), qdf["_h2"].to_numpy())
     # broadcast PLAIN int64 arrays: plasma zero-copies plain numeric
@@ -469,15 +483,30 @@ def update_kg(existing_path: str,
         q = ray.get(q_ref)  # zero-copy reads for the member arrays
         if not len(q["s1"]) or not len(batch):
             return pd.DataFrame({"_qi": pd.Series([], dtype=np.int64)})
-        cols = [c for c in TRIPLE_COLS if c in batch.columns]
-        h = _row_hashes(batch[cols].reindex(columns=TRIPLE_COLS,
-                                            fill_value=""))
-        m, pos = _pair_positions(q, h["h1"], h["h2"])
+        if "_h1" in batch.columns:  # hash-carrying store layout
+            a = batch["_h1"].to_numpy()
+            b = batch["_h2"].to_numpy()
+        else:
+            cols = [c for c in TRIPLE_COLS if c in batch.columns]
+            h = _row_hashes(batch[cols].reindex(columns=TRIPLE_COLS,
+                                                fill_value=""))
+            a, b = h["h1"], h["h2"]
+        m, pos = _pair_positions(q, a, b)
         return pd.DataFrame({"_qi": pos[m]})
 
     # coalesce the store read: hive stores fragment into thousands of
-    # tiny row groups and the probe pays a fixed per-batch cost
-    existing = rd.read_parquet(existing_path, override_num_blocks=64)
+    # tiny row groups and the probe pays a fixed per-batch cost.  A
+    # store written with build_kg(store_hashes=True) carries its hash
+    # pair as columns — the probe then READS 16 B/row (column-pruned)
+    # instead of re-hashing payload.
+    import pyarrow.dataset as pads
+
+    store_schema = pads.dataset(existing_path).schema.names
+    probe_cols = (["_h1", "_h2"]
+                  if "_h1" in store_schema and "_h2" in store_schema
+                  else None)
+    existing = rd.read_parquet(existing_path, columns=probe_cols,
+                               override_num_blocks=64)
     hit_qi = existing.map_batches(probe_store, batch_format="pandas",
                                   batch_size=65536) \
         .to_pandas()["_qi"].to_numpy()

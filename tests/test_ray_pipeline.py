@@ -500,3 +500,41 @@ def test_pair_index_membership_with_dup_h1():
     keep = _subset_index(idx, np.array([True, True, False, True, True]))
     m2 = _pair_member(keep, qa, qb)
     assert list(m2) == [True, False, True, False, True, True, False, False]
+
+
+def test_update_kg_hash_carrying_store(ray_session, tmp_path):
+    """A store written with store_hashes=True carries _h1/_h2 columns;
+    update_kg probes it by reading just those (no payload re-hash) and
+    produces the SAME additions as against a plain store."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg, update_kg
+    from orionbelt_ontology_builder_ray.sources.transcripts import (
+        derive_transcripts,
+    )
+
+    tdir = str(tmp_path / "transcripts")
+    derive_transcripts(SF).write_parquet(tdir)
+    import glob
+
+    files = sorted(glob.glob(tdir + "/*.parquet"))
+    a_files, b_files = files[: len(files) // 2] or files[:1], files
+
+    plain = str(tmp_path / "plain")
+    hashed = str(tmp_path / "hashed")
+    build_kg(SF, transcripts_path=a_files, final_sort=False,
+             output_path=plain)
+    build_kg(SF, transcripts_path=a_files, final_sort=False,
+             output_path=hashed, store_hashes=True)
+    sch = rd.read_parquet(hashed).schema().names
+    assert "_h1" in sch and "_h2" in sch
+
+    add_plain = update_kg(plain, sf_dir=SF, transcripts_path=b_files) \
+        .to_pandas()
+    add_hashed = update_kg(hashed, sf_dir=SF, transcripts_path=b_files) \
+        .to_pandas()
+    assert set(map(tuple, add_plain[TRIPLE_COLS].to_numpy())) \
+        == set(map(tuple, add_hashed[TRIPLE_COLS].to_numpy()))
+    # zero-addition against the hashed store
+    assert update_kg(hashed, sf_dir=SF,
+                     transcripts_path=a_files).count() == 0

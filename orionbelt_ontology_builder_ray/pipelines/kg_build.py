@@ -315,9 +315,25 @@ def build_kg(sf_dir: Optional[str] = None,
     return triples
 
 
+def _hashed_schema():
+    import pyarrow as pa
+
+    return pa.schema([(c, pa.string()) for c in TRIPLE_COLS]
+                     + [("_h1", pa.int64()), ("_h2", pa.int64())])
+
+
 def _add_hash_cols(batch):
     """Append the collision-safe 128-bit content-hash pair (two
-    independent int64 hashes) of the 6-column triple identity."""
+    independent int64 hashes) of the 6-column triple identity.
+
+    Hashing stays pandas (`hash_pandas_object` — the store-probe side
+    must reproduce these bit-for-bit), but the RETURN is an arrow
+    table with a pinned schema: downstream consumers (q collect,
+    fresh filter, parquet write) then read the materialized delta
+    zero-copy, and 0-row batches keep typed string columns instead of
+    pandas object columns (whose 0-row size estimation logs errors)."""
+    import pyarrow as pa
+
     from ..stages.graph_ops import _row_hashes
 
     batch = batch[[c for c in TRIPLE_COLS if c in batch.columns]] \
@@ -326,7 +342,8 @@ def _add_hash_cols(batch):
     batch = batch.copy()
     batch["_h1"] = h["h1"]
     batch["_h2"] = h["h2"]
-    return batch
+    return pa.Table.from_pandas(batch, schema=_hashed_schema(),
+                                preserve_index=False)
 
 
 def _pair_index(h1, h2) -> dict:
@@ -334,17 +351,22 @@ def _pair_index(h1, h2) -> dict:
     int64 numpy ops.
 
     Structured-dtype ``np.sort``/``searchsorted`` are comparison-based
-    (measured 20 s to sort 3.7M pairs); instead the pairs are lexsorted
-    into two parallel int64 arrays.  The fast path treats ``s1`` (the
-    leading 64-bit hash) as unique — among n 64-bit hashes the expected
-    duplicate count is ~n^2/2^65, i.e. ~0 below billions of rows — and
-    the rare duplicated-h1 groups are carried in an exact side table so
-    membership stays collision-safe in all cases."""
+    (measured 20 s to sort 3.7M pairs); instead the pairs are sorted by
+    ``h1`` alone with numpy's stable integer argsort (radix — measured
+    2.6x faster than ``np.lexsort``'s two merge passes on 3.7M rows)
+    into two parallel int64 arrays.  Within an equal-``h1`` run the
+    ``h2`` order is irrelevant: lookups on duplicated ``h1`` keys go
+    through the exact side table, which records positions from the
+    final arrays.  The fast path treats ``s1`` (the leading 64-bit
+    hash) as unique — among n 64-bit hashes the expected duplicate
+    count is ~n^2/2^65, i.e. ~0 below billions of rows — and the rare
+    duplicated-h1 groups are carried in the side table so membership
+    stays collision-safe in all cases."""
     import numpy as np
 
     h1 = np.asarray(h1, dtype=np.int64)
     h2 = np.asarray(h2, dtype=np.int64)
-    order = np.lexsort((h2, h1))
+    order = np.argsort(h1, kind="stable")
     s1, s2 = np.ascontiguousarray(h1[order]), np.ascontiguousarray(h2[order])
     return {"s1": s1, "s2": s2, **_dup_side_table(s1, s2)}
 
@@ -457,6 +479,8 @@ def update_kg(existing_path: str,
     ``_h1/_h2`` as store columns so the probe pass reads 16 B/row
     instead of hashing payload.
     """
+    import time
+
     import numpy as np
     import pandas as pd
     import ray
@@ -464,14 +488,48 @@ def update_kg(existing_path: str,
 
     from ..stages.graph_ops import _row_hashes
 
+    _prof = os.environ.get("GRAFT_UPDATE_PROFILE")
+    _t = time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t
+        if _prof:
+            now = time.time()
+            print(f"[update_kg] {phase}: {now - _t:.2f}s", flush=True)
+            _t = now
+
     # materialize ONCE, with the hash pair attached — the delta is
     # hashed a single time and both the q collection and the final
     # filter reuse the columns
     new_hashed = build_kg(sf_dir=sf_dir, transcripts_path=transcripts_path,
                           final_sort=False, **build_kwargs) \
         .map_batches(_add_hash_cols, batch_format="pandas").materialize()
-    qdf = new_hashed.select_columns(["_h1", "_h2"]).to_pandas()
-    q_idx = _pair_index(qdf["_h1"].to_numpy(), qdf["_h2"].to_numpy())
+    _mark("build+hash+materialize")
+    # collect the q hash pairs arrow-native: per-block zero-copy int64
+    # chunks concatenated once (`.to_pandas()` here paid a pandas
+    # block-consolidation pass over the full delta — measured 3-4x the
+    # cost of the raw 16 B/row fetch)
+    q_tables = ray.get(
+        new_hashed.select_columns(["_h1", "_h2"]).to_arrow_refs())
+
+    def _col(name):
+        # tolerate both block kinds: Ray 2.49's to_arrow_refs hands
+        # back the underlying block, which a Project stage can leave
+        # as a pandas block
+        chunks = []
+        for t in q_tables:
+            if hasattr(t, "column"):  # pyarrow.Table
+                if t.num_rows:
+                    chunks.extend(c.to_numpy(zero_copy_only=False)
+                                  for c in t.column(name).chunks)
+            elif len(t):  # pandas.DataFrame
+                chunks.append(t[name].to_numpy())
+        return (np.concatenate(chunks) if chunks
+                else np.empty(0, dtype=np.int64))
+
+    _mark("q collect")
+    q_idx = _pair_index(_col("_h1"), _col("_h2"))
+    _mark("q index")
     # broadcast PLAIN int64 arrays: plasma zero-copies plain numeric
     # ndarrays (structured dtypes pickle — a per-task deserialization
     # of the full hash set was measured pathological, ~60 MB copied per
@@ -510,6 +568,7 @@ def update_kg(existing_path: str,
     hit_qi = existing.map_batches(probe_store, batch_format="pandas",
                                   batch_size=65536) \
         .to_pandas()["_qi"].to_numpy()
+    _mark("store probe")
     # fresh = sorted-q positions never hit — an O(n) scatter; the kept
     # arrays inherit sorted order, so no second index build is needed
     hit_mask = np.zeros(len(q_idx["s1"]), dtype=bool)
@@ -517,19 +576,27 @@ def update_kg(existing_path: str,
         hit_mask[hit_qi] = True
     keep_ref = ray.put(_subset_index(q_idx, ~hit_mask))
 
-    def filter_fresh(batch: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def filter_fresh(batch: "pa.Table") -> "pa.Table":
         # plain task (not an actor pool): ray.get of plain numpy arrays
         # is a zero-copy plasma read (see q_ref note above).  The hash
         # pair was attached before materialization — no re-hash here.
+        # Arrow in, arrow out: the delta blocks are arrow (see
+        # _add_hash_cols), the filter is a zero-copy mask, and 0-hit
+        # batches come out as TYPED empty string columns — schema-
+        # stable, so no pandas 0-row size-estimator errors and no
+        # mixed-schema executor warnings.
         keep = ray.get(keep_ref)
-        if not len(keep["s1"]) or not len(batch):
-            return batch[TRIPLE_COLS].iloc[:0]
-        m = _pair_member(keep, batch["_h1"].to_numpy(),
-                         batch["_h2"].to_numpy())
-        return batch.loc[m, TRIPLE_COLS]
+        if not len(keep["s1"]) or not batch.num_rows:
+            return batch.select(TRIPLE_COLS).slice(0, 0)
+        m = _pair_member(keep, batch.column("_h1").to_numpy(),
+                         batch.column("_h2").to_numpy())
+        return batch.select(TRIPLE_COLS).filter(pa.array(m))
 
-    added = new_hashed.map_batches(filter_fresh, batch_format="pandas")
+    added = new_hashed.map_batches(filter_fresh, batch_format="pyarrow")
     if output_path:
         added = added.materialize()
         added.write_parquet(output_path)
+    _mark("fresh filter (lazy)" if not output_path else "fresh filter+write")
     return added

@@ -476,9 +476,11 @@ def test_build_kg_kernel_ab_same_output(ray_session):
 
 
 def test_pair_index_membership_with_dup_h1():
-    """The lexsorted pair index stays collision-safe when the leading
+    """The sorted pair index stays collision-safe when the leading
     64-bit hash collides: duplicated-h1 groups resolve via the exact
-    side table, with correct positions."""
+    side table, with correct positions.  (The contract is h1-sorted
+    arrays + exact pair membership; the within-run h2 order is
+    unspecified — the single-key stable argsort keeps input order.)"""
     import numpy as np
 
     from orionbelt_ontology_builder_ray.pipelines.kg_build import (
@@ -489,15 +491,22 @@ def test_pair_index_membership_with_dup_h1():
     h2 = np.array([10, 30, 20, 1, 7], dtype=np.int64)
     idx = _pair_index(h1, h2)
     assert list(idx["s1"]) == [2, 5, 5, 5, 9]
-    assert list(idx["s2"]) == [1, 10, 20, 30, 7]
+    assert sorted(zip(idx["s1"], idx["s2"])) \
+        == sorted(zip(h1.tolist(), h2.tolist()))
     qa = np.array([5, 5, 5, 5, 2, 9, 9, 4], dtype=np.int64)
     qb = np.array([10, 20, 30, 99, 1, 7, 8, 4], dtype=np.int64)
     m, pos = _pair_positions(idx, qa, qb)
     assert list(m) == [True, True, True, False, True, True, False, False]
-    assert [int(p) for p, ok in zip(pos, m) if ok] == [1, 2, 3, 0, 4]
+    # each hit position must point at exactly the queried pair
+    for a, b, p, ok in zip(qa.tolist(), qb.tolist(), pos.tolist(), m):
+        if ok:
+            assert (int(idx["s1"][p]), int(idx["s2"][p])) == (a, b)
     assert list(_pair_member(idx, qa, qb)) == list(m)
-    # subset keeps sorted order and rebuilds the dup table
-    keep = _subset_index(idx, np.array([True, True, False, True, True]))
+    # subset keeps sorted order and rebuilds the dup table: drop the
+    # pair (5, 20) by value, wherever the sort placed it
+    drop = (idx["s1"] == 5) & (idx["s2"] == 20)
+    assert drop.sum() == 1
+    keep = _subset_index(idx, ~drop)
     m2 = _pair_member(keep, qa, qb)
     assert list(m2) == [True, False, True, False, True, True, False, False]
 

@@ -45,6 +45,11 @@ def main(argv=None) -> int:
                     help="incremental ingest: anti-join the new "
                          "triples against this existing triples store "
                          "and write ONLY the additions to --output")
+    ap.add_argument("--store-hashes", action="store_true",
+                    help="persist the 128-bit content-hash pair as "
+                         "_h1/_h2 store columns (16 B/row) so later "
+                         "--update-from probes read the pruned hash "
+                         "columns instead of re-hashing the payload")
     args = ap.parse_args(argv)
 
     import ray
@@ -83,6 +88,7 @@ def main(argv=None) -> int:
             partition_buckets=(args.partition_buckets
                                if not args.sort else None),
             output_path=args.output,
+            store_hashes=args.store_hashes,
         )
     wall = time.time() - t0
 

@@ -537,20 +537,29 @@ def update_kg(existing_path: str,
     # were ALSO pathological: 20 s to sort 3.7M pairs vs 0.5 s lexsort)
     q_ref = ray.put(q_idx)
 
-    def probe_store(batch: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def probe_store(batch: "pa.Table") -> "pa.Table":
+        # arrow in (zero-copy from the parquet read): a hash-carrying
+        # store probes via two zero-copy int64 column views and never
+        # builds a pandas frame; a plain store converts the payload to
+        # pandas ONLY to reproduce the `hash_pandas_object` bits (the
+        # same conversion the pandas batch_format would have done).
         q = ray.get(q_ref)  # zero-copy reads for the member arrays
-        if not len(q["s1"]) or not len(batch):
-            return pd.DataFrame({"_qi": pd.Series([], dtype=np.int64)})
-        if "_h1" in batch.columns:  # hash-carrying store layout
-            a = batch["_h1"].to_numpy()
-            b = batch["_h2"].to_numpy()
+        names = batch.schema.names
+        if not len(q["s1"]) or not batch.num_rows:
+            return pa.table({"_qi": pa.array([], type=pa.int64())})
+        if "_h1" in names:  # hash-carrying store layout
+            a = batch.column("_h1").to_numpy(zero_copy_only=False)
+            b = batch.column("_h2").to_numpy(zero_copy_only=False)
         else:
-            cols = [c for c in TRIPLE_COLS if c in batch.columns]
-            h = _row_hashes(batch[cols].reindex(columns=TRIPLE_COLS,
-                                                fill_value=""))
+            df = batch.select([c for c in TRIPLE_COLS if c in names]) \
+                .to_pandas()
+            h = _row_hashes(df.reindex(columns=TRIPLE_COLS,
+                                       fill_value=""))
             a, b = h["h1"], h["h2"]
         m, pos = _pair_positions(q, a, b)
-        return pd.DataFrame({"_qi": pos[m]})
+        return pa.table({"_qi": pa.array(pos[m], type=pa.int64())})
 
     # coalesce the store read: hive stores fragment into thousands of
     # tiny row groups and the probe pays a fixed per-batch cost.  A
@@ -565,9 +574,17 @@ def update_kg(existing_path: str,
                   else None)
     existing = rd.read_parquet(existing_path, columns=probe_cols,
                                override_num_blocks=64)
-    hit_qi = existing.map_batches(probe_store, batch_format="pandas",
-                                  batch_size=65536) \
-        .to_pandas()["_qi"].to_numpy()
+    hit_tables = ray.get(
+        existing.map_batches(probe_store, batch_format="pyarrow",
+                             batch_size=65536).to_arrow_refs())
+    hit_chunks = [c.to_numpy(zero_copy_only=False)
+                  for t in hit_tables
+                  if hasattr(t, "num_rows") and t.num_rows
+                  for c in t.column("_qi").chunks] \
+        + [t["_qi"].to_numpy() for t in hit_tables
+           if not hasattr(t, "num_rows") and len(t)]
+    hit_qi = (np.concatenate(hit_chunks) if hit_chunks
+              else np.empty(0, dtype=np.int64))
     _mark("store probe")
     # fresh = sorted-q positions never hit — an O(n) scatter; the kept
     # arrays inherit sorted order, so no second index build is needed

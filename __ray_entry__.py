@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tool_usage": q.kg_tool_usage,
         "kg_mentions_by_entity": q.kg_mentions_by_entity,
         "kg_gazetteer_mentions": q.kg_gazetteer_mentions,
+        "kg_ner_mentions": q.kg_ner_mentions,
         "kg_search": q.kg_search,
         "kg_duplicate_labels": q.kg_duplicate_labels,
         "kg_delete_impact": q.kg_delete_impact,
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_tool_usage": o.sql_kg_tool_usage(),
         "kg_mentions_by_entity": o.sql_kg_mentions_by_entity(),
         "kg_gazetteer_mentions": o.sql_kg_gazetteer_mentions(),
+        "kg_ner_mentions": o.sql_kg_ner_mentions(),
         "kg_search": o.sql_kg_search(),
         "kg_duplicate_labels": o.sql_kg_duplicate_labels(),
         "kg_delete_impact": o.sql_kg_delete_impact(),

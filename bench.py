@@ -226,6 +226,10 @@ def run_bench() -> dict:
     q.kg_gazetteer_mentions(SF_DIR).count()
     queries["kg_gazetteer_mentions"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    q.kg_ner_mentions(SF_DIR).count()
+    queries["kg_ner_mentions"] = round(time.time() - t0, 3)
+
     # incremental ingest (update_kg): the 16 B/row anti-join claim gets
     # a recorded number.  zero-addition: existing store == headline
     # output, new == the same transcripts -> re-extract + anti-join,

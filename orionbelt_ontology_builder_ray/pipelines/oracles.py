@@ -313,6 +313,88 @@ JOIN aliases a
 GROUP BY 1, 2 ORDER BY entity"""
 
 
+def _ngram_list_sql(padded_expr: str) -> str:
+    """DuckDB list of character n-grams (n in [2,4], with duplicates)
+    of an already-^$-padded string expression — mirrors
+    stages.ner.char_ngrams exactly (i in 0..len-k -> substr 1-based)."""
+    parts = [
+        f"list_transform(range(1, len({padded_expr}) - {k - 2}), "
+        f"i -> substr({padded_expr}, CAST(i AS INTEGER), {k}))"
+        for k in (2, 3, 4)
+    ]
+    return " || ".join(parts)
+
+
+def sql_kg_ner_mentions() -> str:
+    """Mirror of queries.kg_ner_mentions: the ENTIRE naive-Bayes
+    train+score pipeline re-expressed in SQL — training n-gram counts
+    from the same nation/region tables + the same background word
+    list, identical md5 feature hashing (stages/ner.py contract),
+    Laplace ln-arithmetic, argmax with (score DESC, label ASC)
+    tie-break matching numpy argmax over sorted classes.  Output is
+    strings + BIGINT only, so float summation-order differences cannot
+    perturb the value hash (the argmax margins are O(1))."""
+    from ..stages.ner import DEFAULT_BACKGROUND, N_FEATURES
+
+    bg = ",\n    ".join(f"({_sql_str(w)})" for w in DEFAULT_BACKGROUND)
+    feat = ("CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT) % "
+            f"{N_FEATURES}")
+    cand_re = _sql_str(r"\b[A-Z][A-Z0-9_]+(?: [A-Z][A-Z0-9_]+)*\b")
+    return f"""
+WITH {transcripts_cte()},
+train AS (
+  SELECT lower(n_name) AS ex, 'place' AS label FROM nation
+  UNION ALL SELECT lower(r_name), 'region' FROM region
+  UNION ALL SELECT w, 'background' FROM (VALUES
+    {bg}) AS b(w)),
+priors AS (
+  SELECT label,
+         ln(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM train)) AS lp
+  FROM train GROUP BY label),
+tgrams AS (
+  SELECT label, unnest({_ngram_list_sql("p")}) AS g
+  FROM (SELECT label, '^' || ex || '$' AS p FROM train)),
+tfeat AS (SELECT label, {feat} AS f FROM tgrams),
+counts AS (
+  SELECT label, f, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM tfeat GROUP BY label, f),
+totals AS (
+  SELECT label, CAST(COUNT(*) AS DOUBLE) AS tot
+  FROM tfeat GROUP BY label),
+cands AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, {cand_re})) AS mention
+  FROM transcripts),
+cand_turns AS (SELECT DISTINCT conv_id, turn_idx, mention FROM cands),
+spans AS (SELECT DISTINCT mention FROM cands),
+sfeat AS (
+  SELECT mention, {feat} AS f
+  FROM (SELECT mention, unnest({_ngram_list_sql("p")}) AS g
+        FROM (SELECT mention, '^' || lower(mention) || '$' AS p
+              FROM spans))),
+scored AS (
+  SELECT s.mention, t.label,
+         ANY_VALUE(p.lp)
+           + SUM(ln(COALESCE(c.c, 0) + 1) - ln(t.tot + {N_FEATURES}))
+           AS score
+  FROM sfeat s
+  CROSS JOIN totals t
+  JOIN priors p ON p.label = t.label
+  LEFT JOIN counts c ON c.label = t.label AND c.f = s.f
+  GROUP BY s.mention, t.label, t.tot),
+best AS (
+  SELECT mention, label,
+         row_number() OVER (PARTITION BY mention
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM scored)
+SELECT ct.mention, b.label,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM cand_turns ct
+JOIN best b ON b.mention = ct.mention AND b.rn = 1
+WHERE b.label <> 'background'
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 _EN_STOP = ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that")
 _DE_STOP = ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu")
 _FR_STOP = ("le", "la", "les", "et", "est", "un", "une", "dans", "pour")

@@ -401,6 +401,52 @@ def kg_gazetteer_mentions(sf_dir):
         final_sum, batch_size=None, batch_format="pandas")
 
 
+def kg_ner_mentions(sf_dir):
+    """Statistical-NER mention scan over turn text: candidate all-caps
+    spans classified by a character-n-gram naive Bayes (trained at run
+    time from the alias dictionary + a built-in background vocabulary,
+    stages/ner.py), counted as distinct mentioning turns per
+    (mention, label).
+
+    Same shuffle-free shape as kg_gazetteer_mentions: a turn lives in
+    exactly one batch, the scanner dedups (turn, mention) per batch,
+    so per-batch counts are exact partials; the model parameters
+    (~1.5 MB) broadcast once; classification is memoised per unique
+    surface form.  Unlike the gazetteer this generalizes to surface
+    forms ABSENT from the dictionary (morphology, not membership).
+    Fully oracle-checked: the DuckDB mirror re-trains and re-scores
+    the same NB from the same tables (sql_kg_ner_mentions)."""
+    import ray
+
+    from ..stages.link import build_alias_dict
+    from ..stages.ner import NERMentionScanner, train_from_aliases
+
+    model_ref = ray.put(train_from_aliases(build_alias_dict(sf_dir)))
+
+    class ScanCount:
+        def __init__(self):
+            self.scan = NERMentionScanner(model_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = self.scan(batch)
+            out = m.groupby(["mention", "label"], sort=False) \
+                .size().reset_index(name="n")
+            out["n"] = out["n"].astype(np.int64)
+            return out
+
+    partials = _transcripts(sf_dir).map_batches(
+        ScanCount, batch_format="pandas", concurrency=pool_size())
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["mention", "label"], sort=False)["n"] \
+            .sum().reset_index(name="n_turns")
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out
+
+    return partials.repartition(1).map_batches(
+        final_sum, batch_size=None, batch_format="pandas")
+
+
 def ann_topk_query(sf_dir, query_vec_id=0, k=10):
     import pyarrow.parquet as pq
 

@@ -248,8 +248,12 @@ def run_bench() -> dict:
     queries["update_kg_zero"] = round(time.time() - t0, 3)
     assert n_zero == 0, n_zero
 
+    # select the first REPL//2 replica dirs (by index, not the fixed
+    # {r0, r1} set — with REPL<=2 that set IS the full input and the
+    # "half" update would silently measure the zero-addition case)
+    half_ids = {f"{os.sep}r{i}{os.sep}" for i in range(max(1, REPL // 2))}
     half = [p for p in transcript_dirs
-            if f"{os.sep}r0{os.sep}" in p or f"{os.sep}r1{os.sep}" in p] \
+            if any(h in p for h in half_ids)] \
         or transcript_dirs[: max(1, len(transcript_dirs) // 2)]
     half_store = os.environ.get("GRAFT_BENCH_HALF", "/dev/shm/bench_kg_half")
     shutil.rmtree(half_store, ignore_errors=True)

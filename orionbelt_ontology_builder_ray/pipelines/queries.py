@@ -358,8 +358,16 @@ def events_hourly(sf_dir):
 
 def kg_gazetteer_mentions(sf_dir):
     """Dictionary-NER mention scan over UNMARKED turn text: how many
-    distinct turns mention each known entity (word-bounded alias
-    regex, no ``[...]`` markup required).
+    distinct turns mention each known (entity, surface) pair
+    (word-bounded alias regex, no ``[...]`` markup required).
+
+    Granularity note: counts are per (entity, SURFACE) — exactly what
+    the SQL oracle computes.  With a multi-surface dictionary
+    (alias_dict_from_store: skos:altLabel), a turn matching two
+    surfaces of one entity appears under both surfaces; summing
+    n_turns across an entity's surfaces therefore over-counts distinct
+    turns — aggregate with a distinct-turn pass if per-ENTITY turn
+    counts are needed.
 
     Shuffle-free exact count: each turn is ONE input row living in
     exactly one batch, and the scanner dedups (turn, entity) within
@@ -643,14 +651,20 @@ def kg_viz_nodes(sf_dir, max_nodes=500):
         df = m.select(["subject", "object"]).to_pandas()
         part = (df.sort_values(["subject", "object"])
                 .drop_duplicates("subject").head(max_nodes))
-        return pa.table({"subject": part["subject"].tolist(),
-                         "object": part["object"].tolist()})
+        # pinned string schema: a block with no type rows must emit
+        # typed-empty string columns, not pa null columns (which log a
+        # schema-mismatch warning and would fail the driver's schema
+        # compare on an all-empty result)
+        return pa.table({
+            "subject": pa.array(part["subject"].tolist(), pa.string()),
+            "object": pa.array(part["object"].tolist(), pa.string())})
 
     parts = ds.map_batches(typed_top, batch_format="pyarrow").to_pandas()
     nodes = (parts.sort_values(["subject", "object"])
              .drop_duplicates("subject").head(max_nodes))
-    return pa.table({"subject": nodes["subject"].tolist(),
-                     "node_type": nodes["object"].tolist()})
+    return pa.table({
+        "subject": pa.array(nodes["subject"].tolist(), pa.string()),
+        "node_type": pa.array(nodes["object"].tolist(), pa.string())})
 
 
 def kg_annotations(sf_dir, entity_local="place-nation_1"):

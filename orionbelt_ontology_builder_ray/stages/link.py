@@ -237,7 +237,12 @@ class ExtractLinkFusedArrow:
                     if uri is not None:
                         m_subj.append(turn)
                         m_obj.append(uri)
-                        ents[uri] = key
+                        # FIRST surface wins per entity — the pandas
+                        # kernel's drop_duplicates("uri") keeps the
+                        # first occurrence; setdefault preserves the
+                        # byte-identical-output parity for multi-alias
+                        # dictionaries (two surfaces -> one URI)
+                        ents.setdefault(uri, key)
             if m_subj:
                 parts.append(self._const_table(
                     pa.array(m_subj, pa.string()), KG_MENTIONS,

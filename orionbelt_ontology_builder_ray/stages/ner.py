@@ -90,7 +90,6 @@ class NaiveBayesNER:
         self.classes: List[str] = []
         self.log_prior: np.ndarray = np.zeros(0)
         self.log_lik: np.ndarray = np.zeros((0, N_FEATURES))
-        self.log_miss: np.ndarray = np.zeros(0)  # unseen-feature term
 
     def fit(self, examples: Iterable[Tuple[str, str]]) -> "NaiveBayesNER":
         examples = list(examples)
@@ -104,8 +103,9 @@ class NaiveBayesNER:
             for g in char_ngrams(text.casefold()):
                 counts[i, feature_index(g)] += 1.0
         totals = counts.sum(axis=1, keepdims=True)
+        # unseen features need no special path: log(0+1) - log(tot+N)
+        # falls out of the dense smoothed matrix
         self.log_lik = np.log(counts + 1.0) - np.log(totals + N_FEATURES)
-        self.log_miss = (-np.log(totals + N_FEATURES)).ravel()
         self.log_prior = np.log(n_examples / n_examples.sum())
         return self
 
@@ -151,11 +151,18 @@ class NERMentionScanner:
     exploits), so per-batch (turn, mention) dedup is globally exact.
 
     ``model_ref`` may be a NaiveBayesNER (tests) or a ``ray.ObjectRef``
-    (broadcast path).  Per-batch classification is memoised per unique
-    surface form — vocabulary-scale, not corpus-scale.
+    (broadcast path).  Classification is memoised per unique surface
+    form with a bounded cache (``cache_limit``): on natural-language
+    corpora distinct spans are vocabulary-scale, but machine-generated
+    text can mint a unique all-caps token per turn (ORDER_12345, hex
+    ids), which would grow an unbounded memo for the actor's lifetime
+    — the cap clears the memo and lets hot spans re-warm.
     """
 
-    def __init__(self, model_ref, base: str = KG):
+    CACHE_LIMIT = 1 << 16
+
+    def __init__(self, model_ref, base: str = KG,
+                 cache_limit: int = CACHE_LIMIT):
         try:
             import ray
 
@@ -165,6 +172,7 @@ class NERMentionScanner:
             pass
         self.model: NaiveBayesNER = model_ref
         self.base = base
+        self.cache_limit = cache_limit
         # extractall requires a capture group
         self.rx = re.compile("(" + CANDIDATE_PATTERN + ")")
         self._cache: Dict[str, str] = {}
@@ -173,6 +181,8 @@ class NERMentionScanner:
         lab = self._cache.get(span)
         if lab is None:
             lab = self.model.predict([span])[0]
+            if len(self._cache) >= self.cache_limit:
+                self._cache.clear()
             self._cache[span] = lab
         return lab
 

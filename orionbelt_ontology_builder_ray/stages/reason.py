@@ -675,10 +675,18 @@ def apply_owl_closure(ds, max_rounds: int = 5, profile: str = "owl-rl",
         if ext and owl["keys"]:
             same = has_key_same_as_edges(out.materialize(), owl["keys"])
             out = dedup_triples(out.union(same))
-        if replicate_same_as_stmts:
-            out = dedup_triples(replicate_same_as(out.materialize()))
         out = out.materialize()
         grown = out.count()
+        if grown == total and replicate_same_as_stmts:
+            # run replication only once the rule stages are stable:
+            # both operators are monotone, so interleaving order does
+            # not change the joint fixpoint — but replicating every
+            # round paid a full-corpus expansion pass + dedup shuffle
+            # per round even when no sameAs state had changed.  If
+            # replication adds rows, the loop continues and the rules
+            # see them next round.
+            out = dedup_triples(replicate_same_as(out)).materialize()
+            grown = out.count()
         if grown == total:
             break
         total = grown

@@ -444,6 +444,41 @@ def test_arrow_fused_equals_pandas_fused(kw):
     pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
 
 
+def test_arrow_fused_multi_alias_parity():
+    """Two surfaces mapping to ONE entity URI (the alias_dict_from_store
+    shape: skos:altLabel): both kernels must pick the SAME surface for
+    the entity's prefLabel (first occurrence in batch order) — the
+    arrow kernel previously kept the LAST surface seen."""
+    from orionbelt_ontology_builder_ray.stages.link import (
+        ExtractLinkFused, ExtractLinkFusedArrow,
+    )
+
+    uri = "http://example.org/kg#place-usa"
+    cls = "http://example.org/kg#Place"
+    alias = {"usa": (uri, cls, "USA"),
+             "united states": (uri, cls, "United States")}
+    batch = pd.DataFrame({
+        "conv_id": ["c1", "c1"],
+        "turn_idx": [0, 1],
+        "role": ["user", "assistant"],
+        "text": ["ship to [USA] tomorrow",
+                 "confirming [United States] then [USA]"],
+        "tool": ["", ""],
+        "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:01:00"]),
+    })
+    kw = dict(emit_ts=False, with_dedup_hash=False, with_local_dedup=True)
+    out_pd = ExtractLinkFused(alias, **kw)(batch)
+    if not isinstance(out_pd, pd.DataFrame):
+        out_pd = out_pd.to_pandas()
+    out_pa = ExtractLinkFusedArrow(alias, **kw)(
+        pa.Table.from_pandas(batch, preserve_index=False)).to_pandas()
+    cols = sorted(out_pd.columns)
+    pd.testing.assert_frame_equal(
+        out_pd[cols].sort_values(cols).reset_index(drop=True),
+        out_pa[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+
+
 def test_arrow_fused_edge_batches():
     """Empty batch and mention-free/tool-free batch keep a stable
     6-column string schema (the round-2 empty-block lesson)."""

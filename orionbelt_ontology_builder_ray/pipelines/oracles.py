@@ -567,6 +567,36 @@ def sql_multimodal_decode(num_items: int = 64, seed: int = 42) -> str:
             "AS m(media_id, kind, width, height, n_bytes) ORDER BY media_id")
 
 
+def sql_multimodal_frames(num_items: int = 64, seed: int = 42,
+                          n_frames: int = 4, fps: float = 2.0) -> str:
+    """VALUES mirror of queries.multimodal_frames — the seeded media
+    generator and the blake2b(payload || frame_idx) fake frame are
+    re-derived independently here (same single-source-of-truth pattern
+    as sql_multimodal_decode)."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(num_items):
+        payload = rng.bytes(256 + (i % 7) * 64)
+        if kinds[i % 3] != "video":
+            continue
+        for f in range(n_frames):
+            frame = hashlib.blake2b(payload + f.to_bytes(4, "big"),
+                                    digest_size=64).digest()
+            rows.append((i, f, f / fps, frame[:8].hex()))
+    values = ",\n  ".join(
+        f"(CAST({m} AS BIGINT), CAST({f} AS BIGINT), "
+        f"CAST({t} AS DOUBLE), {_sql_str(hx)})"
+        for m, f, t, hx in rows)
+    return (f"SELECT * FROM (VALUES\n  {values}\n) "
+            "AS fr(media_id, frame_idx, ts_sec, frame_hex) "
+            "ORDER BY media_id, frame_idx")
+
+
 def sql_ann_topk(query_vec_id: int = 0, k: int = 10) -> str:
     """Brute-force cosine top-k against one stored query vector."""
     return f"""

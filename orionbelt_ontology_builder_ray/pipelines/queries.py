@@ -504,6 +504,29 @@ def multimodal_decode(sf_dir):
     return decoded.drop_columns(["features"])
 
 
+def multimodal_frames(sf_dir):
+    """Frame sampling over the synthetic media table: every video row
+    fans out to 4 frames at 2 fps.  Payloads are summarized as the
+    leading-8-byte hex of the deterministic fake frame (binary columns
+    don't survive a VALUES oracle; the hex pins the content).  All
+    timestamps are exact binary fractions (i/2), so the float column
+    hash-compares exactly."""
+    from ..stages.multimodal import sample_frames, synthesize_media_dataset
+
+    frames = sample_frames(synthesize_media_dataset(num_items=64),
+                           n_frames=4, fps=2.0, fake=True)
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": batch["media_id"].astype(np.int64),
+            "frame_idx": batch["frame_idx"].astype(np.int64),
+            "ts_sec": batch["ts_sec"].astype(np.float64),
+            "frame_hex": [bytes(p)[:8].hex() for p in batch["payload"]],
+        })
+
+    return frames.map_batches(summarize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # distributed graph ops / listings / reasoning queries
 # ---------------------------------------------------------------------------

@@ -546,6 +546,45 @@ def test_pair_index_membership_with_dup_h1():
     assert list(m2) == [True, False, True, False, True, True, False, False]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_small_ints = st.integers(min_value=-8, max_value=8)  # force h1 collisions
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(_small_ints, _small_ints), max_size=40),
+       st.lists(st.tuples(_small_ints, _small_ints), min_size=1,
+                max_size=40))
+def test_pair_index_membership_property(index_pairs, query_pairs):
+    """_pair_index/_pair_member match a Python-set reference for ANY
+    pair multiset — including heavy duplicated-h1 groups (the tiny int
+    domain makes collisions the common case, exercising the side table
+    far harder than real 64-bit hashes ever would)."""
+    import numpy as np
+
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import (
+        _pair_index, _pair_member, _subset_index,
+    )
+
+    a = np.array([p[0] for p in index_pairs], dtype=np.int64)
+    b = np.array([p[1] for p in index_pairs], dtype=np.int64)
+    qa = np.array([p[0] for p in query_pairs], dtype=np.int64)
+    qb = np.array([p[1] for p in query_pairs], dtype=np.int64)
+    idx = _pair_index(a, b)
+    ref = set(zip(a.tolist(), b.tolist()))
+    got = _pair_member(idx, qa, qb)
+    assert [bool(g) for g in got] == [p in ref for p in query_pairs]
+    # subsetting by an arbitrary mask keeps membership exact
+    if len(idx["s1"]):
+        mask = np.arange(len(idx["s1"])) % 2 == 0
+        sub = _subset_index(idx, mask)
+        sub_ref = set(zip(idx["s1"][mask].tolist(),
+                          idx["s2"][mask].tolist()))
+        got2 = _pair_member(sub, qa, qb)
+        assert [bool(g) for g in got2] == [p in sub_ref for p in query_pairs]
+
+
 def test_update_kg_hash_carrying_store(ray_session, tmp_path):
     """A store written with store_hashes=True carries _h1/_h2 columns;
     update_kg probes it by reading just those (no payload re-hash) and

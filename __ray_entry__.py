@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.ann_ivf_query,
         "multimodal_decode": q.multimodal_decode,
         "multimodal_frames": q.multimodal_frames,
+        "events_asof_join": q.events_asof_join,
     }
     # schema-plane golden fixtures (hand-written expected outputs)
     from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_QUERIES
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": o.sql_doc_fingerprints(),
         "multimodal_decode": o.sql_multimodal_decode(),
         "multimodal_frames": o.sql_multimodal_frames(),
+        "events_asof_join": o.sql_events_asof_join(),
         "kg_classes": o.sql_kg_classes(),
         "kg_individuals_by_class": o.sql_kg_individuals_by_class(),
         "kg_inferred_types": o.sql_kg_inferred_types(),

@@ -567,6 +567,29 @@ def sql_multimodal_decode(num_items: int = 64, seed: int = 42) -> str:
             "AS m(media_id, kind, width, height, n_bytes) ORDER BY media_id")
 
 
+def sql_events_asof_join(left_type: str = "purchase",
+                         right_type: str = "view") -> str:
+    """Mirror of queries.events_asof_join via DuckDB's native ASOF
+    JOIN.  The right side is pre-deduped on (user_id, ts) keeping max
+    event_id — identical tie rule to the merge_asof implementation, so
+    the engines cannot disagree on an arbitrary equal-timestamp pick."""
+    return f"""
+WITH l AS (
+  SELECT event_id, ts, user_id FROM events
+  WHERE event_type = {_sql_str(left_type)}),
+r0 AS (
+  SELECT event_id, ts, user_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = {_sql_str(right_type)}),
+r AS (SELECT event_id, ts, user_id FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS prior_event_id, r.ts AS prior_ts
+FROM l ASOF JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""
+
+
 def sql_multimodal_frames(num_items: int = 64, seed: int = 42,
                           n_frames: int = 4, fps: float = 2.0) -> str:
     """VALUES mirror of queries.multimodal_frames — the seeded media

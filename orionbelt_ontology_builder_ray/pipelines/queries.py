@@ -649,6 +649,17 @@ def events_sessionize(sf_dir, gap_minutes=30):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def events_asof_join(sf_dir, left_type="purchase", right_type="view"):
+    """As-of join over the events log: each purchase paired with the
+    same user's most recent view at-or-before it (stages/windows.py;
+    mirrored by DuckDB's native ASOF JOIN)."""
+    from ..stages.windows import asof_join_events
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return asof_join_events(ds, left_type, right_type)
+
+
 def kg_viz_nodes(sf_dir, max_nodes=500):
     """Visualization extract: typed nodes with class, capped and
     deterministic (the reference viz caps at 500 nodes, app.py:3090).

@@ -350,6 +350,141 @@ class EntityLinker:
 # keeps tiny dicts on the simpler pattern.
 GAZETTEER_TRIE_THRESHOLD = 256
 
+# Above this many aliases even the trie REGEX stops being the right
+# engine: `re.compile` time and compiled-pattern size grow with total
+# trie chars (measured in BASELINE.md), while an Aho-Corasick automaton
+# builds in one O(total chars) pass and scans in true O(text) per
+# batch.  The AC scan is a Python-level char loop, so per-byte it
+# loses to the C regex engine — the crossover is where pattern build
+# cost (paid once per actor) and `re` internal limits dominate, i.e.
+# multi-hundred-thousand-alias gazetteers.
+GAZETTEER_AC_THRESHOLD = 200_000
+
+
+class _AhoCorasick:
+    """Aho-Corasick automaton over a fixed alias set that reproduces
+    the EXACT match semantics of the regex engines above, i.e.
+    ``re.finditer(r"\\b(<longest-first alternation>)\\b", text)``:
+
+    - occurrences are collected for every alias (classic AC);
+    - a match is valid only if both ends sit on ``\\b`` boundaries
+      (word-ness XOR across the edge, string ends count as non-word);
+    - of the valid occurrences, the leftmost match wins, ties broken
+      by LONGEST alias, and scanning resumes at the match end
+      (non-overlapping), exactly like the regex engine's scan loop.
+
+    Memory is O(total alias chars) in per-node Python dicts — the
+    documented trade for a pure-Python automaton; at multi-million
+    aliases this is the engine that still builds in seconds where
+    ``re.compile`` over the trie pattern takes minutes (BASELINE.md).
+    """
+
+    __slots__ = ("goto", "fail", "out")
+
+    def __init__(self, keys):
+        from collections import deque
+
+        goto = [{}]   # state -> {char: state}
+        out = [()]    # state -> alias lengths ending here (desc)
+        for k in keys:
+            st = 0
+            g = goto[st]
+            for ch in k:
+                nxt = g.get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append(())
+                    nxt = len(goto) - 1
+                    g[ch] = nxt
+                st = nxt
+                g = goto[st]
+            out[st] = out[st] + (len(k),)
+        fail = [0] * len(goto)
+        q = deque()
+        for s in goto[0].values():
+            q.append(s)          # depth-1: fail stays 0
+        while q:
+            r = q.popleft()
+            for ch, s in goto[r].items():
+                q.append(s)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fs = goto[f].get(ch, 0)
+                fail[s] = fs if fs != s else 0
+                if out[fail[s]]:
+                    # BFS order guarantees fail[s] (smaller depth) final
+                    merged = sorted(set(out[s] + out[fail[s]]),
+                                    reverse=True)
+                    out[s] = tuple(merged)
+        self.goto, self.fail, self.out = goto, fail, out
+
+    def occurrences(self, text: str):
+        """All raw (start, end) alias occurrences in ``text``
+        (boundary filtering and leftmost-longest selection happen in
+        the caller, vectorized)."""
+        goto, fail, out = self.goto, self.fail, self.out
+        st = 0
+        occ_s, occ_e = [], []
+        for i, ch in enumerate(text):
+            nxt = goto[st].get(ch)
+            while nxt is None and st:
+                st = fail[st]
+                nxt = goto[st].get(ch)
+            st = nxt if nxt is not None else 0
+            o = out[st]
+            if o:
+                e = i + 1
+                for length in o:
+                    occ_s.append(e - length)
+                    occ_e.append(e)
+        return occ_s, occ_e
+
+
+def _ac_scan(ac: _AhoCorasick, texts) -> tuple:
+    """Scan a batch of (already lowercased) texts with one automaton
+    pass over the ``\\x00``-joined concatenation (the separator is in
+    no alias, so matches cannot span rows and the automaton resets
+    itself via fail links).  Returns (row_indices, surfaces) after
+    boundary filtering and per-row leftmost-longest non-overlapping
+    selection — byte-identical to the regex engines' extractall.
+    """
+    import re
+
+    joined = "\x00".join(texts)
+    row_starts = np.zeros(len(texts), dtype=np.int64)
+    if len(texts) > 1:
+        np.cumsum([len(t) + 1 for t in texts[:-1]], out=row_starts[1:])
+    occ_s, occ_e = ac.occurrences(joined)
+    if not occ_s:
+        return np.array([], dtype=np.int64), []
+    # \b mask: word-ness per char, one sentinel False past the end
+    wmask = np.zeros(len(joined) + 1, dtype=bool)
+    for m in re.finditer(r"\w+", joined):
+        wmask[m.start():m.end()] = True
+    s = np.asarray(occ_s, dtype=np.int64)
+    e = np.asarray(occ_e, dtype=np.int64)
+    left_ok = np.where(s == 0, wmask[0] if len(wmask) else False,
+                       wmask[s - 1] != wmask[s])
+    right_ok = wmask[e - 1] != wmask[e]
+    valid = left_ok & right_ok
+    s, e = s[valid], e[valid]
+    if not len(s):
+        return np.array([], dtype=np.int64), []
+    order = np.lexsort((s - e, s))   # start asc, length desc
+    s, e = s[order], e[order]
+    chosen_s, chosen_e = [], []
+    pos = 0
+    for a, b in zip(s.tolist(), e.tolist()):
+        if a >= pos:
+            chosen_s.append(a)
+            chosen_e.append(b)
+            pos = b
+    rows = np.searchsorted(row_starts, np.asarray(chosen_s, dtype=np.int64),
+                           side="right") - 1
+    surfaces = [joined[a:b] for a, b in zip(chosen_s, chosen_e)]
+    return rows, surfaces
+
 
 def _trie_regex(keys) -> str:
     """Build a prefix-trie regex equivalent to longest-first
@@ -387,13 +522,15 @@ class GazetteerMentionScanner:
     dict; matches need no ``[...]`` markup (STATUS round-1 gap:
     non-bracketed mention patterns).
 
-    Engine selection: flat longest-first alternation below
-    GAZETTEER_TRIE_THRESHOLD aliases, prefix-trie regex above it
-    (same matches — see _trie_regex; pytest asserts equality on a
-    10k-alias dict).  Upgrade path for multi-million-alias gazetteers:
-    an Aho-Corasick automaton (true O(text) multi-pattern scan) —
-    not needed at the tested vocabulary sizes, where the C regex
-    engine over a trie pattern wins on constant factors.
+    Engine selection (all three produce IDENTICAL matches — pytest
+    asserts pairwise equality): flat longest-first alternation below
+    GAZETTEER_TRIE_THRESHOLD aliases, prefix-trie regex above it, and
+    an Aho-Corasick automaton (``_AhoCorasick``) above
+    GAZETTEER_AC_THRESHOLD — the multi-million-alias path, where
+    ``re.compile`` over the trie pattern stops scaling (build time and
+    pattern size are linear in total trie chars; BASELINE.md records
+    the measured crossover).  All engines build once per actor in
+    ``__init__`` and scan per batch.
 
     Emits (turn, entity, surface) rows, de-duplicated per batch; the
     per-entity aggregation happens downstream.
@@ -412,11 +549,19 @@ class GazetteerMentionScanner:
         self.alias: AliasDict = alias_ref
         self.base = base
         if engine == "auto":
-            engine = ("trie" if len(self.alias) > GAZETTEER_TRIE_THRESHOLD
-                      else "alternation")
+            if len(self.alias) > GAZETTEER_AC_THRESHOLD:
+                engine = "ac"
+            elif len(self.alias) > GAZETTEER_TRIE_THRESHOLD:
+                engine = "trie"
+            else:
+                engine = "alternation"
         self.engine = engine
+        self.rx = None
+        self.ac = None
         if not self.alias:
-            self.rx = None
+            pass
+        elif engine == "ac":
+            self.ac = _AhoCorasick(self.alias)
         elif engine == "trie":
             self.rx = re.compile(
                 r"\b(" + _trie_regex(self.alias) + r")\b")
@@ -432,17 +577,23 @@ class GazetteerMentionScanner:
             "turn": pd.Series([], dtype=str),
             "entity": pd.Series([], dtype=str),
             "surface": pd.Series([], dtype=str)})
-        if self.rx is None or not len(batch):
+        if (self.rx is None and self.ac is None) or not len(batch):
             return empty
         turn = (self.base + batch["conv_id"] + "-t"
                 + batch["turn_idx"].astype(str))
-        spans = batch["text"].str.lower().str.extractall(self.rx)
-        if not len(spans):
+        if self.ac is not None:
+            rows, surf = _ac_scan(self.ac,
+                                  batch["text"].str.lower().tolist())
+        else:
+            spans = batch["text"].str.lower().str.extractall(self.rx)
+            if not len(spans):
+                return empty
+            rows = batch.index.get_indexer(spans.index.get_level_values(0))
+            surf = spans[0].tolist()
+        if not len(surf):
             return empty
-        row_pos = batch.index.get_indexer(spans.index.get_level_values(0))
-        surf = spans[0]
         return pd.DataFrame({
-            "turn": turn.to_numpy(dtype=object)[row_pos],
+            "turn": turn.to_numpy(dtype=object)[rows],
             "entity": [self.alias[s][0] for s in surf],
             "surface": [self.alias[s][2] for s in surf],
         }).drop_duplicates()

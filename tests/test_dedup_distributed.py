@@ -208,9 +208,76 @@ def test_gazetteer_trie_engine_equals_alternation(ray_session):
     })
     out_alt = GazetteerMentionScanner(alias, engine="alternation")(batch)
     out_trie = GazetteerMentionScanner(alias, engine="trie")(batch)
+    out_ac = GazetteerMentionScanner(alias, engine="ac")(batch)
     key = ["turn", "entity", "surface"]
     a = out_alt.sort_values(key).reset_index(drop=True)
     t = out_trie.sort_values(key).reset_index(drop=True)
+    c = out_ac.sort_values(key).reset_index(drop=True)
     assert a.equals(t)
+    assert a.equals(c)
     assert (a["surface"] == "acme corporation").any()  # longest wins
     assert len(a) > 40
+
+
+def test_gazetteer_ac_engine_fuzz_equals_alternation():
+    """Seeded fuzz over adversarial alias sets (overlaps, prefixes,
+    non-word chars, word-boundary edge cases): the Aho-Corasick engine
+    reproduces the regex engine's leftmost-longest boundary-checked
+    non-overlapping matches exactly (round-3 scale path for
+    multi-million-alias gazetteers)."""
+    import random
+
+    import pandas as pd
+
+    from orionbelt_ontology_builder_ray.stages.link import GazetteerMentionScanner
+
+    rng = random.Random(99)
+    chars = "ab _-.x"
+    for trial in range(120):
+        n = rng.randint(1, 12)
+        keys = set()
+        while len(keys) < n:
+            k = "".join(rng.choices(chars, k=rng.randint(1, 6))).strip()
+            if k:
+                keys.add(k.lower())
+        alias = {k: ("e-" + k, "", k) for k in keys}
+        texts = ["".join(rng.choices(chars + "AB", k=rng.randint(0, 40)))
+                 for _ in range(3)]
+        batch = pd.DataFrame({"conv_id": [f"c{i}" for i in range(3)],
+                              "turn_idx": [0, 1, 2], "text": texts})
+        o_alt = GazetteerMentionScanner(alias, engine="alternation")(batch)
+        o_ac = GazetteerMentionScanner(alias, engine="ac")(batch)
+        key = ["turn", "entity", "surface"]
+        a = o_alt.sort_values(key).reset_index(drop=True)
+        c = o_ac.sort_values(key).reset_index(drop=True)
+        assert a.equals(c), (trial, sorted(alias), texts)
+
+
+def test_gazetteer_ac_boundary_and_overlap_semantics():
+    """Pinned edge cases: string-start/end boundaries, adjacent
+    matches, longest-at-position with an invalid trailing boundary
+    falling back to the shorter alias, and hyphenated aliases."""
+    import pandas as pd
+
+    from orionbelt_ontology_builder_ray.stages.link import GazetteerMentionScanner
+
+    alias = {k: ("e-" + k, "", k)
+             for k in ("acme", "acme corp", "x-corp", "ab", "ab cd")}
+    batch = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3", "c4"],
+        "turn_idx": [0, 1, 2, 3],
+        "text": [
+            "acme",                       # whole-string match
+            "acme corpse",                # 'acme corp' fails \b -> 'acme'
+            "x-corp ab cdx",              # 'ab cd' fails \b -> 'ab'
+            "ab ab cd",                   # adjacent + longest
+        ]})
+    for eng in ("alternation", "ac"):
+        out = GazetteerMentionScanner(alias, engine=eng)(batch)
+        got = sorted(zip(out["turn"].str[-5:], out["surface"]))
+        assert got == sorted([
+            ("c1-t0", "acme"),
+            ("c2-t1", "acme"),
+            ("c3-t2", "x-corp"), ("c3-t2", "ab"),
+            ("c4-t3", "ab"), ("c4-t3", "ab cd"),
+        ]), (eng, got)

@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q.multimodal_decode,
         "multimodal_frames": q.multimodal_frames,
         "events_asof_join": q.events_asof_join,
+        "events_range_join": q.events_range_join,
+        "events_sliding_counts": q.events_sliding_counts,
     }
     # schema-plane golden fixtures (hand-written expected outputs)
     from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_QUERIES
@@ -112,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": o.sql_multimodal_decode(),
         "multimodal_frames": o.sql_multimodal_frames(),
         "events_asof_join": o.sql_events_asof_join(),
+        "events_range_join": o.sql_events_range_join(),
+        "events_sliding_counts": o.sql_events_sliding_counts(),
         "kg_classes": o.sql_kg_classes(),
         "kg_individuals_by_class": o.sql_kg_individuals_by_class(),
         "kg_inferred_types": o.sql_kg_inferred_types(),

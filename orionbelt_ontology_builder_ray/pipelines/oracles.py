@@ -590,6 +590,40 @@ FROM l ASOF JOIN r
 ORDER BY l.event_id"""
 
 
+def sql_events_range_join(left_type: str = "purchase",
+                          right_type: str = "view",
+                          window_minutes: int = 360) -> str:
+    """Mirror of queries.events_range_join — a theta join DuckDB plans
+    as its native IEJoin range join.  Bounds match the stage exactly:
+    ``r.ts >= l.ts - window AND r.ts < l.ts`` (strictly earlier, so
+    equal-timestamp pairs are excluded on both engines)."""
+    return f"""
+WITH l AS (
+  SELECT event_id, ts, user_id FROM events
+  WHERE event_type = {_sql_str(left_type)}),
+r AS (
+  SELECT event_id, ts, user_id FROM events
+  WHERE event_type = {_sql_str(right_type)})
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS matched_event_id, r.ts AS matched_ts
+FROM l JOIN r ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL {int(window_minutes)} MINUTE
+ AND r.ts < l.ts
+ORDER BY l.event_id, matched_event_id"""
+
+
+def sql_events_sliding_counts(window_minutes: int = 30) -> str:
+    """Mirror of queries.events_sliding_counts via a SQL window
+    function.  RANGE frames include equal-timestamp peers, so the
+    count is deterministic under ties on both engines."""
+    return f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL {int(window_minutes)} MINUTE
+                      PRECEDING AND CURRENT ROW) AS n_window
+FROM events ORDER BY event_id"""
+
+
 def sql_multimodal_frames(num_items: int = 64, seed: int = 42,
                           n_frames: int = 4, fps: float = 2.0) -> str:
     """VALUES mirror of queries.multimodal_frames — the seeded media

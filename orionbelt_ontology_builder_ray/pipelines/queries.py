@@ -660,6 +660,31 @@ def events_asof_join(sf_dir, left_type="purchase", right_type="view"):
     return asof_join_events(ds, left_type, right_type)
 
 
+def events_range_join(sf_dir, left_type="purchase", right_type="view",
+                      window_minutes=360):
+    """Range (interval) join over the events log: each purchase paired
+    with ALL the same user's views in the preceding 6 hours
+    (stages/windows.py — segmented-searchsorted band join; mirrored by
+    a plain SQL theta join DuckDB plans as its IEJoin range join)."""
+    from ..stages.windows import range_join_events
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return range_join_events(ds, left_type, right_type,
+                             window_minutes=window_minutes)
+
+
+def events_sliding_counts(sf_dir, window_minutes=30):
+    """Sliding-window aggregate: per event, how many events the same
+    user produced in the trailing 30 minutes (inclusive RANGE frame —
+    mirrored by a SQL window function)."""
+    from ..stages.windows import sliding_window_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return sliding_window_counts(ds, window_minutes=window_minutes)
+
+
 def kg_viz_nodes(sf_dir, max_nodes=500):
     """Visualization extract: typed nodes with class, capped and
     deterministic (the reference viz caps at 500 nodes, app.py:3090).

@@ -1,5 +1,6 @@
 """Ordered-log window operators Ray Data lacks natively (SURVEY §2.13
-family): as-of join over a keyed event stream.
+family): as-of join, range (interval) join, and sliding-window
+aggregates over a keyed event stream.
 
 The reference has no ordered-log operators at all (its unit is an
 in-memory graph); these are engine-native additions for the
@@ -77,3 +78,144 @@ def asof_join_events(ds, left_type: str, right_type: str,
 
     pairs = ds.map_batches(bucket, batch_format="pandas")
     return pairs.groupby("_bucket").map_groups(join, batch_format="pandas")
+
+
+def _bucket_events(ds, types, num_buckets: int):
+    """Shared shuffle stage: prune to (event_id, ts, user_id,
+    event_type) for the wanted types and attach a user-hash bucket —
+    ONE all-to-all of the pruned columns, shared by every window
+    operator below."""
+    nb = num_buckets
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch if types is None else batch[batch["event_type"].isin(types)]
+        m = m[["event_id", "ts", "user_id", "event_type"]].copy()
+        h = pd.util.hash_pandas_object(m["user_id"], index=False)
+        m["_bucket"] = (h % nb).astype("int32")
+        return m
+
+    return ds.map_batches(bucket, batch_format="pandas")
+
+
+def _segmented_searchsorted(seg, vals, q_seg, q_vals, side):
+    """Vectorized per-segment searchsorted.
+
+    ``vals`` is ascending WITHIN each segment; rows are grouped by
+    ``seg`` (dense int ranks, ascending).  Builds the composite key
+    ``seg * span + (vals - base)`` — globally sorted because span
+    exceeds the value range — and searches it with the query's own
+    composite, then clips to the query segment's bounds (clipping
+    absorbs queries whose value falls outside [base, base+range], which
+    may otherwise land in a neighboring segment's key block).
+
+    Overflow guard: needs n_segments * span < 2**62; at window-operator
+    scales (segments = users per bucket, span = event-log time range in
+    µs) this holds by orders of magnitude — a ValueError names the
+    remedy (more buckets) if ever hit.
+    """
+    if not len(vals):
+        return np.zeros(len(q_vals), dtype=np.int64)
+    base = int(vals.min())
+    span = int(vals.max()) - base + 2
+    nseg = int(seg.max()) + 1
+    if nseg * span >= 2 ** 62:
+        raise ValueError(
+            "segmented searchsorted composite key would overflow int64; "
+            "raise num_buckets so fewer users share a bucket")
+    key = seg.astype(np.int64) * span + (vals.astype(np.int64) - base)
+    q = q_seg.astype(np.int64) * span + (q_vals.astype(np.int64) - base)
+    pos = np.searchsorted(key, q, side=side)
+    seg_lo = np.searchsorted(seg, q_seg, side="left")
+    seg_hi = np.searchsorted(seg, q_seg, side="right")
+    return np.clip(pos, seg_lo, seg_hi)
+
+
+def range_join_events(ds, left_type: str, right_type: str,
+                      window_minutes: int = 60, num_buckets: int = 64):
+    """Range (interval) join: every ``left_type`` event paired with ALL
+    of the same user's ``right_type`` events in the preceding window —
+    ``r.ts >= l.ts - window AND r.ts < l.ts`` (strictly earlier, so
+    the pair set is deterministic under equal timestamps).  Inner join:
+    left rows with no window match are dropped.
+
+    Shape: one shuffle of the pruned columns co-locates each user's
+    rows in a hash bucket; inside a bucket both sides are lexsorted by
+    (user, ts) and the window bounds come from ONE vectorized
+    segmented searchsorted per bound — exact per-user windows with no
+    cross-user candidate expansion and no per-user Python groups
+    (cf. the asof partitioning note above).  Output size is the true
+    pair count; skew lives where the data does (a user with k views
+    before each of p purchases emits p*k pairs on any engine).
+    """
+    delta = np.int64(window_minutes * 60_000_000)  # µs
+    out_schema = pa.schema([
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("matched_event_id", pa.int64()),
+        ("matched_ts", pa.timestamp("us")),
+    ])
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type]
+        right = g[g["event_type"] == right_type]
+        if not len(left) or not len(right):
+            return out_schema.empty_table().to_pandas()
+        users, uniques = pd.factorize(
+            pd.concat([right["user_id"], left["user_id"]]), sort=True)
+        r_seg = users[:len(right)]
+        l_seg = users[len(right):]
+        r_ts = right["ts"].to_numpy("datetime64[us]").view(np.int64)
+        l_ts = left["ts"].to_numpy("datetime64[us]").view(np.int64)
+        order = np.lexsort((right["event_id"].to_numpy(), r_ts, r_seg))
+        r_seg, r_ts = r_seg[order], r_ts[order]
+        r_eid = right["event_id"].to_numpy()[order]
+        lo = _segmented_searchsorted(r_seg, r_ts, l_seg, l_ts - delta,
+                                     side="left")
+        hi = _segmented_searchsorted(r_seg, r_ts, l_seg, l_ts,
+                                     side="left")
+        counts = hi - lo
+        li = np.repeat(np.arange(len(left)), counts)
+        offs = np.repeat(np.cumsum(counts) - counts, counts)
+        ri = np.arange(int(counts.sum())) - offs + np.repeat(lo, counts)
+        return pd.DataFrame({
+            "event_id": left["event_id"].to_numpy()[li],
+            "user_id": left["user_id"].to_numpy()[li],
+            "ts": left["ts"].to_numpy("datetime64[us]")[li],
+            "matched_event_id": r_eid[ri],
+            "matched_ts": r_ts[ri].view("datetime64[us]"),
+        })
+
+    pairs = _bucket_events(ds, [left_type, right_type], num_buckets)
+    return pairs.groupby("_bucket").map_groups(join, batch_format="pandas")
+
+
+def sliding_window_counts(ds, window_minutes: int = 30,
+                          num_buckets: int = 64):
+    """Sliding-window aggregate: for EVERY event, the count of the same
+    user's events with ``ts`` in ``[ts - window, ts]`` (inclusive both
+    ends — SQL ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW`` frame
+    semantics, where equal-timestamp peers are all in-frame, so the
+    result is deterministic under ties).
+
+    Same partitioning/vectorization shape as range_join_events; the
+    aggregate is just ``hi - lo`` per row, so nothing is expanded.
+    """
+    delta = np.int64(window_minutes * 60_000_000)  # µs
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        seg, _ = pd.factorize(g["user_id"], sort=True)
+        ts = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, seg))
+        seg, ts = seg[order], ts[order]
+        lo = _segmented_searchsorted(seg, ts, seg, ts - delta, side="left")
+        hi = _segmented_searchsorted(seg, ts, seg, ts, side="right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[order],
+            "user_id": g["user_id"].to_numpy()[order],
+            "ts": ts.view("datetime64[us]"),
+            "n_window": (hi - lo).astype(np.int64),
+        })
+
+    pairs = _bucket_events(ds, None, num_buckets)
+    return pairs.groupby("_bucket").map_groups(count, batch_format="pandas")

@@ -1,16 +1,24 @@
-"""Ordered-log window operators (stages/windows.py): as-of join.
+"""Ordered-log window operators (stages/windows.py): as-of join,
+range (interval) join, sliding-window counts.
 
-The DuckDB ASOF JOIN mirror is the value-level gate (events_asof_join
-oracle); these tests pin the semantics the mirror relies on — the
-inclusive backward match, the equal-timestamp tie rule, and behavior
-on keys/buckets with no match.
+The DuckDB mirrors are the value-level gates (events_asof_join /
+events_range_join / events_sliding_counts oracles); these tests pin
+the semantics the mirrors rely on — inclusive/exclusive bounds,
+equal-timestamp tie rules, per-user isolation across hash buckets, and
+behavior on keys/buckets with no match.
 """
 
+import numpy as np
 import pandas as pd
 import pytest
 import ray.data as rd
 
-from orionbelt_ontology_builder_ray.stages.windows import asof_join_events
+from orionbelt_ontology_builder_ray.stages.windows import (
+    _segmented_searchsorted,
+    asof_join_events,
+    range_join_events,
+    sliding_window_counts,
+)
 
 
 def _events(rows):
@@ -68,3 +76,80 @@ def test_asof_empty_and_typed_schema(ray_session):
     out = asof_join_events(ds, "purchase", "view")
     df = out.to_pandas()
     assert len(df) == 0
+
+
+def test_segmented_searchsorted_matches_per_segment_loop():
+    """The composite-key vectorized search equals a per-segment
+    np.searchsorted loop, including queries whose value falls outside
+    the data range (the clip path) and segments absent from the data."""
+    rng = np.random.RandomState(5)
+    for _ in range(50):
+        nseg = rng.randint(1, 6)
+        seg = np.sort(rng.randint(0, nseg, size=rng.randint(0, 30)))
+        vals = rng.randint(-100, 100, size=len(seg))
+        order = np.lexsort((vals, seg))
+        seg, vals = seg[order], vals[order]
+        q_seg = rng.randint(0, nseg, size=10)
+        q_vals = rng.randint(-300, 300, size=10)
+        for side in ("left", "right"):
+            got = _segmented_searchsorted(seg, vals, q_seg, q_vals, side)
+            for qs, qv, g in zip(q_seg, q_vals, got):
+                lo = np.searchsorted(seg, qs, side="left")
+                hi = np.searchsorted(seg, qs, side="right")
+                exp = lo + np.searchsorted(vals[lo:hi], qv, side=side)
+                assert g == exp, (seg, vals, qs, qv, side)
+
+
+def test_range_join_bounds_and_pairs(ray_session):
+    """Window is [ts - w, ts): the boundary view exactly w before is
+    IN, an equal-timestamp view is OUT, and every qualifying view
+    yields its own pair row."""
+    ds = _events([
+        (1, "2024-01-01 09:00:00", 7, "view"),    # exactly 60m before: in
+        (2, "2024-01-01 09:30:00", 7, "view"),    # in
+        (3, "2024-01-01 10:00:00", 7, "view"),    # equal ts: out
+        (4, "2024-01-01 10:00:00", 7, "purchase"),
+        (5, "2024-01-01 08:59:59", 7, "view"),    # 1s too early: out
+        (6, "2024-01-01 09:45:00", 8, "view"),    # other user: out
+    ])
+    out = range_join_events(ds, "purchase", "view", window_minutes=60,
+                            num_buckets=4).to_pandas()
+    assert sorted(out["matched_event_id"]) == [1, 2]
+    assert (out["event_id"] == 4).all()
+
+
+def test_range_join_users_isolated_across_buckets(ray_session):
+    rows = []
+    eid = 0
+    for u in range(20):
+        rows.append((eid, "2024-01-01 10:00:00", u, "view")); eid += 1
+        rows.append((eid, "2024-01-01 10:10:00", u, "purchase")); eid += 1
+    out = range_join_events(_events(rows), "purchase", "view",
+                            window_minutes=60, num_buckets=3).to_pandas()
+    assert len(out) == 20
+    assert (out["matched_event_id"] == out["event_id"] - 1).all()
+
+
+def test_sliding_counts_inclusive_range_frame(ray_session):
+    """RANGE-frame semantics: the window is [ts - w, ts] and
+    equal-timestamp peers count each other (SQL window-function
+    parity), while other users never leak in."""
+    ds = _events([
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:20:00", 7, "view"),    # sees 1 (20m) + self
+        (3, "2024-01-01 10:20:00", 7, "view"),    # peer of 2: both count 3
+        (4, "2024-01-01 11:00:00", 7, "view"),    # 40m gap: only self
+        (5, "2024-01-01 10:20:00", 8, "view"),    # other user: isolated
+    ])
+    out = sliding_window_counts(ds, window_minutes=30, num_buckets=4) \
+        .to_pandas().sort_values("event_id")
+    assert list(out["n_window"]) == [1, 3, 3, 1, 1]
+
+
+def test_sliding_counts_covers_every_event(ray_session):
+    rows = [(i, f"2024-01-01 10:{i % 60:02d}:00", i % 5, "view")
+            for i in range(100)]
+    out = sliding_window_counts(_events(rows), window_minutes=5,
+                                num_buckets=3).to_pandas()
+    assert len(out) == 100
+    assert (out["n_window"] >= 1).all()

@@ -84,8 +84,10 @@ def _quiet_benign_advisories() -> None:
       downstream UDFs, logging "different schema ... names=[]" each
       time.  Every UDF in this repo emits schema-stable (typed,
       possibly empty) batches — verified by reading each warning: all
-      are `<real schema> vs names=[]`.  Real mismatches (both sides
-      non-empty) still log.
+      are `<real schema> vs names=[]` (pandas blocks) or
+      `<real schema> vs .` (the Arrow-block flavor, an empty
+      zero-field schema).  Real mismatches (both sides non-empty)
+      still log.
     - the "Failed to hash the schemas (for deduplication)" notice:
       fires for inputs whose Arrow schema carries the tensor-extension
       metadata dict (the embeddings list<float> column) — a fallback
@@ -96,7 +98,8 @@ def _quiet_benign_advisories() -> None:
         def filter(self, record: logging.LogRecord) -> bool:
             msg = record.getMessage()
             if ("different schema than the previous" in msg
-                    and "names=[], types=[]" in msg):
+                    and ("names=[], types=[]" in msg
+                         or "new schema: . This may lead" in msg)):
                 return False
             if "Failed to hash the schemas (for deduplication)" in msg:
                 return False
@@ -229,6 +232,18 @@ def run_bench() -> dict:
     t0 = time.time()
     q.kg_ner_mentions(SF_DIR).count()
     queries["kg_ner_mentions"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    q.events_asof_join(SF_DIR).count()
+    queries["events_asof_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    q.events_range_join(SF_DIR).count()
+    queries["events_range_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    q.events_sliding_counts(SF_DIR).count()
+    queries["events_sliding_counts"] = round(time.time() - t0, 3)
 
     # incremental ingest (update_kg): the 16 B/row anti-join claim gets
     # a recorded number.  zero-addition: existing store == headline

@@ -425,49 +425,77 @@ class _ShingleSets:
     def __init__(self, shingle_k: int, id_col: str, text_col: str):
         self.k, self.id_col, self.text_col = shingle_k, id_col, text_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # sets ship as raw int64 bytes — a clean Arrow binary column
-        # (object columns of ndarrays trip Ray's tensor-extension cast)
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        # sets ship as raw int64 bytes in an Arrow BINARY column —
+        # exact size metadata end-to-end (no object-dtype sampling in
+        # Ray's block size estimator) and zero-copy through the shuffle
         sets = [np.sort(_shingle_hashes(str(t), self.k)).tobytes()
                 for t in batch[self.text_col]]
-        return pd.DataFrame({"_k": batch[self.id_col].to_numpy(),
-                             "_set": pd.Series(sets, dtype=object)})
+        return pa.table({
+            "_k": pa.array(batch[self.id_col].to_numpy(), pa.int64()),
+            "_set": pa.array(sets, pa.binary())})
 
 
 def _attach_sets(pairs, sets_ds, key_col: str, out_col: str,
                  num_buckets: int):
     """pairs ⋈ shingle-sets on ``key_col`` via a bucket-hash join
     (union + groupby on an int bucket — each doc's set travels through
-    the shuffle once; no driver materialization)."""
+    the shuffle once; no driver materialization).  Arrow-native blocks
+    throughout: the binary set payload stays in Arrow buffers rather
+    than pandas object columns, so block sizes are exact (backpressure
+    sees the real bytes) and 0-row blocks don't trip the pandas
+    object-column size sampler."""
+    import pyarrow.compute as pc
+
     carry = [c for c in pairs.schema().names]
 
-    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_k"] = df[key_col]
-        df["_set"] = pd.Series([b""] * len(df), dtype=object)
-        df["_b"] = (df["_k"] % num_buckets).astype(np.int32)
-        return df
+    def field(c):
+        return pa.field(c, pa.int64() if c.startswith("id_")
+                        else pa.binary())
 
-    def tag_sets(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"_k": df["_k"], "_set": df["_set"]})
+    union_schema = pa.schema([pa.field("_k", pa.int64()),
+                              pa.field("_set", pa.binary()),
+                              *[field(c) for c in carry],
+                              pa.field("_b", pa.int32())])
+    out_schema = pa.schema([*[field(c) for c in carry],
+                            pa.field(out_col, pa.binary())])
+
+    def bucket_of(keys: pa.ChunkedArray) -> pa.Array:
+        return pa.array((keys.to_numpy(zero_copy_only=False)
+                         % num_buckets).astype(np.int32))
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        arrs = {"_k": t[key_col],
+                "_set": pa.array([b""] * len(t), pa.binary())}
         for c in carry:
-            out[c] = np.int64(-1) if c.startswith("id_") else \
-                pd.Series([b""] * len(df), dtype=object)
-        out["_b"] = (out["_k"] % num_buckets).astype(np.int32)
-        return out[["_k", "_set", *carry, "_b"]]
+            arrs[c] = t[c]
+        arrs["_b"] = bucket_of(t[key_col])
+        return pa.table(arrs).cast(union_schema)
 
-    def join_group(df: pd.DataFrame) -> pd.DataFrame:
-        is_doc = df["id_a"] == -1
-        lut = dict(zip(df.loc[is_doc, "_k"], df.loc[is_doc, "_set"]))
-        out = df[~is_doc].copy()
-        out[out_col] = out["_k"].map(lut)
-        return out.drop(columns=["_k", "_set", "_b"])
+    def tag_sets(t: pa.Table) -> pa.Table:
+        arrs = {"_k": t["_k"], "_set": t["_set"]}
+        for c in carry:
+            arrs[c] = (pa.array(np.full(len(t), -1, np.int64))
+                       if c.startswith("id_")
+                       else pa.array([b""] * len(t), pa.binary()))
+        arrs["_b"] = bucket_of(t["_k"])
+        return pa.table(arrs).cast(union_schema)
 
-    tagged = pairs.map_batches(tag_pairs, batch_format="pandas") \
-        .select_columns(["_k", "_set", *carry, "_b"])
-    docs = sets_ds.map_batches(tag_sets, batch_format="pandas")
+    def join_group(t: pa.Table) -> pa.Table:
+        is_doc = pc.equal(t["id_a"], -1)
+        docs = t.filter(is_doc)
+        out = t.filter(pc.invert(is_doc))
+        lut = dict(zip(docs["_k"].to_pylist(), docs["_set"].to_pylist()))
+        sets = pa.array([lut.get(k) for k in out["_k"].to_pylist()],
+                        pa.binary())
+        arrs = {c: out[c] for c in carry}
+        arrs[out_col] = sets
+        return pa.table(arrs).cast(out_schema)
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    docs = sets_ds.map_batches(tag_sets, batch_format="pyarrow")
     return tagged.union(docs).groupby("_b").map_groups(
-        join_group, batch_format="pandas")
+        join_group, batch_format="pyarrow")
 
 
 def verified_near_dup_edges(ds, threshold=0.7, num_perm=64, num_bands=16,
@@ -516,18 +544,20 @@ def verified_near_dup_edges(ds, threshold=0.7, num_perm=64, num_bands=16,
     with_a = _attach_sets(pairs, sets_ds, "id_a", "_set_a", num_buckets)
     with_ab = _attach_sets(with_a, sets_ds, "id_b", "_set_b", num_buckets)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def verify(t: pa.Table) -> pa.Table:
         keep = []
-        for sa_b, sb_b in zip(df["_set_a"], df["_set_b"]):
+        for sa_b, sb_b in zip(t["_set_a"].to_pylist(),
+                              t["_set_b"].to_pylist()):
             sa = np.frombuffer(sa_b or b"", dtype=np.int64)
             sb = np.frombuffer(sb_b or b"", dtype=np.int64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             sim = 1.0 if union == 0 else inter / union
             keep.append(sim >= threshold)
-        return df.loc[keep, ["id_a", "id_b"]]
+        return t.select(["id_a", "id_b"]).filter(
+            pa.array(keep, type=pa.bool_()))
 
-    return with_ab.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # Below this many verified edges, components run as ONE remote task

@@ -521,6 +521,21 @@ FROM documents WHERE trim(text) = ''
 ORDER BY doc_id"""
 
 
+def sql_doc_simhash_pairs(max_hamming: int = 3) -> str:
+    """Mirror of queries.doc_simhash_pairs: signatures from the
+    sql_doc_simhash derivation, pair set from an all-pairs self-join
+    filtered on bit_count(xor(...)) — exact at oracle scale, where the
+    Ray side's banded LSH has recall 1.0 over the signature space by
+    the pigeonhole split, so the two pair sets coincide."""
+    return f"""
+WITH sigs AS ({sql_doc_simhash()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {int(max_hamming)}
+ORDER BY id_a, id_b"""
+
+
 def sql_doc_fingerprints(k: int = 3) -> str:
     """Mirror of stages.textops.Fingerprinter: min 63-bit (leading) md5 hash over
     k-token shingle windows."""

@@ -295,6 +295,17 @@ def doc_simhash(sf_dir):
     return simhash_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def doc_simhash_pairs(sf_dir, max_hamming=3):
+    """SimHash near-dup pairs: banded LSH (max_hamming+1 disjoint bit
+    bands => recall 1.0 by pigeonhole) + exact Hamming verify; oracle
+    re-derives signatures and distances wholesale in DuckDB."""
+    from ..stages.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_hamming=max_hamming)
+
+
 def doc_corpus_clean(sf_dir):
     """Composite training-data ingest: fused quality+language filter
     (pre-shuffle, only survivors move) -> exact text dedup keeping min

@@ -367,6 +367,15 @@ def minhash_candidate_pairs(ds, num_perm=64, num_bands=16, shingle_k=3,
             num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
             id_col=id_col, text_col=text_col, hash_mode=hash_mode),
         batch_format="pandas", concurrency=pool_size())
+    return _pairs_from_bands(bands, id_col, num_buckets)
+
+
+def _pairs_from_bands(bands, id_col: str, num_buckets: int):
+    """(id, band_id, band_hash) rows -> deduped candidate id pairs
+    (a < b): shuffle on the coarse ``band_hash % B`` bucket, resolve
+    the real (band_id, band_hash) groups with a C-fast pandas groupby
+    inside each, expand each group's pairs, then bucket-dedup.  Shared
+    by MinHash-LSH and SimHash banding."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -436,48 +445,52 @@ class _ShingleSets:
             "_set": pa.array(sets, pa.binary())})
 
 
-def _attach_sets(pairs, sets_ds, key_col: str, out_col: str,
-                 num_buckets: int):
-    """pairs ⋈ shingle-sets on ``key_col`` via a bucket-hash join
-    (union + groupby on an int bucket — each doc's set travels through
-    the shuffle once; no driver materialization).  Arrow-native blocks
-    throughout: the binary set payload stays in Arrow buffers rather
-    than pandas object columns, so block sizes are exact (backpressure
-    sees the real bytes) and 0-row blocks don't trip the pandas
-    object-column size sampler."""
+def _attach_payload(pairs, sets_ds, key_col: str, out_col: str,
+                    num_buckets: int, payload_type):
+    """pairs ⋈ per-doc payload on ``key_col`` via a bucket-hash join
+    (union + groupby on an int bucket — each doc's payload travels
+    through the shuffle once; no driver materialization).  The payload
+    side ``sets_ds`` has columns (_k int64, _set <payload_type>);
+    MinHash verify attaches binary shingle sets, SimHash verify
+    attaches int64 signatures.  Arrow-native blocks throughout: the
+    payload stays in Arrow buffers rather than pandas object columns,
+    so block sizes are exact (backpressure sees the real bytes) and
+    0-row blocks don't trip the pandas object-column size sampler."""
     import pyarrow.compute as pc
 
-    carry = [c for c in pairs.schema().names]
+    sch = pairs.schema()
+    carry = list(sch.names)
+    carry_types = dict(zip(sch.names, sch.types))
 
     def field(c):
-        return pa.field(c, pa.int64() if c.startswith("id_")
-                        else pa.binary())
+        return pa.field(c, carry_types[c])
 
     union_schema = pa.schema([pa.field("_k", pa.int64()),
-                              pa.field("_set", pa.binary()),
+                              pa.field("_set", payload_type),
                               *[field(c) for c in carry],
                               pa.field("_b", pa.int32())])
     out_schema = pa.schema([*[field(c) for c in carry],
-                            pa.field(out_col, pa.binary())])
+                            pa.field(out_col, payload_type)])
 
     def bucket_of(keys: pa.ChunkedArray) -> pa.Array:
         return pa.array((keys.to_numpy(zero_copy_only=False)
                          % num_buckets).astype(np.int32))
 
     def tag_pairs(t: pa.Table) -> pa.Table:
-        arrs = {"_k": t[key_col],
-                "_set": pa.array([b""] * len(t), pa.binary())}
+        arrs = {"_k": t[key_col], "_set": pa.nulls(len(t), payload_type)}
         for c in carry:
             arrs[c] = t[c]
         arrs["_b"] = bucket_of(t[key_col])
         return pa.table(arrs).cast(union_schema)
 
     def tag_sets(t: pa.Table) -> pa.Table:
+        # id_ carry columns get -1 (the is-doc marker join_group keys
+        # on); everything else is a typed null placeholder
         arrs = {"_k": t["_k"], "_set": t["_set"]}
         for c in carry:
             arrs[c] = (pa.array(np.full(len(t), -1, np.int64))
                        if c.startswith("id_")
-                       else pa.array([b""] * len(t), pa.binary()))
+                       else pa.nulls(len(t), carry_types[c]))
         arrs["_b"] = bucket_of(t["_k"])
         return pa.table(arrs).cast(union_schema)
 
@@ -487,7 +500,7 @@ def _attach_sets(pairs, sets_ds, key_col: str, out_col: str,
         out = t.filter(pc.invert(is_doc))
         lut = dict(zip(docs["_k"].to_pylist(), docs["_set"].to_pylist()))
         sets = pa.array([lut.get(k) for k in out["_k"].to_pylist()],
-                        pa.binary())
+                        payload_type)
         arrs = {c: out[c] for c in carry}
         arrs[out_col] = sets
         return pa.table(arrs).cast(out_schema)
@@ -496,6 +509,12 @@ def _attach_sets(pairs, sets_ds, key_col: str, out_col: str,
     docs = sets_ds.map_batches(tag_sets, batch_format="pyarrow")
     return tagged.union(docs).groupby("_b").map_groups(
         join_group, batch_format="pyarrow")
+
+
+def _attach_sets(pairs, sets_ds, key_col: str, out_col: str,
+                 num_buckets: int):
+    return _attach_payload(pairs, sets_ds, key_col, out_col,
+                           num_buckets, pa.binary())
 
 
 def verified_near_dup_edges(ds, threshold=0.7, num_perm=64, num_bands=16,
@@ -901,6 +920,79 @@ def simhash_docs(ds, id_col="doc_id", text_col="text",
                                                      text_col=text_col,
                                                      hash_mode=hash_mode),
                           batch_format="pandas", concurrency=pool_size())
+
+
+def simhash_near_dup_pairs(ds, max_hamming=3, id_col="doc_id",
+                           text_col="text", num_buckets=32,
+                           hash_mode: str = "md5"):
+    """SimHash near-dup PAIRS: banded LSH over the 63-bit signature
+    with an exact vectorized Hamming verify.
+
+    Pigeonhole guarantee: the signature is split into
+    ``max_hamming + 1`` disjoint bit bands, so two signatures within
+    Hamming distance ``max_hamming`` must agree EXACTLY on at least
+    one band — banding has recall 1.0 over the signature space and the
+    verify step removes band-collision false positives.  Scale shape
+    mirrors MinHash LSH: band rows shuffle on a coarse int bucket,
+    pair expansion happens per fine (band_id, band_val) group, the
+    16 B/doc signatures are attached to pairs with the bucket-hash
+    payload join (text never moves), and the Hamming check is one
+    XOR + unpackbits popcount per batch.  Output columns
+    (id_a, id_b, hamming), id_a < id_b.
+
+    ``hash_mode="md5"`` keeps the signature oracle-checkable
+    (sql_doc_simhash_pairs re-derives signatures AND distances in
+    DuckDB); ``"fast"`` is the vectorized production hash.
+    """
+    nb = max_hamming + 1
+    bounds = np.linspace(0, SimHasher.BITS, nb + 1).astype(np.int64)
+    # consumed twice (band emission + payload join): materialize so the
+    # text scan and signature computation run once
+    sigs = simhash_docs(ds, id_col, text_col, hash_mode).materialize()
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        sig = df["simhash"].to_numpy().astype(np.uint64)
+        vals = np.empty((len(df), nb), dtype=np.int64)
+        for i in range(nb):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            vals[:, i] = ((sig >> np.uint64(lo))
+                          & np.uint64((1 << (hi - lo)) - 1)).astype(np.int64)
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), nb),
+            "band_id": np.tile(np.arange(nb, dtype=np.int64), len(df)),
+            "band_hash": vals.reshape(-1),
+        })
+
+    pairs = _pairs_from_bands(
+        sigs.map_batches(bands, batch_format="pandas"), id_col,
+        num_buckets)
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"_k": t[id_col], "_set": t["simhash"]}).cast(
+            pa.schema([("_k", pa.int64()), ("_set", pa.int64())]))
+
+    payload = sigs.map_batches(to_payload, batch_format="pyarrow")
+    with_a = _attach_payload(pairs, payload, "id_a", "sig_a",
+                             num_buckets, pa.int64())
+    with_ab = _attach_payload(with_a, payload, "id_b", "sig_b",
+                              num_buckets, pa.int64())
+
+    def verify(t: pa.Table) -> pa.Table:
+        sa = t["sig_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = t["sig_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = np.ascontiguousarray(np.bitwise_xor(sa, sb))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table({
+            "id_a": pa.array(
+                t["id_a"].to_numpy(zero_copy_only=False)[keep]),
+            "id_b": pa.array(
+                t["id_b"].to_numpy(zero_copy_only=False)[keep]),
+            "hamming": pa.array(ham[keep]),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id",

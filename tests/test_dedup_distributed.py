@@ -180,6 +180,51 @@ def test_assign_clusters_dataset_path(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
 
 
+def test_simhash_pairs_equal_brute_force(ray_session):
+    """Banded-LSH SimHash pairs == brute-force XOR-popcount pairs over
+    the same signatures (pigeonhole recall 1.0; verify kills band
+    false positives).  Corpus has planted near-identical docs plus
+    random background, split over several blocks."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        SimHasher, simhash_near_dup_pairs)
+
+    rng = random.Random(11)
+    words = ["red", "green", "blue", "ochre", "cyan", "teal", "mauve"]
+    texts = []
+    for i in range(60):
+        texts.append(" ".join(rng.choices(words, k=30)))
+    # planted: heavy token overlap -> small Hamming distance
+    for i in range(0, 40, 2):
+        toks = texts[i].split()
+        toks[rng.randrange(len(toks))] = "zzz"
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df).repartition(4)
+    k = 6
+    out = simhash_near_dup_pairs(ds, max_hamming=k, hash_mode="fast") \
+        .to_pandas()
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+
+    hasher = SimHasher(hash_mode="fast")
+    sigs = hasher(df)["simhash"].to_numpy().astype(np.uint64)
+    exp = set()
+    for a in range(len(sigs)):
+        for b in range(a + 1, len(sigs)):
+            if bin(int(sigs[a] ^ sigs[b])).count("1") <= k:
+                exp.add((a, b))
+    assert got == exp
+    assert len(exp) > 0  # the plant actually produced near-dups
+    # reported hamming matches brute force
+    for _, r in out.iterrows():
+        d = bin(int(sigs[int(r["id_a"])] ^ sigs[int(r["id_b"])])).count("1")
+        assert d == int(r["hamming"])
+
+
 def test_gazetteer_trie_engine_equals_alternation(ray_session):
     """10k-alias dict: the trie-regex engine produces IDENTICAL
     scanner output to the longest-first alternation engine (VERDICT r2

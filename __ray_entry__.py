@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q.doc_fingerprints,
         "doc_simhash": q.doc_simhash,
         "doc_simhash_pairs": q.doc_simhash_pairs,
+        "doc_jaccard_pairs": q.doc_jaccard_pairs,
         "doc_minhash_clusters": q.doc_minhash_clusters,
         "doc_corpus_clean": q.doc_corpus_clean,
         "embedding_near_dups": q.embedding_near_dups,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": o.sql_doc_langid(),
         "doc_simhash": o.sql_doc_simhash(),
         "doc_simhash_pairs": o.sql_doc_simhash_pairs(),
+        "doc_jaccard_pairs": o.sql_doc_jaccard_pairs(),
         "doc_fingerprints": o.sql_doc_fingerprints(),
         "multimodal_decode": o.sql_multimodal_decode(),
         "multimodal_frames": o.sql_multimodal_frames(),

@@ -521,6 +521,41 @@ FROM documents WHERE trim(text) = ''
 ORDER BY doc_id"""
 
 
+def sql_doc_jaccard_pairs(threshold: float = 0.5,
+                          shingle_k: int = 3) -> str:
+    """Mirror of queries.doc_jaccard_pairs: the same k-token shingle
+    derivation as sql_doc_minhash_clusters (short docs collapse to one
+    whole-text gram), an inverted-index self-join for candidates, and
+    exact intersection/union counts.  The Jaccard filter divides the
+    same two BIGINTs as the Ray side, so the kept set is identical."""
+    k = shingle_k
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {k}
+         THEN list_distinct(list_transform(range(len(toks) - {k - 1}),
+                            i -> array_to_string(toks[i+1:i+{k}], ' ')))
+         ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM d),
+sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT c.id_a, c.id_b, CAST(c.n_inter AS BIGINT) AS n_inter,
+         CAST(sa.n + sb.n - c.n_inter AS BIGINT) AS n_union
+  FROM cand c JOIN sizes sa ON sa.doc_id = c.id_a
+              JOIN sizes sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, n_inter, n_union
+FROM j WHERE n_inter * 1.0 / n_union >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def sql_doc_simhash_pairs(max_hamming: int = 3) -> str:
     """Mirror of queries.doc_simhash_pairs: signatures from the
     sql_doc_simhash derivation, pair set from an all-pairs self-join

@@ -295,6 +295,17 @@ def doc_simhash(sf_dir):
     return simhash_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def doc_jaccard_pairs(sf_dir, threshold=0.5, shingle_k=3):
+    """Exact n-gram Jaccard near-dup pairs via the inverted shingle
+    index (complete: every pair with J >= threshold shares a shingle);
+    counts travel as ints so both engines agree bit-for-bit."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=threshold, shingle_k=shingle_k)
+
+
 def doc_simhash_pairs(sf_dir, max_hamming=3):
     """SimHash near-dup pairs: banded LSH (max_hamming+1 disjoint bit
     bands => recall 1.0 by pigeonhole) + exact Hamming verify; oracle

@@ -370,12 +370,15 @@ def minhash_candidate_pairs(ds, num_perm=64, num_bands=16, shingle_k=3,
     return _pairs_from_bands(bands, id_col, num_buckets)
 
 
-def _pairs_from_bands(bands, id_col: str, num_buckets: int):
+def _pairs_from_bands(bands, id_col: str, num_buckets: int,
+                      max_group: int = None):
     """(id, band_id, band_hash) rows -> deduped candidate id pairs
     (a < b): shuffle on the coarse ``band_hash % B`` bucket, resolve
     the real (band_id, band_hash) groups with a C-fast pandas groupby
     inside each, expand each group's pairs, then bucket-dedup.  Shared
-    by MinHash-LSH and SimHash banding."""
+    by MinHash-LSH, SimHash banding, and the inverted shingle index
+    (``max_group`` = its hot-key df cap: groups larger than this are
+    skipped instead of expanded quadratically)."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -386,6 +389,8 @@ def _pairs_from_bands(bands, id_col: str, num_buckets: int):
         out_a, out_b = [], []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             ids = g[id_col].unique()
+            if max_group is not None and len(ids) > max_group:
+                continue
             if len(ids) >= 2:
                 ids = np.sort(ids)
                 ia, ib = np.triu_indices(len(ids), k=1)
@@ -431,14 +436,17 @@ class _ShingleSets:
     Computing shingles once per *doc* (not once per pair) keeps the
     verify join's CPU linear in corpus size."""
 
-    def __init__(self, shingle_k: int, id_col: str, text_col: str):
+    def __init__(self, shingle_k: int, id_col: str, text_col: str,
+                 hash_mode: str = "fast"):
         self.k, self.id_col, self.text_col = shingle_k, id_col, text_col
+        self.hash_mode = hash_mode
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         # sets ship as raw int64 bytes in an Arrow BINARY column —
         # exact size metadata end-to-end (no object-dtype sampling in
         # Ray's block size estimator) and zero-copy through the shuffle
-        sets = [np.sort(_shingle_hashes(str(t), self.k)).tobytes()
+        sets = [np.sort(_shingle_hashes(str(t), self.k,
+                                        self.hash_mode)).tobytes()
                 for t in batch[self.text_col]]
         return pa.table({
             "_k": pa.array(batch[self.id_col].to_numpy(), pa.int64()),
@@ -920,6 +928,76 @@ def simhash_docs(ds, id_col="doc_id", text_col="text",
                                                      text_col=text_col,
                                                      hash_mode=hash_mode),
                           batch_format="pandas", concurrency=pool_size())
+
+
+def ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=3, id_col="doc_id",
+                        text_col="text", num_buckets=32, df_cap=None,
+                        hash_mode: str = "fast"):
+    """Exact n-gram Jaccard near-dup PAIRS via an inverted shingle
+    index: candidates are pairs sharing at least one k-token shingle
+    (complete for any threshold > 0 — disjoint-shingle pairs have
+    J = 0), verified with exact set intersection.  Output columns
+    (id_a, id_b, n_inter, n_union), id_a < id_b, filtered to
+    ``n_inter / n_union >= threshold``; the counts (not the float
+    ratio) travel so engines cannot disagree on formatting.
+
+    Scale shape: shingle sets are computed once per doc (actor pool),
+    the inverted index shuffles (doc_id, shingle_hash) rows through
+    the shared coarse-bucket pair expansion, and the 8 B/shingle sets
+    are attached to candidates with the bucket-hash payload join —
+    text never moves.  ``df_cap`` drops shingles shared by more than
+    that many docs before pair expansion (the hot-shingle guard for
+    web-scale corpora — a stopword trigram otherwise expands
+    quadratically); None means exact/complete, the oracle-checkable
+    mode.
+    """
+    sets_ds = ds.map_batches(
+        _ShingleSets, fn_constructor_kwargs=dict(
+            shingle_k=shingle_k, id_col=id_col, text_col=text_col,
+            hash_mode=hash_mode),
+        batch_format="pandas", concurrency=pool_size()).materialize()
+
+    def inverted(t: pa.Table) -> pa.Table:
+        ids = t["_k"].to_numpy(zero_copy_only=False)
+        sets = [np.frombuffer(s or b"", dtype=np.int64)
+                for s in t["_set"].to_pylist()]
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        sh = (np.concatenate(sets) if sets
+              else np.array([], dtype=np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens)),
+            "band_id": pa.array(np.zeros(int(lens.sum()), dtype=np.int64)),
+            "band_hash": pa.array(sh),
+        })
+
+    index = sets_ds.map_batches(inverted, batch_format="pyarrow")
+    pairs = _pairs_from_bands(index, "doc_id", num_buckets,
+                              max_group=df_cap)
+
+    with_a = _attach_sets(pairs, sets_ds, "id_a", "_set_a", num_buckets)
+    with_ab = _attach_sets(with_a, sets_ds, "id_b", "_set_b", num_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        inter = np.empty(len(t), dtype=np.int64)
+        union = np.empty(len(t), dtype=np.int64)
+        for i, (sa_b, sb_b) in enumerate(zip(t["_set_a"].to_pylist(),
+                                             t["_set_b"].to_pylist())):
+            sa = np.frombuffer(sa_b or b"", dtype=np.int64)
+            sb = np.frombuffer(sb_b or b"", dtype=np.int64)
+            n_i = len(np.intersect1d(sa, sb, assume_unique=True))
+            inter[i] = n_i
+            union[i] = len(sa) + len(sb) - n_i
+        keep = np.divide(inter, np.maximum(union, 1)) >= threshold
+        return pa.table({
+            "id_a": pa.array(
+                t["id_a"].to_numpy(zero_copy_only=False)[keep]),
+            "id_b": pa.array(
+                t["id_b"].to_numpy(zero_copy_only=False)[keep]),
+            "n_inter": pa.array(inter[keep]),
+            "n_union": pa.array(union[keep]),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_near_dup_pairs(ds, max_hamming=3, id_col="doc_id",

@@ -180,6 +180,59 @@ def test_assign_clusters_dataset_path(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
 
 
+def test_ngram_jaccard_pairs_equal_brute_force(ray_session):
+    """Inverted-index Jaccard pairs == brute-force jaccard() over all
+    pairs (candidates are complete for threshold > 0), with exact
+    intersection/union counts."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        _shingle_hashes, jaccard, ngram_jaccard_pairs)
+
+    rng = random.Random(4)
+    words = ["ash", "birch", "cedar", "elm", "fir", "oak"]
+    texts = [" ".join(rng.choices(words, k=rng.randint(1, 14)))
+             for _ in range(40)]
+    texts += [t + " oak" for t in texts[:10]]      # planted near-dups
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    t = 0.4
+    out = ngram_jaccard_pairs(rd.from_pandas(df).repartition(4),
+                              threshold=t).to_pandas()
+    got = {(int(r["id_a"]), int(r["id_b"])): (int(r["n_inter"]),
+                                              int(r["n_union"]))
+           for _, r in out.iterrows()}
+    exp = {}
+    for a in range(len(texts)):
+        sa = set(_shingle_hashes(texts[a], 3).tolist())
+        for b in range(a + 1, len(texts)):
+            sb = set(_shingle_hashes(texts[b], 3).tolist())
+            if jaccard(texts[a], texts[b]) >= t:
+                exp[(a, b)] = (len(sa & sb), len(sa | sb))
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_ngram_jaccard_df_cap_skips_hot_shingles(ray_session):
+    """df_cap: a shingle shared by more docs than the cap produces no
+    candidates through it (the hot-key guard), while rarer shingles
+    still pair up."""
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import ngram_jaccard_pairs
+
+    hot = ["common stop words"] * 10                  # df 10 > cap
+    rare = ["rare unique gram", "rare unique gram"]   # df 2 <= cap
+    df = pd.DataFrame({"doc_id": range(12), "text": hot + rare})
+    out = ngram_jaccard_pairs(rd.from_pandas(df).repartition(3),
+                              threshold=0.9, df_cap=5).to_pandas()
+    pairs = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    assert pairs == {(10, 11)}
+
+
 def test_simhash_pairs_equal_brute_force(ray_session):
     """Banded-LSH SimHash pairs == brute-force XOR-popcount pairs over
     the same signatures (pigeonhole recall 1.0; verify kills band

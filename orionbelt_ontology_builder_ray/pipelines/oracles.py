@@ -662,6 +662,19 @@ FROM l JOIN r ON l.user_id = r.user_id
 ORDER BY l.event_id, matched_event_id"""
 
 
+def sql_events_topk_per_user(k: int = 3) -> str:
+    """Mirror of queries.events_topk_per_user: row_number() with the
+    identical (ts DESC, event_id DESC) order, so ties cannot differ."""
+    return f"""
+WITH r AS (
+  SELECT event_id, ts, user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT event_id, ts, user_id FROM r WHERE rn <= {int(k)}
+ORDER BY user_id, event_id"""
+
+
 def sql_events_sliding_counts(window_minutes: int = 30) -> str:
     """Mirror of queries.events_sliding_counts via a SQL window
     function.  RANGE frames include equal-timestamp peers, so the

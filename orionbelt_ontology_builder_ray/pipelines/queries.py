@@ -696,6 +696,16 @@ def events_range_join(sf_dir, left_type="purchase", right_type="view",
                              window_minutes=window_minutes)
 
 
+def events_topk_per_user(sf_dir, k=3):
+    """Each user's k most recent events (ts desc, event_id desc
+    tiebreak) — the grouped top-k primitive (stages/windows.py),
+    mirrored by a SQL row_number() window."""
+    from ..stages.windows import grouped_topk
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return grouped_topk(ds, ["user_id"], ["ts", "event_id"], k)
+
+
 def events_sliding_counts(sf_dir, window_minutes=30):
     """Sliding-window aggregate: per event, how many events the same
     user produced in the trailing 30 minutes (inclusive RANGE frame —

@@ -190,6 +190,44 @@ def range_join_events(ds, left_type: str, right_type: str,
     return pairs.groupby("_bucket").map_groups(join, batch_format="pandas")
 
 
+def grouped_topk(ds, key_cols, order_cols, k: int,
+                 descending: bool = True, num_buckets: int = 64):
+    """Top-k rows per group — the missing Ray Data primitive behind
+    "N most recent events per user" / "top mentions per conversation".
+
+    Scale shape: a per-block LOCAL top-k per key first (sort + grouped
+    head inside ``map_batches`` — the combiner), so at most
+    ``k × blocks`` rows per key enter the one key-hash bucket shuffle;
+    a hot key never ships its full history.  Final per-bucket pass
+    repeats the same sort + head.  Deterministic iff ``order_cols``
+    ends with a tiebreaker unique within each group (the SQL mirror
+    uses the identical ORDER BY).
+    """
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(order_cols, ascending=not descending,
+                           kind="mergesort")
+        return d.groupby(key_cols, sort=False).head(k)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # hash_pandas_object over a DataFrame combines the key columns
+        # row-wise in one C pass
+        h = pd.util.hash_pandas_object(df[key_cols], index=False)
+        df["_bucket"] = (h % num_buckets).astype("int32")
+        return df
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return local_topk(g.drop(columns="_bucket"))
+
+    partial = ds.map_batches(local_topk, batch_format="pandas") \
+        .map_batches(bucket, batch_format="pandas")
+    return partial.groupby("_bucket").map_groups(
+        final_topk, batch_format="pandas")
+
+
 def sliding_window_counts(ds, window_minutes: int = 30,
                           num_buckets: int = 64):
     """Sliding-window aggregate: for EVERY event, the count of the same

@@ -16,6 +16,7 @@ import ray.data as rd
 from orionbelt_ontology_builder_ray.stages.windows import (
     _segmented_searchsorted,
     asof_join_events,
+    grouped_topk,
     range_join_events,
     sliding_window_counts,
 )
@@ -144,6 +145,34 @@ def test_sliding_counts_inclusive_range_frame(ray_session):
     out = sliding_window_counts(ds, window_minutes=30, num_buckets=4) \
         .to_pandas().sort_values("event_id")
     assert list(out["n_window"]) == [1, 3, 3, 1, 1]
+
+
+def test_grouped_topk_across_blocks(ray_session):
+    """A key whose rows are scattered over many blocks still yields
+    its GLOBAL top-k: the per-block combiner only prunes, never
+    decides.  Groups smaller than k come through whole."""
+    rows = []
+    # user 1: 50 events across blocks, top-3 = ids 47, 48, 49 (ts asc)
+    for i in range(50):
+        rows.append((i, f"2024-01-01 10:{i:02d}:00", 1, "view"))
+    # user 2: only one event
+    rows.append((100, "2024-01-01 09:00:00", 2, "view"))
+    ds = _events(rows).repartition(8)
+    out = grouped_topk(ds.select_columns(["event_id", "ts", "user_id"]),
+                       ["user_id"], ["ts", "event_id"], 3,
+                       num_buckets=4).to_pandas()
+    got = {u: sorted(g["event_id"]) for u, g in out.groupby("user_id")}
+    assert got == {1: [47, 48, 49], 2: [100]}
+
+
+def test_grouped_topk_tiebreak_deterministic(ray_session):
+    """Equal-ts rows: the trailing event_id order column decides, so
+    repeated runs and the SQL mirror agree."""
+    rows = [(i, "2024-01-01 10:00:00", 7, "view") for i in range(10)]
+    ds = _events(rows).repartition(3)
+    out = grouped_topk(ds.select_columns(["event_id", "ts", "user_id"]),
+                       ["user_id"], ["ts", "event_id"], 4).to_pandas()
+    assert sorted(out["event_id"]) == [6, 7, 8, 9]
 
 
 def test_sliding_counts_covers_every_event(ray_session):

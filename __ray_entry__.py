@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_clusters": q.doc_minhash_clusters,
         "doc_corpus_clean": q.doc_corpus_clean,
         "embedding_near_dups": q.embedding_near_dups,
+        "embedding_dedup_clusters": q.embedding_dedup_clusters,
         "events_hourly": q.events_hourly,
         "ann_topk": q.ann_topk_query,
         "ann_ivf": q.ann_ivf_query,
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonicalization_demo": o.sql_kg_canonicalization_demo(),
         "doc_minhash_clusters": o.sql_doc_minhash_clusters(),
         "embedding_near_dups": o.sql_embedding_near_dups(),
+        "embedding_dedup_clusters": o.sql_embedding_dedup_clusters(),
     }
     from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_ORACLES
 

@@ -234,8 +234,24 @@ def run_bench() -> dict:
     queries["kg_ner_mentions"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.dedup import simhash_near_dup_pairs
+
+    simhash_near_dup_pairs(_read(SF_DIR, "documents",
+                                 columns=["doc_id", "text"]),
+                           hash_mode="fast").count()
+    queries["doc_simhash_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    q.doc_jaccard_pairs(SF_DIR).count()
+    queries["doc_jaccard_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     q.events_asof_join(SF_DIR).count()
     queries["events_asof_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    q.events_topk_per_user(SF_DIR).count()
+    queries["events_topk_per_user"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     q.events_range_join(SF_DIR).count()

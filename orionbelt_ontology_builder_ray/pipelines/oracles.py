@@ -1000,6 +1000,32 @@ FROM documents doc LEFT JOIN labels l ON doc.doc_id = l.node
 ORDER BY doc_id"""
 
 
+def sql_embedding_dedup_clusters(threshold: float = 0.45) -> str:
+    """Mirror of queries.embedding_dedup_clusters: the
+    sql_embedding_near_dups pair set closed into connected components
+    with the same recursive transitive closure as
+    sql_doc_minhash_clusters; singletons keep their own id."""
+    return f"""
+WITH RECURSIVE ver AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[]))
+        >= {threshold}),
+sym(a, b) AS (
+  SELECT id_a, id_b FROM ver UNION SELECT id_b, id_a FROM ver),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+labels AS (
+  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(COALESCE(l.label, e.vec_id) AS BIGINT) AS cluster
+FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.node
+ORDER BY vec_id"""
+
+
 def sql_embedding_near_dups(threshold: float = 0.45) -> str:
     """Mirror of queries.embedding_near_dups: all-pairs cosine >=
     threshold over the embeddings table (the Ray side's exact blocked-

@@ -357,6 +357,22 @@ def embedding_near_dups(sf_dir, threshold=0.45):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def embedding_dedup_clusters(sf_dir, threshold=0.45):
+    """Semantic dedup clusters: the oracle-checked embedding near-dup
+    pair set closed into connected components (same distributed
+    min-label machinery as MinHash clusters) and assigned back over
+    the streaming corpus — (vec_id, cluster = min id in component),
+    singletons cluster with themselves."""
+    from ..stages.dedup import (_propagate_min_labels, assign_clusters,
+                                embedding_near_dup_pairs)
+
+    ds = _read(sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(ds, threshold=threshold) \
+        .select_columns(["id_a", "id_b"])
+    labels = _propagate_min_labels(pairs)
+    return assign_clusters(ds, labels, id_col="vec_id")
+
+
 def events_hourly(sf_dir):
     """Hourly windowed counts with a per-batch partial aggregate
     (combiner) before the shuffle — only (event_type, hour, n) partials

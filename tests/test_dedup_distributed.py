@@ -180,6 +180,41 @@ def test_assign_clusters_dataset_path(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
 
 
+def test_embedding_dedup_clusters_planted(ray_session):
+    """Planted embedding clusters close transitively: a ~ b and b ~ c
+    (a !~ c directly) land in one cluster labeled min id; isolated
+    vectors are singletons."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        _propagate_min_labels, assign_clusters, embedding_near_dup_pairs)
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8)
+    vecs = {
+        0: base,
+        1: base + 0.08 * rng.randn(8),          # ~ 0
+        2: base + 0.16 * rng.randn(8),          # ~ 1 (chains to 0)
+        3: rng.randn(8) + 5.0,                  # isolated
+        4: -base,                               # anti-correlated: isolated
+    }
+    df = pd.DataFrame({"vec_id": list(vecs),
+                       "embedding": [v.tolist() for v in vecs.values()]})
+    ds = rd.from_pandas(df).repartition(2)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id",
+                                     vec_col="embedding") \
+        .select_columns(["id_a", "id_b"])
+    labels = _propagate_min_labels(pairs)
+    out = assign_clusters(ds, labels, id_col="vec_id").to_pandas()
+    got = dict(zip(out["vec_id"].astype(int), out["cluster"].astype(int)))
+    assert got[0] == 0 and got[1] == 0
+    assert got[3] == 3 and got[4] == 4
+    assert got[2] in (0, 2)  # 2 joins iff cos(1,2) clears the threshold
+    assert len(got) == 5
+
+
 def test_ngram_jaccard_pairs_equal_brute_force(ray_session):
     """Inverted-index Jaccard pairs == brute-force jaccard() over all
     pairs (candidates are complete for threshold > 0), with exact

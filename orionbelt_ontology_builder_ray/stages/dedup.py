@@ -454,21 +454,25 @@ class _ShingleSets:
 
 
 def _attach_payload(pairs, sets_ds, key_col: str, out_col: str,
-                    num_buckets: int, payload_type):
+                    num_buckets: int, payload_type, carry_schema):
     """pairs ⋈ per-doc payload on ``key_col`` via a bucket-hash join
     (union + groupby on an int bucket — each doc's payload travels
     through the shuffle once; no driver materialization).  The payload
     side ``sets_ds`` has columns (_k int64, _set <payload_type>);
     MinHash verify attaches binary shingle sets, SimHash verify
-    attaches int64 signatures.  Arrow-native blocks throughout: the
-    payload stays in Arrow buffers rather than pandas object columns,
-    so block sizes are exact (backpressure sees the real bytes) and
-    0-row blocks don't trip the pandas object-column size sampler."""
+    attaches int64 signatures.  ``carry_schema`` is the pairs input's
+    schema, passed EXPLICITLY: ``Dataset.schema()`` inference executes
+    the upstream plan and Ray does not cache it (measured — the UDFs
+    run again at consumption), which silently doubled the shuffle
+    upstream of each attach round.  Arrow-native blocks throughout:
+    the payload stays in Arrow buffers rather than pandas object
+    columns, so block sizes are exact (backpressure sees the real
+    bytes) and 0-row blocks don't trip the pandas object-column size
+    sampler."""
     import pyarrow.compute as pc
 
-    sch = pairs.schema()
-    carry = list(sch.names)
-    carry_types = dict(zip(sch.names, sch.types))
+    carry = list(carry_schema.names)
+    carry_types = {f.name: f.type for f in carry_schema}
 
     def field(c):
         return pa.field(c, carry_types[c])
@@ -519,10 +523,15 @@ def _attach_payload(pairs, sets_ds, key_col: str, out_col: str,
         join_group, batch_format="pyarrow")
 
 
+# candidate-pair schema shared by every attach round's first hop
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
 def _attach_sets(pairs, sets_ds, key_col: str, out_col: str,
-                 num_buckets: int):
+                 num_buckets: int, carry_schema=None):
     return _attach_payload(pairs, sets_ds, key_col, out_col,
-                           num_buckets, pa.binary())
+                           num_buckets, pa.binary(),
+                           carry_schema or _PAIR_SCHEMA)
 
 
 def verified_near_dup_edges(ds, threshold=0.7, num_perm=64, num_bands=16,
@@ -569,7 +578,9 @@ def verified_near_dup_edges(ds, threshold=0.7, num_perm=64, num_bands=16,
     sets_ds = sets_ds.materialize()
 
     with_a = _attach_sets(pairs, sets_ds, "id_a", "_set_a", num_buckets)
-    with_ab = _attach_sets(with_a, sets_ds, "id_b", "_set_b", num_buckets)
+    with_ab = _attach_sets(
+        with_a, sets_ds, "id_b", "_set_b", num_buckets,
+        carry_schema=_PAIR_SCHEMA.append(pa.field("_set_a", pa.binary())))
 
     def verify(t: pa.Table) -> pa.Table:
         keep = []
@@ -975,7 +986,9 @@ def ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=3, id_col="doc_id",
                               max_group=df_cap)
 
     with_a = _attach_sets(pairs, sets_ds, "id_a", "_set_a", num_buckets)
-    with_ab = _attach_sets(with_a, sets_ds, "id_b", "_set_b", num_buckets)
+    with_ab = _attach_sets(
+        with_a, sets_ds, "id_b", "_set_b", num_buckets,
+        carry_schema=_PAIR_SCHEMA.append(pa.field("_set_a", pa.binary())))
 
     def verify(t: pa.Table) -> pa.Table:
         inter = np.empty(len(t), dtype=np.int64)
@@ -1051,9 +1064,10 @@ def simhash_near_dup_pairs(ds, max_hamming=3, id_col="doc_id",
 
     payload = sigs.map_batches(to_payload, batch_format="pyarrow")
     with_a = _attach_payload(pairs, payload, "id_a", "sig_a",
-                             num_buckets, pa.int64())
-    with_ab = _attach_payload(with_a, payload, "id_b", "sig_b",
-                              num_buckets, pa.int64())
+                             num_buckets, pa.int64(), _PAIR_SCHEMA)
+    with_ab = _attach_payload(
+        with_a, payload, "id_b", "sig_b", num_buckets, pa.int64(),
+        _PAIR_SCHEMA.append(pa.field("sig_a", pa.int64())))
 
     def verify(t: pa.Table) -> pa.Table:
         sa = t["sig_a"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -88,8 +88,13 @@ def _bucket_events(ds, types, num_buckets: int):
     nb = num_buckets
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch if types is None else batch[batch["event_type"].isin(types)]
-        m = m[["event_id", "ts", "user_id", "event_type"]].copy()
+        if types is None:
+            # type-agnostic consumers don't read event_type: don't
+            # ship it through the shuffle
+            m = batch[["event_id", "ts", "user_id"]].copy()
+        else:
+            m = batch[batch["event_type"].isin(types)]
+            m = m[["event_id", "ts", "user_id", "event_type"]].copy()
         h = pd.util.hash_pandas_object(m["user_id"], index=False)
         m["_bucket"] = (h % nb).astype("int32")
         return m

@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_stats": q.doc_ngram_stats,
         "doc_quality": q.doc_quality,
         "doc_langid": q.doc_langid,
+        "doc_sample_stratified": q.doc_sample_stratified,
         "doc_fingerprints": q.doc_fingerprints,
         "doc_simhash": q.doc_simhash,
         "doc_simhash_pairs": q.doc_simhash_pairs,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": o.sql_ann_topk(query_vec_id=7, k=10),
         "doc_quality": o.sql_doc_quality(),
         "doc_langid": o.sql_doc_langid(),
+        "doc_sample_stratified": o.sql_doc_sample_stratified(),
         "doc_simhash": o.sql_doc_simhash(),
         "doc_simhash_pairs": o.sql_doc_simhash_pairs(),
         "doc_jaccard_pairs": o.sql_doc_jaccard_pairs(),

@@ -457,6 +457,27 @@ SELECT doc_id,
 FROM s ORDER BY doc_id"""
 
 
+def sql_doc_sample_stratified(rates: dict = None,
+                              default_rate: float = 0.05) -> str:
+    """Mirror of queries.doc_sample_stratified: the sql_doc_langid
+    strata, the identical md5-low64 row hash over CAST(doc_id AS
+    VARCHAR), and the same integer thresholds (rate * 1e6) — so the
+    kept set is bit-for-bit reproducible on both engines."""
+    rates = rates if rates is not None else {"en": 0.3, "unknown": 1.0}
+    denom = 1_000_000
+    h = _MD5_LOW64.format(expr="CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN {_sql_str(k)} THEN {int(round(v * denom))}"
+        for k, v in sorted(rates.items()))
+    return f"""
+WITH langs AS ({sql_doc_langid()})
+SELECT doc_id, pred_lang FROM langs
+WHERE (({h} >> 1) % {denom})
+      < CASE pred_lang {cases}
+        ELSE {int(round(default_rate * denom))} END
+ORDER BY doc_id"""
+
+
 def sql_doc_corpus_clean(min_tokens: int = 20,
                          min_distinct_ratio: float = 0.2) -> str:
     """Mirror of queries.doc_corpus_clean: quality + language filters,

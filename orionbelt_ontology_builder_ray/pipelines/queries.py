@@ -282,6 +282,23 @@ def doc_langid(sf_dir):
         LangId, batch_format="pandas", concurrency=pool_size())
 
 
+def doc_sample_stratified(sf_dir, rates=None, default_rate=0.05):
+    """Deterministic stratified sample (data mixing): language-ID each
+    doc, then keep per-language rates via the hash-based sampler —
+    reproducible across runs/engines/partitionings, mirrored exactly
+    in SQL."""
+    from ..stages.textops import LangId, StratifiedSampler
+
+    rates = rates if rates is not None else {"en": 0.3, "unknown": 1.0}
+    langs = _read(sf_dir, "documents",
+                  columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=pool_size())
+    return langs.map_batches(
+        StratifiedSampler,
+        fn_constructor_kwargs=dict(rates=rates, default_rate=default_rate),
+        batch_format="pandas", concurrency=pool_size())
+
+
 def doc_fingerprints(sf_dir):
     from ..stages.textops import Fingerprinter
 

@@ -177,6 +177,43 @@ class CorpusCleaner:
         return out
 
 
+class StratifiedSampler:
+    """Deterministic hash-based stratified sampling — the data-mixing
+    primitive of a training corpus (per-language / per-source keep
+    rates): a row survives iff ``(md5_low64(str(key)) >> 1) % DENOM <
+    rate(stratum) * DENOM``.  Purely a function of the row key, so the
+    sample is reproducible across runs, engines, and partitionings
+    (no RNG state, no order dependence) and has an exact DuckDB mirror
+    (sql_doc_sample_stratified).  ``hash_mode="fast"`` swaps in the
+    vectorized one-C-pass hash for production corpora; rates semantics
+    are hash-agnostic, only the oracle needs md5.
+    """
+
+    DENOM = 1_000_000
+
+    def __init__(self, rates: dict, default_rate: float = 0.0,
+                 id_col: str = "doc_id", strata_col: str = "pred_lang",
+                 hash_mode: str = "md5"):
+        self.rates = {k: int(round(v * self.DENOM))
+                      for k, v in rates.items()}
+        self.default = int(round(default_rate * self.DENOM))
+        self.id_col, self.strata_col = id_col, strata_col
+        self.hash_mode = hash_mode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _hash_strings, _hash_strings_md5
+
+        if not len(batch):
+            return batch
+        keys = batch[self.id_col].astype(str).tolist()
+        h = (_hash_strings_md5(keys) if self.hash_mode == "md5"
+             else _hash_strings(keys))
+        u = ((h >> np.uint64(1)) % np.uint64(self.DENOM)).astype(np.int64)
+        thr = batch[self.strata_col].map(self.rates) \
+            .fillna(self.default).to_numpy(np.int64)
+        return batch[u < thr]
+
+
 def clean_corpus(ds, id_col="doc_id", text_col="text", min_tokens=20,
                  keep_langs=("en",), min_distinct_ratio=0.2,
                  num_buckets=64):

@@ -180,6 +180,37 @@ def test_assign_clusters_dataset_path(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
 
 
+def test_stratified_sampler_deterministic_and_partition_invariant():
+    """Hash-based sampling is a pure row function: the kept set is
+    identical across repeated calls and across any batch split, rates
+    bind per stratum, and rate 0/1 are exact."""
+    import pandas as pd
+
+    from orionbelt_ontology_builder_ray.stages.textops import StratifiedSampler
+
+    df = pd.DataFrame({
+        "doc_id": range(2000),
+        "pred_lang": ["en", "fr", "unknown", "de"] * 500,
+    })
+    s = StratifiedSampler({"en": 0.5, "fr": 0.0, "unknown": 1.0},
+                          default_rate=0.1)
+    kept = s(df)
+    # deterministic: same frame, same result; partition-invariant:
+    # concatenated per-row calls equal the single-batch call
+    assert s(df).equals(kept)
+    parts = pd.concat([s(df.iloc[:777]), s(df.iloc[777:])])
+    assert parts.equals(kept)
+    by = kept.groupby("pred_lang").size()
+    assert by.get("fr", 0) == 0                   # rate 0: nothing
+    assert by["unknown"] == 500                   # rate 1: everything
+    assert 150 < by["en"] < 350                   # ~0.5 of 500
+    assert 10 < by.get("de", 0) < 120             # default 0.1 of 500
+    # fast mode also deterministic (different sample, same machinery)
+    f = StratifiedSampler({"en": 0.5}, default_rate=0.1,
+                          hash_mode="fast")
+    assert f(df).equals(f(df))
+
+
 def test_embedding_dedup_clusters_planted(ray_session):
     """Planted embedding clusters close transitively: a ~ b and b ~ c
     (a !~ c directly) land in one cluster labeled min id; isolated

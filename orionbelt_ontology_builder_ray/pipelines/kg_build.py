@@ -283,15 +283,22 @@ def build_kg(sf_dir: Optional[str] = None,
         triples = triples.map_batches(_add_hash_cols, batch_format="pandas")
 
     if partition_buckets:
+        import numpy as np
         import pandas as pd
+        import pyarrow as pa
 
         nb = partition_buckets
 
-        def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            h = pd.util.hash_pandas_object(batch["subject"], index=False)
-            batch["part"] = (h % nb).astype("int32")
-            return batch
+        def add_part(t: pa.Table) -> pa.Table:
+            # arrow-native: box ONLY the subject column for the pandas
+            # hash (part is a layout key; the hash just has to be
+            # deterministic) — the previous pandas-format stage boxed
+            # all six string columns of the full output, the single
+            # biggest memory-traffic hop in the write phase
+            h = pd.util.hash_pandas_object(
+                t["subject"].to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                "part", pa.array((h % nb).astype(np.int32)))
 
         # every block fans out into one file PER partition value, so
         # block count × buckets is the output file count; when the read
@@ -304,7 +311,7 @@ def build_kg(sf_dir: Optional[str] = None,
             except Exception:
                 n_cpus = 16
             triples = triples.repartition(max(16, n_cpus * 2))
-        triples = triples.map_batches(add_part, batch_format="pandas")
+        triples = triples.map_batches(add_part, batch_format="pyarrow")
         if output_path:
             triples.write_parquet(output_path, partition_cols=["part"])
         return triples

@@ -510,6 +510,25 @@ def test_build_kg_kernel_ab_same_output(ray_session):
         == set(map(tuple, b[TRIPLE_COLS].to_numpy()))
 
 
+def test_build_kg_partitioned_layout_same_content(ray_session, tmp_path):
+    """The hash(subject)-partitioned hive layout holds exactly the
+    sorted path's triples: every subject's rows land in one 'part'
+    bucket, and the arrow-native add_part stage changes bytes moved,
+    not content."""
+    import pyarrow.dataset as pads
+
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    out = str(tmp_path / "hive")
+    build_kg(SF, final_sort=False, partition_buckets=4, output_path=out)
+    hive = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    flat = build_kg(SF, final_sort=False).to_pandas()
+    assert set(map(tuple, hive[TRIPLE_COLS].to_numpy())) \
+        == set(map(tuple, flat[TRIPLE_COLS].to_numpy()))
+    per_subject = hive.groupby("subject")["part"].nunique()
+    assert (per_subject == 1).all()
+
+
 def test_pair_index_membership_with_dup_h1():
     """The sorted pair index stays collision-safe when the leading
     64-bit hash collides: duplicated-h1 groups resolve via the exact

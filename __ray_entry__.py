@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q.doc_quality,
         "doc_langid": q.doc_langid,
         "doc_sample_stratified": q.doc_sample_stratified,
+        "doc_corpus_mix": q.doc_corpus_mix,
         "doc_fingerprints": q.doc_fingerprints,
         "doc_simhash": q.doc_simhash,
         "doc_simhash_pairs": q.doc_simhash_pairs,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": o.sql_doc_quality(),
         "doc_langid": o.sql_doc_langid(),
         "doc_sample_stratified": o.sql_doc_sample_stratified(),
+        "doc_corpus_mix": o.sql_doc_corpus_mix(),
         "doc_simhash": o.sql_doc_simhash(),
         "doc_simhash_pairs": o.sql_doc_simhash_pairs(),
         "doc_jaccard_pairs": o.sql_doc_jaccard_pairs(),

@@ -478,6 +478,30 @@ WHERE (({h} >> 1) % {denom})
 ORDER BY doc_id"""
 
 
+def sql_doc_corpus_mix(doc_rate: float = 0.3,
+                       turn_rate: float = 0.1) -> str:
+    """Mirror of queries.doc_corpus_mix: the derived transcripts CTE,
+    UNION ALL with the same source tags / disjoint key spaces, and the
+    identical md5 hash + integer thresholds."""
+    denom = 1_000_000
+    h = _MD5_LOW64.format(expr="mix_key")
+    return f"""
+WITH {transcripts_cte()},
+pool AS (
+  SELECT 'docs' AS source,
+         'd' || CAST(doc_id AS VARCHAR) AS mix_key, text FROM documents
+  UNION ALL
+  SELECT 'turns',
+         't' || conv_id || '-' || CAST(turn_idx AS VARCHAR), text
+  FROM transcripts)
+SELECT source, mix_key, text FROM pool
+WHERE (({h} >> 1) % {denom})
+      < CASE source WHEN 'docs' THEN {int(round(doc_rate * denom))}
+                    WHEN 'turns' THEN {int(round(turn_rate * denom))}
+                    ELSE 0 END
+ORDER BY mix_key"""
+
+
 def sql_doc_corpus_clean(min_tokens: int = 20,
                          min_distinct_ratio: float = 0.2) -> str:
     """Mirror of queries.doc_corpus_clean: quality + language filters,

@@ -299,6 +299,42 @@ def doc_sample_stratified(sf_dir, rates=None, default_rate=0.05):
         batch_format="pandas", concurrency=pool_size())
 
 
+def doc_corpus_mix(sf_dir, doc_rate=0.3, turn_rate=0.1):
+    """Weighted multi-source corpus blend (the data-mixing workflow):
+    documents and transcript turns are tagged with a source and a
+    disjoint key space, unioned, and passed through the deterministic
+    hash-keyed sampler with per-source rates — reproducible on any
+    engine/partitioning; mirrored by UNION ALL + the same thresholds
+    in SQL."""
+    import numpy as np
+
+    from ..stages.textops import StratifiedSampler
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": np.repeat("docs", len(b)).astype(object),
+            "mix_key": ("d" + b["doc_id"].astype(str)).to_numpy(),
+            "text": b["text"].to_numpy()})
+
+    def tag_turns(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": np.repeat("turns", len(b)).astype(object),
+            "mix_key": ("t" + b["conv_id"] + "-"
+                        + b["turn_idx"].astype(str)).to_numpy(),
+            "text": b["text"].to_numpy()})
+
+    pool = docs.map_batches(tag_docs, batch_format="pandas").union(
+        _transcripts(sf_dir).map_batches(tag_turns, batch_format="pandas"))
+    return pool.map_batches(
+        StratifiedSampler,
+        fn_constructor_kwargs=dict(
+            rates={"docs": doc_rate, "turns": turn_rate},
+            default_rate=0.0, id_col="mix_key", strata_col="source"),
+        batch_format="pandas", concurrency=pool_size())
+
+
 def doc_fingerprints(sf_dir):
     from ..stages.textops import Fingerprinter
 

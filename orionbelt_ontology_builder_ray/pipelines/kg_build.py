@@ -112,7 +112,8 @@ def build_kg(sf_dir: Optional[str] = None,
              partition_buckets: Optional[int] = None,
              output_path: Optional[str] = None,
              kernel: str = "arrow",
-             store_hashes: bool = False):
+             store_hashes: bool = False,
+             dict_columns: bool = False):
     """Run the flagship KG-construction pipeline; returns the triples
     Dataset (sorted when ``final_sort``).
 
@@ -120,7 +121,24 @@ def build_kg(sf_dir: Optional[str] = None,
     path (linker output is already canonical); the canonicalization
     stage still runs for explicit sameAs pairs and is exercised with
     variants in tests and the bench.
+
+    ``dict_columns=True`` (opt-in scale representation) keeps the four
+    low-cardinality triple columns dictionary-encoded IN FLIGHT —
+    int32 codes + tiny per-chunk dictionaries instead of repeated URI
+    strings — shrinking object-store and write-path memory traffic on
+    the measured single-node bandwidth ceiling (BASELINE.md).  Row
+    values and parquet output are unchanged (parquet reads dictionary
+    pages back as plain strings).  Supported on the arrow kernel +
+    scoped dedup + unsorted/partitioned output (the 100-TB
+    configuration); other combinations raise.
     """
+    if dict_columns and (kernel != "arrow" or final_sort
+                         or canonicalize_labels or store_hashes
+                         or not fused):
+        raise ValueError(
+            "dict_columns=True requires kernel='arrow', fused=True, "
+            "final_sort=False, canonicalize_labels=False, "
+            "store_hashes=False (the partitioned scale layout)")
     # Default actor-pool sizing follows the SESSION, never exceeds
     # cpus-2: a fixed pool that reserves every CPU starves the
     # ReadParquet/Write task operators and the pipeline hangs (measured
@@ -165,6 +183,9 @@ def build_kg(sf_dir: Optional[str] = None,
         # materialized block counts — no full read)
         dedup_strategy = select_dedup_strategy(
             transcripts.count() * TRIPLES_PER_TURN_ESTIMATE, fused=fused)
+    if dict_columns and dedup_strategy != "scoped":
+        raise ValueError("dict_columns=True requires the scoped dedup "
+                         f"strategy (got {dedup_strategy!r})")
 
     # The fingerprint must cover every stage-affecting knob AND the
     # input content, not just the path — otherwise re-running into the
@@ -193,12 +214,14 @@ def build_kg(sf_dir: Optional[str] = None,
             scoped = dedup_strategy == "scoped"
             fused_cls = (ExtractLinkFusedArrow if kernel == "arrow"
                          else ExtractLinkFused)
+            ctor = dict(alias_ref=alias_ref, emit_ts=emit_ts,
+                        with_dedup_hash=not scoped,
+                        with_local_dedup=scoped)
+            if kernel == "arrow":
+                ctor["dict_columns"] = dict_columns
             triples = transcripts.map_batches(
                 fused_cls,
-                fn_constructor_kwargs=dict(alias_ref=alias_ref,
-                                           emit_ts=emit_ts,
-                                           with_dedup_hash=not scoped,
-                                           with_local_dedup=scoped),
+                fn_constructor_kwargs=ctor,
                 batch_format="pyarrow" if kernel == "arrow" else "pandas",
                 batch_size=batch_size,
                 concurrency=extract_concurrency + link_concurrency)
@@ -208,6 +231,11 @@ def build_kg(sf_dir: Optional[str] = None,
                     from ..stages.dedup import _DedupAndHash
 
                     seed = seed.map_batches(_DedupAndHash(),
+                                            batch_format="pyarrow")
+                elif dict_columns:
+                    from ..stages.link import encode_dict_cols
+
+                    seed = seed.map_batches(encode_dict_cols,
                                             batch_format="pyarrow")
                 triples = triples.union(seed)
             prehashed = not scoped
@@ -256,7 +284,8 @@ def build_kg(sf_dir: Optional[str] = None,
 
         triples = dedup_triples_scoped(triples.materialize(),
                                        scope_regex="-t[0-9]+$",
-                                       pre_deduped=fused)
+                                       pre_deduped=fused,
+                                       dict_columns=dict_columns)
         if ckpt_dir:
             triples = ckpt.save_stage(ckpt_dir, "dedup", triples, fp)
     else:

@@ -60,7 +60,8 @@ class _DedupAndHash:
 
 
 def dedup_triples_scoped(ds, scope_regex: str, num_buckets: int = 16,
-                         pre_deduped: bool = False):
+                         pre_deduped: bool = False,
+                         dict_columns: bool = False):
     """Exact dedup exploiting a producer invariant: rows whose subject
     matches ``scope_regex`` are globally unique after per-block dedup
     (each scoped subject — e.g. a turn — is emitted by exactly one
@@ -88,6 +89,15 @@ def dedup_triples_scoped(ds, scope_regex: str, num_buckets: int = 16,
 
     scoped = deduped.map_batches(split(True), batch_format="pyarrow")
     shared = deduped.map_batches(split(False), batch_format="pyarrow")
+    if dict_columns:
+        # the shared remainder is vocabulary-sized: decode it to plain
+        # strings for the shuffle + groupby (arrow group_by and Ray's
+        # sort don't need to handle dictionary keys), re-encode after
+        # so both branches carry the identical dictionary schema
+        from .link import decode_dict_cols, encode_dict_cols
+
+        shared = shared.map_batches(decode_dict_cols,
+                                    batch_format="pyarrow")
     # the shared remainder inherits the input's (wide) block count but
     # holds few rows per block; Ray's sort-based groupby pays a fixed
     # cost per block, so coalesce to the bucket count first (local
@@ -96,6 +106,9 @@ def dedup_triples_scoped(ds, scope_regex: str, num_buckets: int = 16,
     shared = shared.map_batches(_AddBucket(num_buckets), batch_format="pandas")
     shared = shared.groupby("_bucket").map_groups(
         lambda t: _local_dedup(t), batch_format="pyarrow")
+    if dict_columns:
+        shared = shared.map_batches(encode_dict_cols,
+                                    batch_format="pyarrow")
     return scoped.union(shared)
 
 

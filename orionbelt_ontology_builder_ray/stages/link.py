@@ -27,6 +27,40 @@ from .extract import MENTION_KIND, TRIPLE_COLS, _const_frame
 # surface form -> (entity_uri, class_uri, canonical_label)
 AliasDict = Dict[str, Tuple[str, str, str]]
 
+# the four low-cardinality triple columns (~20/4/2/3 distinct values):
+# as plain strings they are most of the bytes a triple block carries
+# in flight; dictionary-encoded they shrink to int32 codes + a tiny
+# per-chunk dictionary.  Opt-in via build_kg(dict_columns=True) — the
+# in-flight representation changes, parquet output and row values do
+# not (parquet reads dictionary pages back as plain strings).
+DICT_COLS = ("predicate", "object_kind", "lang", "datatype")
+
+
+def encode_dict_cols(t):
+    """Dictionary-encode the low-cardinality triple columns of an
+    Arrow table (idempotent; non-triple columns untouched)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for c in DICT_COLS:
+        if c in t.column_names \
+                and not pa.types.is_dictionary(t.schema.field(c).type):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.dictionary_encode(t[c].combine_chunks()))
+    return t
+
+
+def decode_dict_cols(t):
+    """Inverse of encode_dict_cols (cast dictionary columns back to
+    plain strings; idempotent)."""
+    import pyarrow as pa
+
+    for c in t.column_names:
+        if pa.types.is_dictionary(t.schema.field(c).type):
+            t = t.set_column(t.column_names.index(c), c,
+                             t[c].cast(pa.string()))
+    return t
+
 
 def build_alias_dict(sf_dir: str, base: str = KG) -> AliasDict:
     """Alias dictionary from the dimension tables (driver-side, tiny).
@@ -123,7 +157,8 @@ class ExtractLinkFusedArrow:
 
     def __init__(self, alias_ref, emit_ts: bool = True,
                  with_dedup_hash: bool = True,
-                 with_local_dedup: bool = False, base: str = KG):
+                 with_local_dedup: bool = False, base: str = KG,
+                 dict_columns: bool = False):
         try:
             import ray
 
@@ -139,6 +174,7 @@ class ExtractLinkFusedArrow:
         self.emit_ts = emit_ts
         self.with_dedup_hash = with_dedup_hash
         self.with_local_dedup = with_local_dedup
+        self.dict_columns = dict_columns
         from .extract import _MENTION_RE
 
         self.mention_re = _MENTION_RE
@@ -266,11 +302,13 @@ class ExtractLinkFusedArrow:
         if self.with_dedup_hash:
             from .dedup import _DedupAndHash
 
-            return _DedupAndHash()(out)
-        if self.with_local_dedup:
+            out = _DedupAndHash()(out)
+        elif self.with_local_dedup:
             from .dedup import _local_dedup
 
-            return _local_dedup(out)
+            out = _local_dedup(out)
+        if self.dict_columns:
+            out = encode_dict_cols(out)
         return out
 
 

@@ -510,6 +510,26 @@ def test_build_kg_kernel_ab_same_output(ray_session):
         == set(map(tuple, b[TRIPLE_COLS].to_numpy()))
 
 
+def test_build_kg_dict_columns_same_content(ray_session):
+    """dict_columns=True (in-flight dictionary representation) holds
+    exactly the default build's triples; invalid combinations raise."""
+    import pytest
+
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    base = build_kg(SF, final_sort=False).to_pandas()
+    d = build_kg(SF, final_sort=False, dedup_strategy="scoped",
+                 dict_columns=True).to_pandas()
+    key = lambda df: set(map(tuple, df[TRIPLE_COLS].astype(str).to_numpy()))
+    assert key(base) == key(d)
+    with pytest.raises(ValueError):
+        build_kg(SF, final_sort=True, dedup_strategy="scoped",
+                 dict_columns=True)
+    with pytest.raises(ValueError):
+        build_kg(SF, final_sort=False, dedup_strategy="broadcast",
+                 dict_columns=True)
+
+
 def test_build_kg_partitioned_layout_same_content(ray_session, tmp_path):
     """The hash(subject)-partitioned hive layout holds exactly the
     sorted path's triples: every subject's rows land in one 'part'

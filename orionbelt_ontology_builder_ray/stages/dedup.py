@@ -93,9 +93,14 @@ def dedup_triples_scoped(ds, scope_regex: str, num_buckets: int = 16,
         # the shared remainder is vocabulary-sized: decode it to plain
         # strings for the shuffle + groupby (arrow group_by and Ray's
         # sort don't need to handle dictionary keys), re-encode after
-        # so both branches carry the identical dictionary schema
+        # so both branches carry the identical dictionary schema.  The
+        # scoped branch gets an idempotent encode too: a checkpoint
+        # resume hands back plain-string blocks (parquet), and a mixed
+        # dict/plain union would break downstream batch concatenation
         from .link import decode_dict_cols, encode_dict_cols
 
+        scoped = scoped.map_batches(encode_dict_cols,
+                                    batch_format="pyarrow")
         shared = shared.map_batches(decode_dict_cols,
                                     batch_format="pyarrow")
     # the shared remainder inherits the input's (wide) block count but

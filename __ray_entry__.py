@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_jaccard_pairs": q.doc_jaccard_pairs,
         "doc_minhash_clusters": q.doc_minhash_clusters,
+        "doc_corpus_near_clean": q.doc_corpus_near_clean,
         "doc_corpus_clean": q.doc_corpus_clean,
         "embedding_near_dups": q.embedding_near_dups,
         "embedding_dedup_clusters": q.embedding_dedup_clusters,
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_canonicalized": o.sql_kg_triples_canonicalized(),
         "kg_canonicalization_demo": o.sql_kg_canonicalization_demo(),
         "doc_minhash_clusters": o.sql_doc_minhash_clusters(),
+        "doc_corpus_near_clean": o.sql_doc_corpus_near_clean(),
         "embedding_near_dups": o.sql_embedding_near_dups(),
         "embedding_dedup_clusters": o.sql_embedding_dedup_clusters(),
     }

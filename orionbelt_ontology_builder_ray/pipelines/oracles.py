@@ -959,6 +959,17 @@ WHERE object_kind = 'literal' AND predicate NOT IN ({blist})
 ORDER BY predicate""")
 
 
+def sql_doc_corpus_near_clean() -> str:
+    """Mirror of queries.doc_corpus_near_clean: the full MinHash
+    cluster derivation reduced to one representative (= min id = the
+    cluster label) per cluster with its size."""
+    return f"""
+WITH clusters AS ({sql_doc_minhash_clusters()})
+SELECT CAST(cluster AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS cluster_size
+FROM clusters GROUP BY cluster ORDER BY doc_id"""
+
+
 def sql_doc_minhash_clusters(num_perm: int = 64, num_bands: int = 16,
                              shingle_k: int = 3,
                              threshold: float = 0.7) -> str:

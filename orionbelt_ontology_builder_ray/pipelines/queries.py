@@ -299,6 +299,37 @@ def doc_sample_stratified(sf_dir, rates=None, default_rate=0.05):
         batch_format="pandas", concurrency=pool_size())
 
 
+def doc_corpus_near_clean(sf_dir):
+    """Near-dup-cleaned corpus: MinHash clusters reduced to one
+    representative per cluster (the min id, which IS the cluster
+    label) with the cluster size — the end product of fuzzy dedup.
+    The size count is a bucketed hash groupby (cluster ids are
+    corpus-sized keys; a direct Ray groupby over millions of mostly-
+    singleton groups is the documented cliff)."""
+    import numpy as np
+
+    from ..stages.dedup import minhash_dedup_clusters_ds
+
+    clusters = minhash_dedup_clusters_ds(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        hash_mode="md5")
+    nb = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cluster").size().reset_index(name="n")
+        g["_b"] = (g["cluster"].to_numpy(np.int64) % nb).astype(np.int32)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cluster")["n"].sum().reset_index()
+        return pd.DataFrame({
+            "doc_id": out["cluster"].astype(np.int64),
+            "cluster_size": out["n"].astype(np.int64)})
+
+    return clusters.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(merge, batch_format="pandas")
+
+
 def doc_corpus_mix(sf_dir, doc_rate=0.3, turn_rate=0.1):
     """Weighted multi-source corpus blend (the data-mixing workflow):
     documents and transcript turns are tagged with a source and a

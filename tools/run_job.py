@@ -50,6 +50,12 @@ def main(argv=None) -> int:
                          "_h1/_h2 store columns (16 B/row) so later "
                          "--update-from probes read the pruned hash "
                          "columns instead of re-hashing the payload")
+    ap.add_argument("--dict-columns", action="store_true",
+                    help="keep the low-cardinality triple columns "
+                         "dictionary-encoded in flight (less memory "
+                         "traffic; wins when bandwidth-bound — see "
+                         "BASELINE.md; needs the default scoped/"
+                         "partitioned configuration)")
     args = ap.parse_args(argv)
 
     import ray
@@ -89,6 +95,7 @@ def main(argv=None) -> int:
                                if not args.sort else None),
             output_path=args.output,
             store_hashes=args.store_hashes,
+            dict_columns=args.dict_columns,
         )
     wall = time.time() - t0
 

@@ -448,6 +448,30 @@ def _pair_bucket_dedup(ds, cols=("id_a", "id_b"), num_buckets=32):
         .groupby("_b").map_groups(per_bucket, batch_format="pandas")
 
 
+class _WantedShingleSets:
+    """Actor-pool stage: shingle sets for ONLY the docs in the
+    broadcast ``wanted`` id array (the docs that appear in >=1
+    candidate pair) — the semi-join that keeps the verify joins'
+    shuffle candidate-sized instead of corpus-sized."""
+
+    def __init__(self, shingle_k: int, id_col: str, text_col: str,
+                 hash_mode: str = "fast", wanted_ref=None):
+        self.inner = _ShingleSets(shingle_k, id_col, text_col, hash_mode)
+        self.id_col = id_col
+        try:
+            import ray
+
+            if isinstance(wanted_ref, ray.ObjectRef):
+                wanted_ref = ray.get(wanted_ref)
+        except ImportError:
+            pass
+        self.wanted = wanted_ref
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        keep = batch[np.isin(batch[self.id_col].to_numpy(), self.wanted)]
+        return self.inner(keep)
+
+
 class _ShingleSets:
     """Actor-pool stage: doc -> (id, sorted shingle-hash array).
 
@@ -578,18 +602,10 @@ def verified_near_dup_edges(ds, threshold=0.7, num_perm=64, num_bands=16,
          for b in id_frames]))
     wref = ray.put(wanted)
 
-    class PairedDocSets(_ShingleSets):
-        def __init__(self, shingle_k, id_col, text_col):
-            super().__init__(shingle_k, id_col, text_col)
-            self.wanted = ray.get(wref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            keep = batch[np.isin(batch[self.id_col].to_numpy(), self.wanted)]
-            return super().__call__(keep)
-
     sets_ds = ds.map_batches(
-        PairedDocSets, fn_constructor_kwargs=dict(
-            shingle_k=shingle_k, id_col=id_col, text_col=text_col),
+        _WantedShingleSets, fn_constructor_kwargs=dict(
+            shingle_k=shingle_k, id_col=id_col, text_col=text_col,
+            wanted_ref=wref),
         batch_format="pandas", concurrency=pool_size())
     # both join rounds read the (pair-id-filtered, small) set side —
     # materialize so the corpus scan + shingling runs once, not twice
@@ -970,21 +986,26 @@ def ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=3, id_col="doc_id",
     ``n_inter / n_union >= threshold``; the counts (not the float
     ratio) travel so engines cannot disagree on formatting.
 
-    Scale shape: shingle sets are computed once per doc (actor pool),
-    the inverted index shuffles (doc_id, shingle_hash) rows through
-    the shared coarse-bucket pair expansion, and the 8 B/shingle sets
-    are attached to candidates with the bucket-hash payload join —
-    text never moves.  ``df_cap`` drops shingles shared by more than
-    that many docs before pair expansion (the hot-shingle guard for
-    web-scale corpora — a stopword trigram otherwise expands
-    quadratically); None means exact/complete, the oracle-checkable
-    mode.
+    Scale shape (mirrors the MinHash verify): shingle sets stream ONCE
+    through the inverted-index emission — never materialized corpus-
+    wide — and (doc_id, shingle_hash) rows go through the shared
+    coarse-bucket pair expansion; the candidate PAIR set (small by
+    construction) is materialized, its distinct doc ids broadcast, and
+    the 8 B/shingle sets are recomputed for ONLY those docs before the
+    bucket-hash payload joins — so the verify shuffle is candidate-
+    sized, not corpus-sized, and full text never moves.  ``df_cap``
+    drops shingles shared by more than that many docs before pair
+    expansion (the hot-shingle guard for web-scale corpora — a
+    stopword trigram otherwise expands quadratically); None means
+    exact/complete, the oracle-checkable mode.
     """
-    sets_ds = ds.map_batches(
-        _ShingleSets, fn_constructor_kwargs=dict(
-            shingle_k=shingle_k, id_col=id_col, text_col=text_col,
-            hash_mode=hash_mode),
-        batch_format="pandas", concurrency=pool_size()).materialize()
+    import ray
+
+    shingle_kwargs = dict(shingle_k=shingle_k, id_col=id_col,
+                          text_col=text_col, hash_mode=hash_mode)
+    sets_stream = ds.map_batches(
+        _ShingleSets, fn_constructor_kwargs=shingle_kwargs,
+        batch_format="pandas", concurrency=pool_size())
 
     def inverted(t: pa.Table) -> pa.Table:
         ids = t["_k"].to_numpy(zero_copy_only=False)
@@ -999,9 +1020,26 @@ def ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=3, id_col="doc_id",
             "band_hash": pa.array(sh),
         })
 
-    index = sets_ds.map_batches(inverted, batch_format="pyarrow")
+    index = sets_stream.map_batches(inverted, batch_format="pyarrow")
     pairs = _pairs_from_bands(index, "doc_id", num_buckets,
-                              max_group=df_cap)
+                              max_group=df_cap).materialize()
+    id_frames = list(pairs.iter_batches(batch_size=65536,
+                                        batch_format="pandas"))
+    if not id_frames:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("n_inter", pa.int64()), ("n_union", pa.int64())])
+            .empty_table())
+    wanted = np.unique(np.concatenate(
+        [np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])
+         for b in id_frames]))
+    wref = ray.put(wanted)
+    sets_ds = ds.map_batches(
+        _WantedShingleSets, fn_constructor_kwargs=dict(
+            **shingle_kwargs, wanted_ref=wref),
+        batch_format="pandas", concurrency=pool_size()).materialize()
 
     with_a = _attach_sets(pairs, sets_ds, "id_a", "_set_a", num_buckets)
     with_ab = _attach_sets(

@@ -281,6 +281,23 @@ def test_ngram_jaccard_pairs_equal_brute_force(ray_session):
     assert len(exp) > 0
 
 
+def test_ngram_jaccard_no_candidates_typed_empty(ray_session):
+    """Disjoint vocabularies -> zero candidate pairs -> a typed empty
+    result with the full 4-column schema (not the bare pair schema)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import ngram_jaccard_pairs
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["aa bb cc", "dd ee ff", "gg hh ii"]})
+    out = ngram_jaccard_pairs(rd.from_pandas(df).repartition(2))
+    assert out.count() == 0
+    # Ray's to_pandas drops columns of an empty dataset; the dataset
+    # schema itself must carry the full 4-column contract
+    assert out.schema().names == ["id_a", "id_b", "n_inter", "n_union"]
+
+
 def test_ngram_jaccard_df_cap_skips_hot_shingles(ray_session):
     """df_cap: a shingle shared by more docs than the cap produces no
     candidates through it (the hot-key guard), while rarer shingles

@@ -1112,9 +1112,28 @@ def simhash_near_dup_pairs(ds, max_hamming=3, id_col="doc_id",
 
     pairs = _pairs_from_bands(
         sigs.map_batches(bands, batch_format="pandas"), id_col,
-        num_buckets)
+        num_buckets).materialize()
+    id_frames = list(pairs.iter_batches(batch_size=65536,
+                                        batch_format="pandas"))
+    if not id_frames:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("hamming", pa.int64())]).empty_table())
+    import ray
+
+    wanted = np.unique(np.concatenate(
+        [np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])
+         for b in id_frames]))
+    wref = ray.put(wanted)
 
     def to_payload(t: pa.Table) -> pa.Table:
+        # semi-join to candidate docs: only their 16 B signatures enter
+        # the payload shuffle (the jaccard/minhash verify shape)
+        w = ray.get(wref) if isinstance(wref, ray.ObjectRef) else wref
+        keep = np.isin(t[id_col].to_numpy(zero_copy_only=False), w)
+        t = t.filter(pa.array(keep))
         return pa.table({"_k": t[id_col], "_set": t["simhash"]}).cast(
             pa.schema([("_k", pa.int64()), ("_set", pa.int64())]))
 

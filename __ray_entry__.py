@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q.events_range_join,
         "events_sliding_counts": q.events_sliding_counts,
         "events_topk_per_user": q.events_topk_per_user,
+        "events_lag": q.events_lag,
     }
     # schema-plane golden fixtures (hand-written expected outputs)
     from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_QUERIES
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": o.sql_events_range_join(),
         "events_sliding_counts": o.sql_events_sliding_counts(),
         "events_topk_per_user": o.sql_events_topk_per_user(),
+        "events_lag": o.sql_events_lag(),
         "kg_classes": o.sql_kg_classes(),
         "kg_individuals_by_class": o.sql_kg_individuals_by_class(),
         "kg_inferred_types": o.sql_kg_inferred_types(),

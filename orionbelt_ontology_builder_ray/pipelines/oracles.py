@@ -707,6 +707,22 @@ FROM l JOIN r ON l.user_id = r.user_id
 ORDER BY l.event_id, matched_event_id"""
 
 
+def sql_events_lag() -> str:
+    """Mirror of queries.events_lag: lag() with the identical
+    (ts, event_id) order, inner (first events dropped on both engines
+    — nullable outputs stringify differently across engines)."""
+    return """
+WITH l AS (
+  SELECT event_id, user_id, ts,
+         lag(event_id) OVER w AS prev_event_id,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, ts,
+       CAST(prev_event_id AS BIGINT) AS prev_event_id, prev_ts
+FROM l WHERE prev_event_id IS NOT NULL ORDER BY event_id"""
+
+
 def sql_events_topk_per_user(k: int = 3) -> str:
     """Mirror of queries.events_topk_per_user: row_number() with the
     identical (ts DESC, event_id DESC) order, so ties cannot differ."""

@@ -796,6 +796,16 @@ def events_range_join(sf_dir, left_type="purchase", right_type="view",
                              window_minutes=window_minutes)
 
 
+def events_lag(sf_dir):
+    """Per-event lag: the same user's immediately preceding event
+    (stages/windows.py lag_events; mirrored by SQL lag())."""
+    from ..stages.windows import lag_events
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return lag_events(ds)
+
+
 def events_topk_per_user(sf_dir, k=3):
     """Each user's k most recent events (ts desc, event_id desc
     tiebreak) — the grouped top-k primitive (stages/windows.py),

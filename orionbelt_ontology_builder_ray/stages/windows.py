@@ -195,6 +195,40 @@ def range_join_events(ds, left_type: str, right_type: str,
     return pairs.groupby("_bucket").map_groups(join, batch_format="pandas")
 
 
+def lag_events(ds, num_buckets: int = 64):
+    """Per-event lag: each event paired with the same user's
+    immediately preceding event (by ts, event_id tie-break) — SQL
+    ``lag() OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
+    INNER semantics (first events are dropped, like the as-of join):
+    nullable outputs stringify differently across engines, so the
+    contract stays all-non-null int64/timestamp.  Same one-shuffle
+    bucket shape as the other window operators; inside a bucket the
+    lag is one lexsort + one shifted same-user comparison, fully
+    vectorized.
+    """
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]")
+        eid = g["event_id"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((eid, ts.view(np.int64), uid))
+        ts, eid, uid = ts[order], eid[order], uid[order]
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = uid[1:] == uid[:-1]
+        prev_eid = np.full(len(g), -1, dtype=np.int64)
+        prev_ts = np.full(len(g), np.datetime64("NaT", "us"))
+        prev_eid[1:][same[1:]] = eid[:-1][same[1:]]
+        prev_ts[1:][same[1:]] = ts[:-1][same[1:]]
+        return pd.DataFrame({
+            "event_id": eid[same], "user_id": uid[same], "ts": ts[same],
+            "prev_event_id": prev_eid[same], "prev_ts": prev_ts[same],
+        })
+
+    pairs = _bucket_events(ds, None, num_buckets)
+    return pairs.groupby("_bucket").map_groups(lag, batch_format="pandas")
+
+
 def grouped_topk(ds, key_cols, order_cols, k: int,
                  descending: bool = True, num_buckets: int = 64):
     """Top-k rows per group — the missing Ray Data primitive behind

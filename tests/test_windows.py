@@ -17,6 +17,7 @@ from orionbelt_ontology_builder_ray.stages.windows import (
     _segmented_searchsorted,
     asof_join_events,
     grouped_topk,
+    lag_events,
     range_join_events,
     sliding_window_counts,
 )
@@ -173,6 +174,24 @@ def test_grouped_topk_tiebreak_deterministic(ray_session):
     out = grouped_topk(ds.select_columns(["event_id", "ts", "user_id"]),
                        ["user_id"], ["ts", "event_id"], 4).to_pandas()
     assert sorted(out["event_id"]) == [6, 7, 8, 9]
+
+
+def test_lag_events_inner_and_tiebreak(ray_session):
+    """Each non-first event gets the same user's immediately preceding
+    event; equal timestamps break by event_id; first events drop
+    (inner); users never leak across buckets."""
+    ds = _events([
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:00:00", 7, "view"),    # tie: prev is 1
+        (3, "2024-01-01 10:05:00", 7, "view"),    # prev is 2
+        (4, "2024-01-01 09:00:00", 8, "view"),    # first for 8: dropped
+        (5, "2024-01-01 09:30:00", 8, "view"),    # prev is 4
+    ])
+    out = lag_events(ds, num_buckets=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(out["event_id"]) == [2, 3, 5]
+    assert list(out["prev_event_id"]) == [1, 2, 4]
+    assert out["prev_ts"].notna().all()
 
 
 def test_sliding_counts_covers_every_event(ray_session):

@@ -325,9 +325,14 @@ def run_scaling() -> dict:
     """
     lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", str(lo_n * 4)))
+    # the steady-state protocol (BASELINE.md) measures at REPL=32
+    # (3.2M turns): smaller inputs measure the fixed-cost regime
+    # (documented ~0.53 cap at REPL<=8), not pipeline scaling
+    repl = os.environ.get("GRAFT_BENCH_REPL", "32")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPL=repl,
                    GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
@@ -346,7 +351,7 @@ def run_scaling() -> dict:
         f"triples_per_sec_{hi_n}": hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
-        "repl": REPL,
+        "repl": int(repl),
     }
 
 

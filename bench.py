@@ -255,6 +255,10 @@ def run_bench() -> dict:
     queries["events_topk_per_user"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    q.events_lag(SF_DIR).count()
+    queries["events_lag"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     q.events_range_join(SF_DIR).count()
     queries["events_range_join"] = round(time.time() - t0, 3)
 

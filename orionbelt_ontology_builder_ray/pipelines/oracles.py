@@ -266,10 +266,15 @@ def sql_doc_dedup_exact() -> str:
 
 
 def sql_doc_token_counts() -> str:
+    from ..stages.textops import BPE_TOKEN_RE
+
     return ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
             "CASE WHEN trim(text) = '' THEN 0 ELSE "
             "CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
-            "END AS n_tokens FROM documents ORDER BY doc_id")
+            "END AS n_tokens, "
+            "CAST(length(regexp_extract_all(text, "
+            f"{_sql_str(BPE_TOKEN_RE)})) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents ORDER BY doc_id")
 
 
 def sql_doc_ngram_stats(n: int = 2) -> str:

@@ -22,9 +22,19 @@ _LANG_PROFILES = {
 }
 
 
+# GPT-2-style pretokenizer, lookahead-free so Python re and DuckDB
+# RE2 count the IDENTICAL matches (pinned by the doc_token_counts
+# oracle): contractions, space-prefixed letter/digit runs,
+# space-prefixed punctuation runs, whitespace runs.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
 class TokenCounter:
-    """doc -> (doc_id, n_chars, n_tokens); whitespace tokenization
-    (oracle: sql_doc_token_counts)."""
+    """doc -> (doc_id, n_chars, n_tokens, n_bpe_tokens): whitespace
+    tokenization plus a BPE-ish pretokenizer match count — the
+    token-budget estimate a training pipeline actually needs (oracle:
+    sql_doc_token_counts; both counts are one vectorized pandas
+    ``str`` pass per batch)."""
 
     def __init__(self, id_col="doc_id", text_col="text"):
         self.id_col, self.text_col = id_col, text_col
@@ -35,6 +45,7 @@ class TokenCounter:
             self.id_col: batch[self.id_col].to_numpy(),
             "n_chars": text.str.len().astype(np.int64),
             "n_tokens": text.str.split().str.len().fillna(0).astype(np.int64),
+            "n_bpe_tokens": text.str.count(BPE_TOKEN_RE).astype(np.int64),
         })
 
 

@@ -211,6 +211,25 @@ def test_stratified_sampler_deterministic_and_partition_invariant():
     assert f(df).equals(f(df))
 
 
+def test_stratified_sampler_nested_samples():
+    """Hash-keyed sampling is threshold-monotone: raising a stratum's
+    rate only ADDS rows (kept(r1) ⊆ kept(r2) for r1 <= r2) — a sample
+    can be grown without resampling, across both hash modes."""
+    import pandas as pd
+
+    from orionbelt_ontology_builder_ray.stages.textops import StratifiedSampler
+
+    df = pd.DataFrame({"doc_id": range(5000), "pred_lang": ["en"] * 5000})
+    for mode in ("md5", "fast"):
+        prev: set = set()
+        for rate in (0.05, 0.2, 0.5, 0.9, 1.0):
+            kept = set(StratifiedSampler({"en": rate}, hash_mode=mode)(df)
+                       ["doc_id"])
+            assert prev <= kept, (mode, rate)
+            prev = kept
+        assert len(prev) == 5000  # rate 1.0 keeps everything
+
+
 def test_embedding_dedup_clusters_planted(ray_session):
     """Planted embedding clusters close transitively: a ~ b and b ~ c
     (a !~ c directly) land in one cluster labeled min id; isolated

@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_counts": q.events_sliding_counts,
         "events_topk_per_user": q.events_topk_per_user,
         "events_lag": q.events_lag,
+        "events_lead": q.events_lead,
     }
     # schema-plane golden fixtures (hand-written expected outputs)
     from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_QUERIES
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_counts": o.sql_events_sliding_counts(),
         "events_topk_per_user": o.sql_events_topk_per_user(),
         "events_lag": o.sql_events_lag(),
+        "events_lead": o.sql_events_lead(),
         "kg_classes": o.sql_kg_classes(),
         "kg_individuals_by_class": o.sql_kg_individuals_by_class(),
         "kg_inferred_types": o.sql_kg_inferred_types(),

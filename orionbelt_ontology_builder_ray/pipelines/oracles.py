@@ -728,6 +728,22 @@ SELECT event_id, user_id, ts,
 FROM l WHERE prev_event_id IS NOT NULL ORDER BY event_id"""
 
 
+def sql_events_lead() -> str:
+    """Mirror of queries.events_lead: lead() with the identical
+    (ts, event_id) order, inner (last events dropped on both
+    engines)."""
+    return """
+WITH l AS (
+  SELECT event_id, user_id, ts,
+         lead(event_id) OVER w AS next_event_id,
+         lead(ts) OVER w AS next_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, ts,
+       CAST(next_event_id AS BIGINT) AS next_event_id, next_ts
+FROM l WHERE next_event_id IS NOT NULL ORDER BY event_id"""
+
+
 def sql_events_topk_per_user(k: int = 3) -> str:
     """Mirror of queries.events_topk_per_user: row_number() with the
     identical (ts DESC, event_id DESC) order, so ties cannot differ."""

@@ -806,6 +806,17 @@ def events_lag(sf_dir):
     return lag_events(ds)
 
 
+def events_lead(sf_dir):
+    """Per-event lead: the same user's immediately following event
+    (stages/windows.py lag_events(direction='next'); mirrored by SQL
+    lead())."""
+    from ..stages.windows import lag_events
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return lag_events(ds, direction="next")
+
+
 def events_topk_per_user(sf_dir, k=3):
     """Each user's k most recent events (ts desc, event_id desc
     tiebreak) — the grouped top-k primitive (stages/windows.py),

@@ -195,17 +195,18 @@ def range_join_events(ds, left_type: str, right_type: str,
     return pairs.groupby("_bucket").map_groups(join, batch_format="pandas")
 
 
-def lag_events(ds, num_buckets: int = 64):
-    """Per-event lag: each event paired with the same user's
-    immediately preceding event (by ts, event_id tie-break) — SQL
-    ``lag() OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
-    INNER semantics (first events are dropped, like the as-of join):
-    nullable outputs stringify differently across engines, so the
-    contract stays all-non-null int64/timestamp.  Same one-shuffle
-    bucket shape as the other window operators; inside a bucket the
-    lag is one lexsort + one shifted same-user comparison, fully
-    vectorized.
+def lag_events(ds, num_buckets: int = 64, direction: str = "prev"):
+    """Per-event lag/lead: each event paired with the same user's
+    immediately preceding (``direction="prev"``, SQL ``lag()``) or
+    following (``"next"``, SQL ``lead()``) event, ordered by
+    (ts, event_id).  INNER semantics (boundary events are dropped,
+    like the as-of join): nullable outputs stringify differently
+    across engines, so the contract stays all-non-null
+    int64/timestamp.  Same one-shuffle bucket shape as the other
+    window operators; inside a bucket it is one lexsort + one shifted
+    same-user comparison, fully vectorized.
     """
+    col = "prev" if direction == "prev" else "next"
 
     def lag(g: pd.DataFrame) -> pd.DataFrame:
         ts = g["ts"].to_numpy("datetime64[us]")
@@ -214,15 +215,22 @@ def lag_events(ds, num_buckets: int = 64):
         order = np.lexsort((eid, ts.view(np.int64), uid))
         ts, eid, uid = ts[order], eid[order], uid[order]
         same = np.zeros(len(g), dtype=bool)
-        if len(g) > 1:
-            same[1:] = uid[1:] == uid[:-1]
-        prev_eid = np.full(len(g), -1, dtype=np.int64)
-        prev_ts = np.full(len(g), np.datetime64("NaT", "us"))
-        prev_eid[1:][same[1:]] = eid[:-1][same[1:]]
-        prev_ts[1:][same[1:]] = ts[:-1][same[1:]]
+        other_eid = np.full(len(g), -1, dtype=np.int64)
+        other_ts = np.full(len(g), np.datetime64("NaT", "us"))
+        if direction == "prev":
+            if len(g) > 1:
+                same[1:] = uid[1:] == uid[:-1]
+            other_eid[1:][same[1:]] = eid[:-1][same[1:]]
+            other_ts[1:][same[1:]] = ts[:-1][same[1:]]
+        else:
+            if len(g) > 1:
+                same[:-1] = uid[:-1] == uid[1:]
+            other_eid[:-1][same[:-1]] = eid[1:][same[:-1]]
+            other_ts[:-1][same[:-1]] = ts[1:][same[:-1]]
         return pd.DataFrame({
             "event_id": eid[same], "user_id": uid[same], "ts": ts[same],
-            "prev_event_id": prev_eid[same], "prev_ts": prev_ts[same],
+            f"{col}_event_id": other_eid[same],
+            f"{col}_ts": other_ts[same],
         })
 
     pairs = _bucket_events(ds, None, num_buckets)

@@ -194,6 +194,22 @@ def test_lag_events_inner_and_tiebreak(ray_session):
     assert out["prev_ts"].notna().all()
 
 
+def test_lead_events_mirror_of_lag(ray_session):
+    """lead is lag reversed: every (event, next) pair is exactly a
+    (next, prev=event) pair of the lag output."""
+    rows = [(i, f"2024-01-01 10:{i % 60:02d}:00", i % 5, "view")
+            for i in range(60)]
+    lag_out = lag_events(_events(rows), num_buckets=3).to_pandas()
+    lead_out = lag_events(_events(rows), num_buckets=3,
+                          direction="next").to_pandas()
+    lag_pairs = set(zip(lag_out["prev_event_id"].astype(int),
+                        lag_out["event_id"].astype(int)))
+    lead_pairs = set(zip(lead_out["event_id"].astype(int),
+                         lead_out["next_event_id"].astype(int)))
+    assert lag_pairs == lead_pairs
+    assert len(lead_pairs) == 55  # 60 events, 5 users drop their last
+
+
 def test_sliding_counts_covers_every_event(ray_session):
     rows = [(i, f"2024-01-01 10:{i % 60:02d}:00", i % 5, "view")
             for i in range(100)]

@@ -53,8 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_detect_conflicts": q.kg_detect_conflicts,
         "events_sessionize": q.events_sessionize,
         "kg_viz_nodes": q.kg_viz_nodes,
-        "kg_annotations": q.kg_annotations,
-        "kg_annotation_predicates": q.kg_annotation_predicates,
+        "kg_annotations_all": q.kg_annotations_all,
         "kg_canonicalization_demo": q.kg_canonicalization_demo,
         # training-data ops
         "doc_dedup_exact": q.doc_dedup_exact,
@@ -65,8 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": q.doc_sample_stratified,
         "doc_corpus_mix": q.doc_corpus_mix,
         "doc_fingerprints": q.doc_fingerprints,
-        "doc_simhash": q.doc_simhash,
-        "doc_simhash_pairs": q.doc_simhash_pairs,
+        "doc_simhash_all": q.doc_simhash_all,
         "doc_jaccard_pairs": q.doc_jaccard_pairs,
         "doc_minhash_clusters": q.doc_minhash_clusters,
         "doc_corpus_near_clean": q.doc_corpus_near_clean,
@@ -74,21 +72,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q.embedding_near_dups,
         "embedding_dedup_clusters": q.embedding_dedup_clusters,
         "events_hourly": q.events_hourly,
-        "ann_topk": q.ann_topk_query,
-        "ann_ivf": q.ann_ivf_query,
-        "multimodal_decode": q.multimodal_decode,
-        "multimodal_frames": q.multimodal_frames,
+        "ann_search": q.ann_search,
+        "multimodal_pipeline": q.multimodal_pipeline,
         "events_asof_join": q.events_asof_join,
         "events_range_join": q.events_range_join,
         "events_sliding_counts": q.events_sliding_counts,
         "events_topk_per_user": q.events_topk_per_user,
-        "events_lag": q.events_lag,
-        "events_lead": q.events_lead,
+        "kg_top_mentions_per_conversation": q.kg_top_mentions_per_conversation,
+        "events_lag_lead": q.events_lag_lead,
     }
-    # schema-plane golden fixtures (hand-written expected outputs)
-    from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_QUERIES
+    # schema-plane golden fixtures (hand-written expected outputs),
+    # consolidated into ONE slot: the driver caps at 50 oracle slots
+    from orionbelt_ontology_builder_ray.pipelines.goldens import q_all_goldens
 
-    out.update(GOLDEN_QUERIES)
+    out["onto_goldens"] = q_all_goldens
     return out
 
 
@@ -114,24 +111,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_stats": o.sql_doc_ngram_stats(),
         "doc_corpus_clean": o.sql_doc_corpus_clean(),
         "events_hourly": o.sql_events_hourly(),
-        "ann_topk": o.sql_ann_topk(),
-        "ann_ivf": o.sql_ann_topk(query_vec_id=7, k=10),
+        "ann_search": o.sql_ann_search(),
         "doc_quality": o.sql_doc_quality(),
         "doc_langid": o.sql_doc_langid(),
         "doc_sample_stratified": o.sql_doc_sample_stratified(),
         "doc_corpus_mix": o.sql_doc_corpus_mix(),
-        "doc_simhash": o.sql_doc_simhash(),
-        "doc_simhash_pairs": o.sql_doc_simhash_pairs(),
+        "doc_simhash_all": o.sql_doc_simhash_all(),
         "doc_jaccard_pairs": o.sql_doc_jaccard_pairs(),
         "doc_fingerprints": o.sql_doc_fingerprints(),
-        "multimodal_decode": o.sql_multimodal_decode(),
-        "multimodal_frames": o.sql_multimodal_frames(),
+        "multimodal_pipeline": o.sql_multimodal_pipeline(),
         "events_asof_join": o.sql_events_asof_join(),
         "events_range_join": o.sql_events_range_join(),
         "events_sliding_counts": o.sql_events_sliding_counts(),
         "events_topk_per_user": o.sql_events_topk_per_user(),
-        "events_lag": o.sql_events_lag(),
-        "events_lead": o.sql_events_lead(),
+        "kg_top_mentions_per_conversation":
+            o.sql_kg_top_mentions_per_conversation(),
+        "events_lag_lead": o.sql_events_lag_lead(),
         "kg_classes": o.sql_kg_classes(),
         "kg_individuals_by_class": o.sql_kg_individuals_by_class(),
         "kg_inferred_types": o.sql_kg_inferred_types(),
@@ -141,8 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_detect_conflicts": o.sql_kg_detect_conflicts(),
         "events_sessionize": o.sql_events_sessionize(),
         "kg_viz_nodes": o.sql_kg_viz_nodes(),
-        "kg_annotations": o.sql_kg_annotations(),
-        "kg_annotation_predicates": o.sql_kg_annotation_predicates(),
+        "kg_annotations_all": o.sql_kg_annotations_all(),
         "kg_triples_canonicalized": o.sql_kg_triples_canonicalized(),
         "kg_canonicalization_demo": o.sql_kg_canonicalization_demo(),
         "doc_minhash_clusters": o.sql_doc_minhash_clusters(),
@@ -150,7 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": o.sql_embedding_near_dups(),
         "embedding_dedup_clusters": o.sql_embedding_dedup_clusters(),
     }
-    from orionbelt_ontology_builder_ray.pipelines.goldens import GOLDEN_ORACLES
+    from orionbelt_ontology_builder_ray.pipelines.goldens import sql_all_goldens
 
-    sqls.update(GOLDEN_ORACLES)
+    sqls["onto_goldens"] = sql_all_goldens()
     return sqls

@@ -168,7 +168,8 @@ def run_bench() -> dict:
              extract_concurrency=(fused_pool + 1) // 2,
              link_concurrency=fused_pool // 2,
              dedup_buckets=max(16, NUM_CPUS * 2),
-             dict_columns=bool(os.environ.get("GRAFT_DICT_COLUMNS")),
+             dict_columns=os.environ.get("GRAFT_DICT_COLUMNS", "").lower()
+             not in ("", "0", "false"),
              output_path=out_dir)
     headline = time.time() - t0
     queries["kg_build"] = round(headline, 3)

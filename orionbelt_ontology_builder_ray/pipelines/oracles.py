@@ -1130,3 +1130,130 @@ FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= {threshold}
 ORDER BY id_a, id_b"""
+
+# ---------------------------------------------------------------------------
+# consolidated driver-slot oracles (the driver caps at 50 query slots;
+# thin sibling queries share one tagged-union slot — VERDICT r3 item 1)
+# ---------------------------------------------------------------------------
+
+
+def sql_events_lag_lead() -> str:
+    """Mirror of queries.events_lag_lead: lag() + lead() over the same
+    window, tagged and unioned with unified other_* column names."""
+    return """
+WITH l AS (
+  SELECT event_id, user_id, ts,
+         lag(event_id) OVER w AS prev_event_id,
+         lag(ts) OVER w AS prev_ts,
+         lead(event_id) OVER w AS next_event_id,
+         lead(ts) OVER w AS next_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT 'prev' AS direction, event_id, user_id, ts,
+       CAST(prev_event_id AS BIGINT) AS other_event_id,
+       prev_ts AS other_ts
+FROM l WHERE prev_event_id IS NOT NULL
+UNION ALL
+SELECT 'next' AS direction, event_id, user_id, ts,
+       CAST(next_event_id AS BIGINT) AS other_event_id,
+       next_ts AS other_ts
+FROM l WHERE next_event_id IS NOT NULL
+ORDER BY direction, event_id"""
+
+
+def sql_ann_search() -> str:
+    """Mirror of queries.ann_search: brute-force + full-probe IVF
+    top-k, method-tagged."""
+    return f"""
+SELECT 'brute' AS method, t.vec_id, t.rnk FROM ({sql_ann_topk(0, 10)}) t
+UNION ALL
+SELECT 'ivf' AS method, t.vec_id, t.rnk FROM ({sql_ann_topk(7, 10)}) t
+ORDER BY method, rnk"""
+
+
+def sql_doc_simhash_all(max_hamming: int = 3) -> str:
+    """Mirror of queries.doc_simhash_all: signatures and near-dup pairs
+    over a shared (part, id_a, id_b, val) shape."""
+    return f"""
+WITH sigs AS ({sql_doc_simhash()})
+SELECT 'sig' AS part, doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
+       simhash AS val
+FROM sigs
+UNION ALL
+SELECT 'pair' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS val
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {int(max_hamming)}
+ORDER BY part, id_a, id_b"""
+
+
+def sql_multimodal_pipeline(num_items: int = 64, seed: int = 42,
+                            n_frames: int = 4, fps: float = 2.0) -> str:
+    """VALUES mirror of queries.multimodal_pipeline — decode + frame
+    rows re-derived independently (same single-source-of-truth pattern
+    as sql_multimodal_decode/frames) and serialized to the shared
+    payload shape."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(num_items):
+        payload = rng.bytes(256 + (i % 7) * 64)
+        digest = hashlib.blake2b(payload, digest_size=16).digest()
+        rows.append(("decode", i, -1,
+                     f"{kinds[i % 3]}|{16 + digest[0]}|{16 + digest[1]}"
+                     f"|{len(payload)}"))
+        if kinds[i % 3] == "video":
+            for f in range(n_frames):
+                frame = hashlib.blake2b(payload + f.to_bytes(4, "big"),
+                                        digest_size=64).digest()
+                rows.append(("frames", i, f,
+                             f"{float(f / fps)}|{frame[:8].hex()}"))
+    values = ",\n  ".join(
+        f"({_sql_str(p)}, CAST({m} AS BIGINT), CAST({it} AS BIGINT), "
+        f"{_sql_str(pl)})"
+        for p, m, it, pl in rows)
+    return (f"SELECT * FROM (VALUES\n  {values}\n) "
+            "AS mp(part, media_id, item, payload) "
+            "ORDER BY part, media_id, item")
+
+
+def sql_kg_annotations_all(entity_local: str = "place-nation_1") -> str:
+    """Mirror of queries.kg_annotations_all: one entity's non-structural
+    annotation rows plus the graph-wide distinct annotation predicates,
+    part-tagged over a shared kg_triples_cte."""
+    from ..functions.terms import STRUCTURAL_PREDICATES
+
+    uri = _sql_str(KG + entity_local)
+    blist = ", ".join(_sql_str(p) for p in sorted(STRUCTURAL_PREDICATES))
+    return (kg_triples_cte() + f"""
+SELECT 'ann' AS part, predicate, object, lang, datatype FROM triples
+WHERE subject = {uri} AND predicate NOT IN ({blist})
+UNION ALL
+SELECT 'pred' AS part, predicate, '' AS object, '' AS lang, '' AS datatype
+FROM (SELECT DISTINCT predicate FROM triples
+      WHERE object_kind = 'literal' AND predicate NOT IN ({blist}))
+ORDER BY part, predicate, object""")
+
+
+def sql_kg_top_mentions_per_conversation(k: int = 3) -> str:
+    """Mirror of queries.kg_top_mentions_per_conversation: mention
+    triples -> (conversation, entity) counts -> row_number() head with
+    the identical (n_mentions DESC, entity DESC) tie order."""
+    return (kg_triples_cte() + f""",
+mention_counts AS (
+  SELECT regexp_replace(subject, '-t[0-9]+$', '') AS conv_uri,
+         object AS entity, COUNT(*) AS n_mentions
+  FROM triples WHERE predicate = {_sql_str(KG_MENTIONS)}
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT conv_uri, entity, n_mentions,
+         row_number() OVER (PARTITION BY conv_uri
+                            ORDER BY n_mentions DESC, entity DESC) AS rn
+  FROM mention_counts)
+SELECT conv_uri, entity, CAST(n_mentions AS BIGINT) AS n_mentions
+FROM ranked WHERE rn <= {int(k)}
+ORDER BY conv_uri, entity""")

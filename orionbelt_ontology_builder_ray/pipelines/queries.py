@@ -920,6 +920,161 @@ def kg_annotation_predicates(sf_dir):
                                                batch_format="pyarrow")
 
 
+def events_lag_lead(sf_dir):
+    """lag + lead as ONE driver slot: tagged union of the two window
+    results with unified (other_event_id, other_ts) columns.  The two
+    stages still run independently (stages/windows.py lag_events); the
+    merge is registration-plane only — the driver caps at 50 oracle
+    slots, so thin sibling queries share one (VERDICT r3 item 1)."""
+    from ..stages.windows import lag_events
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(direction, col):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "direction": np.repeat(direction, len(b)).astype(object),
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "ts": b["ts"].to_numpy(),
+                "other_event_id": b[f"{col}_event_id"].to_numpy(),
+                "other_ts": b[f"{col}_ts"].to_numpy(),
+            })
+        return f
+
+    lag = lag_events(ds).map_batches(tag("prev", "prev"),
+                                     batch_format="pandas")
+    lead = lag_events(ds, direction="next").map_batches(
+        tag("next", "next"), batch_format="pandas")
+    return lag.union(lead)
+
+
+def ann_search(sf_dir):
+    """Brute-force + IVF top-k as ONE driver slot (method-tagged union
+    of ann_topk / ann_ivf — both stay independent library entry
+    points)."""
+    def tagged(t: pa.Table, method: str) -> pa.Table:
+        return t.add_column(0, "method",
+                            pa.array([method] * len(t), pa.string()))
+
+    return pa.concat_tables([tagged(ann_topk_query(sf_dir), "brute"),
+                             tagged(ann_ivf_query(sf_dir), "ivf")])
+
+
+def doc_simhash_all(sf_dir):
+    """SimHash signatures + near-dup pairs as ONE driver slot:
+    part-tagged union over a common (part, id_a, id_b, val) shape —
+    'sig' rows carry (doc_id, -1, simhash); 'pair' rows carry
+    (id_a, id_b, hamming)."""
+    sigs = doc_simhash(sf_dir)
+    pairs = doc_simhash_pairs(sf_dir)
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "part": pa.array(["sig"] * n, pa.string()),
+            "id_a": t["doc_id"].cast(pa.int64()),
+            "id_b": pa.array(np.full(n, -1), pa.int64()),
+            "val": t["simhash"].cast(pa.int64()),
+        })
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pa.array(["pair"] * len(t), pa.string()),
+            "id_a": t["id_a"].cast(pa.int64()),
+            "id_b": t["id_b"].cast(pa.int64()),
+            "val": t["hamming"].cast(pa.int64()),
+        })
+
+    return sigs.map_batches(sig_rows, batch_format="pyarrow").union(
+        pairs.map_batches(pair_rows, batch_format="pyarrow"))
+
+
+def multimodal_pipeline(sf_dir):
+    """Decode + frame-sample as ONE driver slot: part-tagged rows with
+    a canonical payload string per row (both parts are small synthetic
+    tables — 64 decode rows, ~84 frame rows — so the driver-side
+    serialization is schema-sized, not corpus-sized)."""
+    dec = multimodal_decode(sf_dir).to_pandas()
+    fr = multimodal_frames(sf_dir).to_pandas()
+    parts, ids, items, payloads = [], [], [], []
+    for r in dec.itertuples(index=False):
+        parts.append("decode")
+        ids.append(int(r.media_id))
+        items.append(-1)
+        payloads.append(f"{r.kind}|{int(r.width)}|{int(r.height)}"
+                        f"|{int(r.n_bytes)}")
+    for r in fr.itertuples(index=False):
+        parts.append("frames")
+        ids.append(int(r.media_id))
+        items.append(int(r.frame_idx))
+        payloads.append(f"{float(r.ts_sec)}|{r.frame_hex}")
+    return pa.table({
+        "part": pa.array(parts, pa.string()),
+        "media_id": pa.array(ids, pa.int64()),
+        "item": pa.array(items, pa.int64()),
+        "payload": pa.array(payloads, pa.string()),
+    })
+
+
+def kg_annotations_all(sf_dir):
+    """Annotations-of-entity + distinct used annotation predicates as
+    ONE driver slot (part-tagged union; 'pred' rows pad the annotation
+    columns with '')."""
+    ann = kg_annotations(sf_dir)
+    preds = kg_annotation_predicates(sf_dir)
+
+    def tag_ann(t: pa.Table) -> pa.Table:
+        return t.add_column(0, "part",
+                            pa.array(["ann"] * len(t), pa.string()))
+
+    def tag_pred(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.array([""] * n, pa.string())
+        return pa.table({
+            "part": pa.array(["pred"] * n, pa.string()),
+            "predicate": t["predicate"],
+            "object": empty, "lang": empty, "datatype": empty,
+        })
+
+    return ann.map_batches(tag_ann, batch_format="pyarrow").union(
+        preds.map_batches(tag_pred, batch_format="pyarrow"))
+
+
+def kg_top_mentions_per_conversation(sf_dir, k=3):
+    """Each conversation's k most-mentioned entities — the grouped
+    top-k primitive (stages/windows.py grouped_topk) applied on the KG
+    plane (SURVEY §2.8's generalization of the viz node cap).
+
+    Shape: mention triples -> per-batch partial (conv, entity) counts
+    (arrow group_by combiner) -> one vocabulary-sized groupby sum ->
+    grouped_topk's bucket-shuffled per-key head.  Deterministic ties:
+    (n_mentions DESC, entity DESC) on both engines."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.windows import grouped_topk
+
+    ds = _triples(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t["predicate"], KG_MENTIONS))
+        conv = pc.replace_substring_regex(m["subject"], r"-t[0-9]+$", "")
+        tbl = pa.table({"conv_uri": conv, "entity": m["object"]})
+        g = tbl.group_by(["conv_uri", "entity"]).aggregate([([], "count_all")])
+        return pa.table({
+            "conv_uri": g["conv_uri"].cast(pa.string()),
+            "entity": g["entity"].cast(pa.string()),
+            "n": g["count_all"].cast(pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["conv_uri", "entity"]) \
+        .aggregate(Sum(on="n", alias_name="n_mentions"))
+    return grouped_topk(counts, ["conv_uri"], ["n_mentions", "entity"], k)
+
+
 def kg_canonicalization_demo(sf_dir):
     """Pipeline-level canonicalization with injected co-referent
     variants: every place entity gains a duplicate URI carrying a

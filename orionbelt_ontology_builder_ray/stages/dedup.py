@@ -456,6 +456,11 @@ class _WantedShingleSets:
 
     def __init__(self, shingle_k: int, id_col: str, text_col: str,
                  hash_mode: str = "fast", wanted_ref=None):
+        if wanted_ref is None:
+            # np.isin(ids, None) keeps ZERO rows, so a caller omitting
+            # the kwarg would get a silently-empty verify stage
+            raise ValueError("_WantedShingleSets requires wanted_ref "
+                             "(the broadcast candidate-doc id array)")
         self.inner = _ShingleSets(shingle_k, id_col, text_col, hash_mode)
         self.id_col = id_col
         try:
@@ -1092,6 +1097,13 @@ def simhash_near_dup_pairs(ds, max_hamming=3, id_col="doc_id",
     DuckDB); ``"fast"`` is the vectorized production hash.
     """
     nb = max_hamming + 1
+    if nb > SimHasher.BITS:
+        # more bands than bits makes zero-width bands whose mask is 0:
+        # every doc would share band value 0 and candidate expansion
+        # degenerates to the full quadratic cross-product
+        raise ValueError(
+            f"max_hamming must be < {SimHasher.BITS} (got {max_hamming}); "
+            "the pigeonhole banding needs max_hamming+1 nonempty bit bands")
     bounds = np.linspace(0, SimHasher.BITS, nb + 1).astype(np.int64)
     # consumed twice (band emission + payload join): materialize so the
     # text scan and signature computation run once

@@ -25,8 +25,13 @@ _LANG_PROFILES = {
 # GPT-2-style pretokenizer, lookahead-free so Python re and DuckDB
 # RE2 count the IDENTICAL matches (pinned by the doc_token_counts
 # oracle): contractions, space-prefixed letter/digit runs,
-# space-prefixed punctuation runs, whitespace runs.
-BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# space-prefixed punctuation runs, whitespace runs.  Whitespace is the
+# EXPLICIT ASCII class, not \s: Python's \s is Unicode-aware while
+# RE2's is ASCII-only, so \s would let the two engines disagree on
+# non-ASCII whitespace (e.g. U+00A0 inside a punctuation run).
+_WS = r" \t\n\r\f\v"
+BPE_TOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+                rf"| ?[^a-zA-Z0-9{_WS}]+|[{_WS}]+")
 
 
 class TokenCounter:

@@ -481,3 +481,51 @@ def test_gazetteer_ac_boundary_and_overlap_semantics():
             ("c3-t2", "x-corp"), ("c3-t2", "ab"),
             ("c4-t3", "ab"), ("c4-t3", "ab cd"),
         ]), (eng, got)
+
+
+def test_simhash_pairs_rejects_too_many_bands():
+    """max_hamming >= BITS would make zero-width bands (mask 0) and a
+    quadratic cross-product candidate set — must raise (ADVICE r3)."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        SimHasher, simhash_near_dup_pairs)
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a"]}))
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(ds, max_hamming=SimHasher.BITS)
+
+
+def test_wanted_shingle_sets_requires_wanted_ref():
+    """Omitting the broadcast candidate-id array must fail loudly, not
+    silently produce an empty verify stage (ADVICE r3)."""
+    import pytest
+
+    from orionbelt_ontology_builder_ray.stages.dedup import _WantedShingleSets
+
+    with pytest.raises(ValueError, match="wanted_ref"):
+        _WantedShingleSets(3, "doc_id", "text")
+
+
+def test_bpe_token_count_matches_duckdb_on_nonascii_whitespace():
+    """The shared BPE pretokenizer pattern must count identically in
+    Python re (Unicode) and DuckDB RE2 (ASCII \\s) — pinned on text
+    with U+00A0 inside a punctuation run (ADVICE r3)."""
+    import re
+
+    import duckdb
+
+    from orionbelt_ontology_builder_ray.stages.textops import BPE_TOKEN_RE
+
+    texts = ["a !?b", "hello world", "x ! ? y",
+             "plain ascii, text 42 it's", " thin space !"]
+    pat = re.compile(BPE_TOKEN_RE)
+    sql_lit = BPE_TOKEN_RE.replace("'", "''")
+    for t in texts:
+        py_n = len(pat.findall(t))
+        duck_n = duckdb.sql(
+            "SELECT length(regexp_extract_all(?, '" + sql_lit + "'))",
+            params=[t]).fetchone()[0]
+        assert py_n == duck_n, (t, py_n, duck_n)

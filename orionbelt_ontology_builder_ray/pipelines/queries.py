@@ -755,20 +755,13 @@ def kg_detect_conflicts(sf_dir):
 
 def events_sessionize(sf_dir, gap_minutes=30):
     """Session windows per user (30-min inactivity gap): the
-    streaming-shaped op over the ordered, partitioned events log."""
+    streaming-shaped op over the ordered, partitioned events log —
+    bucket-shuffled vectorized sessionizer (stages/windows.py
+    sessionize_events), never a per-user groupby."""
+    from ..stages.windows import sessionize_events
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sess = gap.cumsum().astype("int64") + 1
-        out = g.assign(session_id=sess).groupby("session_id").agg(
-            user_id=("user_id", "first"), n_events=("event_id", "count"),
-            start_ts=("ts", "min"), end_ts=("ts", "max")).reset_index()
-        return out[["user_id", "session_id", "n_events",
-                    "start_ts", "end_ts"]].astype({"n_events": "int64"})
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize_events(ds, gap_minutes=gap_minutes)
 
 
 def events_asof_join(sf_dir, left_type="purchase", right_type="view"):

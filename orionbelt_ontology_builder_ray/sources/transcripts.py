@@ -80,11 +80,15 @@ def _nation_lookup(sf_dir: str):
             merged["r_name"].to_numpy(dtype=object))
 
 
-def _assign_turn_idx(group: pd.DataFrame) -> pd.DataFrame:
-    """Dense per-conversation index under stable (ts, event_id) order."""
-    group = group.sort_values(["ts", "event_id"], kind="mergesort")
-    group["turn_idx"] = np.arange(len(group), dtype=np.int32)
-    return group
+def _assign_turn_idx_bucketed(g: pd.DataFrame) -> pd.DataFrame:
+    """Dense per-conversation index under stable (ts, event_id) order,
+    over a BUCKET of users (one vectorized sort + cumcount per bucket,
+    never one Python group per user — the measured Ray sort-groupby
+    cliff at millions of users; same shape as stages/windows.py)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    g["turn_idx"] = g.groupby("user_id", sort=False).cumcount() \
+        .astype(np.int32)
+    return g.drop(columns="_bucket")
 
 
 class _FinishTranscripts:
@@ -120,8 +124,17 @@ def derive_transcripts(sf_dir: str):
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"])
-    with_idx = events.groupby("user_id").map_groups(
-        _assign_turn_idx, batch_format="pandas")
+    nb = 64
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = pd.util.hash_pandas_object(batch["user_id"], index=False)
+        batch["_bucket"] = (h % nb).astype("int32")
+        return batch
+
+    with_idx = events.map_batches(bucket, batch_format="pandas") \
+        .groupby("_bucket").map_groups(_assign_turn_idx_bucketed,
+                                       batch_format="pandas")
     return with_idx.map_batches(
         _FinishTranscripts(sf_dir), batch_format="pandas")
 

@@ -237,6 +237,58 @@ def lag_events(ds, num_buckets: int = 64, direction: str = "prev"):
     return pairs.groupby("_bucket").map_groups(lag, batch_format="pandas")
 
 
+def sessionize_events(ds, gap_minutes: int = 30, num_buckets: int = 64):
+    """Session windows per user: consecutive events of one user belong
+    to the same session while the inter-event gap is <= ``gap_minutes``
+    (strictly-greater gap starts a new session — SQL
+    ``ts - lag(ts) > INTERVAL`` semantics).  Output is one row per
+    (user, session): (user_id, session_id, n_events, start_ts, end_ts),
+    session_id numbering from 1 in time order within each user.
+
+    Scale shape: the same ONE user-hash bucket shuffle as every other
+    window operator (``_bucket_events`` — a user's rows are co-located
+    by construction), then one vectorized pass per bucket: lexsort by
+    (user, ts, event_id), boundary mask from a shifted same-user +
+    gap comparison, and reduceat-style segment aggregates.  No
+    per-user groups anywhere — a million single-user groups is the
+    measured Ray sort-groupby cliff this module exists to avoid
+    (VERDICT r3 item 2; cf. sliding_window_counts)."""
+    gap_us = np.int64(gap_minutes * 60_000_000)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        eid = g["event_id"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        ts, uid = ts[order], uid[order]
+        n = len(g)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        user = uid[starts]
+        ns = len(starts)
+        ubrk = np.ones(ns, dtype=bool)
+        if ns > 1:
+            ubrk[1:] = user[1:] != user[:-1]
+        idx = np.arange(ns)
+        # index of each session's user's FIRST session (ubrk[0] is True,
+        # so the -1 filler never survives the running max)
+        first_of_user = np.maximum.accumulate(np.where(ubrk, idx, -1))
+        return pd.DataFrame({
+            "user_id": user.astype(np.int64),
+            "session_id": (idx - first_of_user + 1).astype(np.int64),
+            "n_events": (ends - starts).astype(np.int64),
+            "start_ts": ts[starts].view("datetime64[us]"),
+            "end_ts": ts[ends - 1].view("datetime64[us]"),
+        })
+
+    pairs = _bucket_events(ds, None, num_buckets)
+    return pairs.groupby("_bucket").map_groups(sessions,
+                                               batch_format="pandas")
+
+
 def grouped_topk(ds, key_cols, order_cols, k: int,
                  descending: bool = True, num_buckets: int = 64):
     """Top-k rows per group — the missing Ray Data primitive behind

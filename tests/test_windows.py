@@ -217,3 +217,70 @@ def test_sliding_counts_covers_every_event(ray_session):
                                 num_buckets=3).to_pandas()
     assert len(out) == 100
     assert (out["n_window"] >= 1).all()
+
+
+def test_sessionize_equals_per_user_reference(ray_session):
+    """Bucket-shuffled vectorized sessionizer == the straightforward
+    per-user pandas implementation on random data spanning many users,
+    buckets, gap boundaries, and equal timestamps (VERDICT r3 item 2:
+    the re-shape must not change a single row)."""
+    import random
+
+    from orionbelt_ontology_builder_ray.stages.windows import sessionize_events
+
+    rng = random.Random(7)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    eid = 0
+    for user in range(40):
+        t = base + pd.Timedelta(minutes=rng.randint(0, 600))
+        for _ in range(rng.randint(1, 30)):
+            # gaps straddle the 30-min boundary incl. exactly-30 ties
+            t = t + pd.Timedelta(minutes=rng.choice(
+                [0, 1, 5, 29, 30, 31, 90]))
+            rows.append((eid, t, user))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    ds = rd.from_pandas(df.sample(frac=1, random_state=3)).repartition(5)
+
+    got = sessionize_events(ds, gap_minutes=30, num_buckets=7) \
+        .to_pandas().sort_values(["user_id", "session_id"]) \
+        .reset_index(drop=True)
+
+    # reference: per-user sort + gap cumsum (the pre-re-shape logic)
+    def ref_sessions(g):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sess = gap.cumsum().astype("int64") + 1
+        out = g.assign(session_id=sess).groupby("session_id").agg(
+            user_id=("user_id", "first"), n_events=("event_id", "count"),
+            start_ts=("ts", "min"), end_ts=("ts", "max")).reset_index()
+        return out[["user_id", "session_id", "n_events",
+                    "start_ts", "end_ts"]]
+
+    exp = pd.concat([ref_sessions(g) for _, g in df.groupby("user_id")],
+                    ignore_index=True) \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    cast = {"user_id": "int64", "session_id": "int64",
+            "n_events": "int64", "start_ts": "datetime64[us]",
+            "end_ts": "datetime64[us]"}
+    exp = exp.astype(cast)
+    got = got.astype(cast)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sessionize_gap_boundary_exact(ray_session):
+    """A gap of exactly gap_minutes stays in the SAME session (strict >
+    starts a new one) — the SQL mirror's lag() comparison semantics."""
+    from orionbelt_ontology_builder_ray.stages.windows import sessionize_events
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime(["2024-01-01 10:00:00",
+                              "2024-01-01 10:30:00",    # exactly 30 min
+                              "2024-01-01 11:00:01"]),  # 30 min 1 s
+        "user_id": [5, 5, 5]})
+    out = sessionize_events(rd.from_pandas(df), gap_minutes=30) \
+        .to_pandas().sort_values("session_id").reset_index(drop=True)
+    assert list(out["session_id"]) == [1, 2]
+    assert list(out["n_events"]) == [2, 1]

@@ -9,12 +9,24 @@ canonical URI (min URI wins, deterministically), and every subject /
 object reference is rewritten through the canonical map.
 
 Shape: ``groupby(norm_label)`` → per-group merge → union-find closure
-over the (tiny, entity-sized) pair set → broadcast map → vectorized
+over the (entity-sized) pair set → broadcast map → vectorized arrow
 rewrite ``map_batches``.  The canonical map is vocabulary-sized
 (entities, not rows); at 10^12 rows the rewrite is still one
 broadcast + one streaming pass.  Hot surface forms (e.g. "user") are
-salted two-phase in ``normalized_label_pairs`` via per-batch local
-dedup before the shuffle.
+salted two-phase in the pair derivation via per-batch local dedup
+before the shuffle.
+
+Driver-side bound (documented per the update_kg pattern): the pair
+set is MERGE-CANDIDATE-sized — one star edge per co-referent entity
+plus ≤ ``num_salts`` representative rows per distinct surface form —
+never corpus-sized.  Below ``driver_pair_cap`` the closure is a
+driver union-find over that set; above it, ``canonicalize`` switches
+to the distributed min-label propagation machinery (stages/dedup.py),
+where pairs stay a Dataset and only the converged node-sized
+(entity → canonical) map reaches the driver.  That map is the
+broadcast the rewrite needs anyway, so O(merged entities) driver
+memory is the floor on either path; the cap only controls where the
+closure COMPUTE runs.
 """
 
 from __future__ import annotations
@@ -24,11 +36,17 @@ from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..functions.terms import (OWL_SAME_AS, SKOS_EXACT_MATCH,
                                SKOS_PREF_LABEL, pool_size)
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
+
+#: pairs above this count move the transitive closure off the driver
+#: (distributed min-label propagation); below it a driver union-find
+#: over the already-collected rows is faster and equally exact.
+DRIVER_PAIR_CAP = 2_000_000
 
 
 def normalize_surface(s: str) -> str:
@@ -36,17 +54,7 @@ def normalize_surface(s: str) -> str:
     return _NORM_RE.sub(" ", s.casefold()).strip()
 
 
-def normalized_label_pairs(triples_ds, num_salts: int = 8) -> List[Tuple[str, str]]:
-    """(entity, entity') pairs sharing a normalized prefLabel.
-
-    Skew handling (north_rule: salted repartitioning for hot keys) is
-    two-phase: per batch, (subject, norm) rows dedup locally; the
-    first groupby keys on ``(norm, salt(entity))`` so a hot surface
-    form ("user", "assistant") splits across ``num_salts`` groups, each
-    emitting a star to its local min entity; the second phase merges
-    only the per-salt representatives — group size is bounded by
-    ``num_salts``, never by the hot key's population.
-    """
+def _extract_label_norms(num_salts: int):
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[batch["predicate"] == SKOS_PREF_LABEL]
         if not len(m):
@@ -61,31 +69,61 @@ def normalized_label_pairs(triples_ds, num_salts: int = 8) -> List[Tuple[str, st
         out["salt"] = (salt % num_salts).astype(np.int32)
         return out
 
-    def to_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ents = np.sort(g["entity"].unique())
-        if len(ents) < 2:
-            # singleton groups still surface their representative so the
-            # cross-salt phase can merge them
-            reps = ents
-        else:
-            reps = ents[:1]
-        star = pd.DataFrame({"a": np.repeat(ents[0], len(ents) - 1),
-                             "b": ents[1:]}) if len(ents) > 1 else \
-            pd.DataFrame({"a": pd.Series([], dtype=str),
-                          "b": pd.Series([], dtype=str)})
-        star["rep"] = ""
-        rep_rows = pd.DataFrame({"a": reps, "b": reps, "rep": "rep"})
-        rep_rows["norm"] = g["norm"].iloc[0]
-        star["norm"] = g["norm"].iloc[0] if len(g) else ""
-        return pd.concat([star, rep_rows], ignore_index=True)
+    return extract
 
-    salted = (triples_ds.map_batches(extract, batch_format="pandas")
-              .groupby(["norm", "salt"])
-              .map_groups(to_pairs, batch_format="pandas"))
-    rows = salted.take_all()
-    pairs = [(r["a"], r["b"]) for r in rows if r["rep"] == "" and r["a"] != r["b"]]
-    # phase 2: merge per-salt representatives of the same norm (tiny:
-    # <= num_salts rows per surface form)
+
+def _to_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ents = np.sort(g["entity"].unique())
+    if len(ents) < 2:
+        # singleton groups still surface their representative so the
+        # cross-salt phase can merge them
+        reps = ents
+    else:
+        reps = ents[:1]
+    star = pd.DataFrame({"a": np.repeat(ents[0], len(ents) - 1),
+                         "b": ents[1:]}) if len(ents) > 1 else \
+        pd.DataFrame({"a": pd.Series([], dtype=str),
+                      "b": pd.Series([], dtype=str)})
+    star["rep"] = ""
+    rep_rows = pd.DataFrame({"a": reps, "b": reps, "rep": "rep"})
+    rep_rows["norm"] = g["norm"].iloc[0]
+    star["norm"] = g["norm"].iloc[0] if len(g) else ""
+    return pd.concat([star, rep_rows], ignore_index=True)
+
+
+def _label_pair_rows(triples_ds, num_salts: int = 8):
+    """Salted phase-1 rows as a Dataset: star pairs (rep='') plus
+    per-salt representatives (rep='rep') that phase 2 merges per
+    surface form.
+
+    Skew handling (north_rule: salted repartitioning for hot keys) is
+    two-phase: per batch, (subject, norm) rows dedup locally; the
+    first groupby keys on ``(norm, salt(entity))`` so a hot surface
+    form ("user", "assistant") splits across ``num_salts`` groups, each
+    emitting a star to its local min entity; the second phase merges
+    only the per-salt representatives — group size is bounded by
+    ``num_salts``, never by the hot key's population.
+    """
+    return (triples_ds
+            .map_batches(_extract_label_norms(num_salts),
+                         batch_format="pandas")
+            .groupby(["norm", "salt"])
+            .map_groups(_to_pairs, batch_format="pandas"))
+
+
+def normalized_label_pairs(triples_ds,
+                           num_salts: int = 8) -> List[Tuple[str, str]]:
+    """(entity, entity') pairs sharing a normalized prefLabel —
+    driver-collected (merge-candidate-sized; see the module docstring
+    for the bound and ``canonicalize`` for the above-cap path)."""
+    rows = _label_pair_rows(triples_ds, num_salts).take_all()
+    return _merge_pair_rows(rows)
+
+
+def _merge_pair_rows(rows) -> List[Tuple[str, str]]:
+    """Driver phase 2: star pairs + per-salt representative merge."""
+    pairs = [(r["a"], r["b"])
+             for r in rows if r["rep"] == "" and r["a"] != r["b"]]
     reps_by_norm: dict = {}
     for r in rows:
         if r["rep"] == "rep":
@@ -98,22 +136,27 @@ def normalized_label_pairs(triples_ds, num_salts: int = 8) -> List[Tuple[str, st
 
 def same_as_pairs(triples_ds) -> List[Tuple[str, str]]:
     """Explicit owl:sameAs / skos:exactMatch assertions as merge pairs."""
+    return [(r["a"], r["b"])
+            for r in _same_as_pairs_ds(triples_ds).take_all()]
+
+
+def _same_as_pairs_ds(triples_ds):
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[batch["predicate"].isin([OWL_SAME_AS, SKOS_EXACT_MATCH])
                   & (batch["object_kind"] == "uri")]
         return m[["subject", "object"]].rename(
             columns={"subject": "a", "object": "b"}).drop_duplicates()
 
-    return [(r["a"], r["b"])
-            for r in triples_ds.map_batches(extract, batch_format="pandas")
-            .take_all()]
+    return triples_ds.map_batches(extract, batch_format="pandas")
 
 
 def union_find_canonical_map(pairs: Iterable[Tuple[str, str]]) -> Dict[str, str]:
     """Transitive closure over merge pairs; min URI is canonical.
 
-    The pair set is entity-sized (bounded by the vocabulary), so the
-    union-find runs on the driver; the result is broadcast.
+    The pair set is merge-candidate-sized (bounded by the vocabulary),
+    so below ``DRIVER_PAIR_CAP`` the union-find runs on the driver; the
+    result is broadcast.  ``canonical_map_distributed`` is the
+    equal-output above-cap path.
     """
     parent: Dict[str, str] = {}
 
@@ -132,9 +175,126 @@ def union_find_canonical_map(pairs: Iterable[Tuple[str, str]]) -> Dict[str, str]
     return {x: find(x) for x in parent if find(x) != x}
 
 
+def _pairs_to_star_ds(rows_ds, num_buckets: int = 16):
+    """Distributed phase 2 over the phase-1 rows Dataset: star pairs
+    pass through; per-salt representatives merge per surface form
+    inside a norm-hash bucket (≤ num_salts rows per norm, so groups
+    are bounded)."""
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        stars = df[(df["rep"] == "") & (df["a"] != df["b"])]
+        return stars[["a", "b"]]
+
+    def rep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        reps = df[df["rep"] == "rep"][["norm", "a"]].copy()
+        h = pd.util.hash_pandas_object(reps["norm"], index=False)
+        reps["_bkt"] = (h % num_buckets).astype(np.int32)
+        return reps
+
+    def merge_reps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["norm", "a"], kind="mergesort") \
+            .drop_duplicates(["norm", "a"])
+        first = g.groupby("norm", sort=False)["a"].transform("first")
+        out = g[g["a"] != first]
+        return pd.DataFrame({"a": first[g["a"] != first].to_numpy(),
+                             "b": out["a"].to_numpy()})
+
+    stars = rows_ds.map_batches(split, batch_format="pandas")
+    rep_pairs = rows_ds.map_batches(rep_bucket, batch_format="pandas") \
+        .groupby("_bkt").map_groups(merge_reps, batch_format="pandas")
+    return stars.union(rep_pairs)
+
+
+def _hash64(s: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit string hash (pandas siphash with the fixed
+    default key — stable across processes/partitionings)."""
+    return pd.util.hash_pandas_object(s, index=False).to_numpy() \
+        .astype(np.int64)
+
+
+def canonical_map_distributed(pairs_ds) -> Dict[str, str]:
+    """Above-cap closure: pairs stay a Dataset; connected components
+    run via the distributed min-label propagation in stages/dedup.py
+    on 64-bit node hashes, then each component's canonical is the
+    LEXICOGRAPHIC MIN URI (not min hash) so the mapping is
+    byte-identical to the driver union-find.  Only edge-node-sized
+    frames (the entities actually merging — the broadcast map's own
+    size) reach the driver."""
+    from .dedup import _propagate_min_labels
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["a"] != df["b"]]
+        return pd.DataFrame({"id_a": _hash64(m["a"]),
+                             "id_b": _hash64(m["b"])})
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        uris = pd.concat([df["a"], df["b"]], ignore_index=True)
+        return pd.DataFrame({"node": _hash64(uris),
+                             "uri": uris.to_numpy()}).drop_duplicates()
+
+    pairs_ds = pairs_ds.materialize()
+    labels = _propagate_min_labels(
+        pairs_ds.map_batches(to_edges, batch_format="pandas"))
+    if not len(labels):
+        return {}
+    nodes = pd.concat(
+        [b for b in pairs_ds.map_batches(to_nodes, batch_format="pandas")
+         .iter_batches(batch_format="pandas")],
+        ignore_index=True).drop_duplicates()
+    if nodes["node"].nunique() != nodes["uri"].nunique():
+        raise RuntimeError(  # ~n^2/2^64 at vocabulary scale; fail loudly
+            "64-bit node hash collision in canonicalization")
+    merged = nodes.merge(labels, on="node", how="left")
+    merged["label"] = merged["label"].fillna(merged["node"]).astype(np.int64)
+    canon = merged.groupby("label")["uri"].min().rename("canonical")
+    merged = merged.join(canon, on="label")
+    out = merged[merged["uri"] != merged["canonical"]]
+    return dict(zip(out["uri"], out["canonical"]))
+
+
 class CanonicalRewriter:
-    """Vectorized subject/object rewrite through the canonical map
-    (distributed rename_class/rename_individual, om:341-369)."""
+    """Arrow-native subject/object rewrite through the canonical map
+    (distributed rename_class/rename_individual, om:341-369):
+    ``pc.index_in`` against the broadcast map keys + take/coalesce —
+    the six string columns never box into Python objects (the pandas
+    ``.map`` hop here measured the same memory-traffic cliff the
+    builder killed in add_part; VERDICT r3 item 3)."""
+
+    def __init__(self, mapping_ref):
+        try:
+            import ray
+
+            if isinstance(mapping_ref, ray.ObjectRef):
+                mapping_ref = ray.get(mapping_ref)
+        except ImportError:
+            pass
+        self.mapping: Dict[str, str] = mapping_ref
+        items = sorted(mapping_ref.items())
+        self.keys = pa.array([k for k, _ in items], pa.string())
+        self.vals = pa.array([v for _, v in items], pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if not len(self.keys) or not len(batch):
+            return batch
+        batch = batch.combine_chunks()
+        subj = batch["subject"].chunk(0)
+        idx = pc.index_in(subj, value_set=self.keys)
+        new_subj = pc.coalesce(pc.take(self.vals, idx), subj)
+        obj = batch["object"].chunk(0)
+        is_uri = pc.equal(batch["object_kind"].chunk(0), "uri")
+        mapped = pc.coalesce(pc.take(self.vals, pc.index_in(
+            obj, value_set=self.keys)), obj)
+        new_obj = pc.if_else(is_uri, mapped, obj)
+        cols = batch.column_names
+        batch = batch.set_column(cols.index("subject"), "subject", new_subj)
+        return batch.set_column(cols.index("object"), "object", new_obj)
+
+
+class CanonicalRewriterPandas:
+    """Pandas reference implementation of :class:`CanonicalRewriter`
+    (kept for the interleaved A/B and the byte-parity test — not used
+    on any pipeline path)."""
 
     def __init__(self, mapping_ref):
         try:
@@ -159,16 +319,37 @@ class CanonicalRewriter:
 
 
 def canonicalize(triples_ds, extra_pairs: Iterable[Tuple[str, str]] = (),
-                 use_labels: bool = True):
-    """Full stage: derive pairs → union-find → broadcast rewrite.
+                 use_labels: bool = True,
+                 driver_pair_cap: int = DRIVER_PAIR_CAP):
+    """Full stage: derive pairs → closure → broadcast arrow rewrite.
+
+    Below ``driver_pair_cap`` merge pairs the closure is a driver
+    union-find (pairs are merge-candidate-sized); above it the pairs
+    stay a Dataset and the closure runs distributed
+    (``canonical_map_distributed``) with byte-identical output.
 
     Returns (rewritten_ds, canonical_map).
     """
-    pairs = list(extra_pairs)
-    if use_labels:
-        pairs += normalized_label_pairs(triples_ds)
-    pairs += same_as_pairs(triples_ds)
-    mapping = union_find_canonical_map(pairs)
+    extra_pairs = list(extra_pairs)
+    label_rows = _label_pair_rows(triples_ds).materialize() \
+        if use_labels else None
+    n_label_rows = label_rows.count() if label_rows is not None else 0
+    if n_label_rows + len(extra_pairs) <= driver_pair_cap:
+        pairs = list(extra_pairs)
+        if label_rows is not None:
+            pairs += _merge_pair_rows(label_rows.take_all())
+        pairs += same_as_pairs(triples_ds)
+        mapping = union_find_canonical_map(pairs)
+    else:
+        import ray.data as rd
+
+        pairs_ds = _same_as_pairs_ds(triples_ds)
+        if label_rows is not None:
+            pairs_ds = pairs_ds.union(_pairs_to_star_ds(label_rows))
+        if extra_pairs:
+            pairs_ds = pairs_ds.union(rd.from_pandas(pd.DataFrame(
+                extra_pairs, columns=["a", "b"])))
+        mapping = canonical_map_distributed(pairs_ds)
     if not mapping:
         return triples_ds, mapping
     try:
@@ -179,5 +360,5 @@ def canonicalize(triples_ds, extra_pairs: Iterable[Tuple[str, str]] = (),
         ref = mapping
     out = triples_ds.map_batches(
         CanonicalRewriter, fn_constructor_kwargs=dict(mapping_ref=ref),
-        batch_format="pandas", concurrency=pool_size())
+        batch_format="pyarrow", concurrency=pool_size())
     return out, mapping

@@ -271,12 +271,16 @@ def rename_entity(ds, old_uri: str, new_uri: str,
     mapping = {old_uri: new_uri}
     out = ds.map_batches(CanonicalRewriter,
                          fn_constructor_kwargs=dict(mapping_ref=mapping),
-                         batch_format="pandas", concurrency=pool_size())
+                         batch_format="pyarrow", concurrency=pool_size())
     if include_predicate:
-        def fix_pred(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch.loc[batch["predicate"] == old_uri, "predicate"] = new_uri
-            return batch
+        import pyarrow.compute as pc
 
-        out = out.map_batches(fix_pred, batch_format="pandas")
+        def fix_pred(t: pa.Table) -> pa.Table:
+            pred = t["predicate"]
+            new = pc.if_else(pc.equal(pred, old_uri),
+                             pa.scalar(new_uri, pa.string()), pred)
+            return t.set_column(t.column_names.index("predicate"),
+                                "predicate", new)
+
+        out = out.map_batches(fix_pred, batch_format="pyarrow")
     return out

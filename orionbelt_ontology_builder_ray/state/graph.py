@@ -662,6 +662,21 @@ class TripleStore:
                 errors.append({"name": name, "error": "Not found"})
         return {"deleted": deleted, "errors": errors}
 
+    def bulk_delete_properties(self, names: Sequence[str]) -> Dict[str, list]:
+        """om:682-692 — batch property delete with per-name error
+        capture (object OR datatype properties; delete_property also
+        clears predicate-position rows)."""
+        deleted, errors = [], []
+        for name in names:
+            uri = self.uri(name)
+            if (self.has(uri, RDF_TYPE, OWL_OBJECT_PROPERTY)
+                    or self.has(uri, RDF_TYPE, OWL_DATATYPE_PROPERTY)):
+                self.delete_property(name)
+                deleted.append(name)
+            else:
+                errors.append({"name": name, "error": "Not found"})
+        return {"deleted": deleted, "errors": errors}
+
     def bulk_delete_individuals(self, names: Sequence[str]) -> Dict[str, list]:
         deleted, errors = [], []
         for name in names:

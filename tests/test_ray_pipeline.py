@@ -660,3 +660,76 @@ def test_update_kg_hash_carrying_store(ray_session, tmp_path):
     # zero-addition against the hashed store
     assert update_kg(hashed, sf_dir=SF,
                      transcripts_path=a_files).count() == 0
+
+
+def test_canonical_rewriter_arrow_equals_pandas(ray_session):
+    """The arrow-native rewriter (index_in + take/coalesce) must be
+    byte-identical to the pandas .map reference on random triple
+    tables, including uri-vs-literal object gating and unmapped
+    passthrough (VERDICT r3 item 3)."""
+    import random
+
+    import pyarrow as pa
+
+    from orionbelt_ontology_builder_ray.stages.canonicalize import (
+        CanonicalRewriter, CanonicalRewriterPandas)
+
+    rng = random.Random(13)
+    ents = [f"http://kg/e{i}" for i in range(30)]
+    mapping = {e: f"http://kg/canon{i % 5}"
+               for i, e in enumerate(ents) if i % 3 == 0}
+    rows = []
+    for _ in range(500):
+        kind = rng.choice(["uri", "literal"])
+        rows.append((rng.choice(ents), "http://kg/p",
+                     rng.choice(ents) if kind == "uri"
+                     else "some literal text", kind, "", ""))
+    df = pd.DataFrame(rows, columns=["subject", "predicate", "object",
+                                     "object_kind", "lang", "datatype"])
+    got = CanonicalRewriter(mapping)(
+        pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
+    exp = CanonicalRewriterPandas(mapping)(df.copy())
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True))
+
+
+def test_canonicalize_distributed_closure_equals_driver(ray_session):
+    """Forcing driver_pair_cap=0 routes the closure through the
+    distributed min-label propagation; the resulting canonical map and
+    rewritten triples must be identical to the driver union-find path
+    (VERDICT r3 item 5: the documented overflow strategy must be
+    exercised, not just described)."""
+    import random
+
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.functions.terms import OWL_SAME_AS
+    from orionbelt_ontology_builder_ray.stages.canonicalize import canonicalize
+
+    rng = random.Random(5)
+    rows = []
+    # label-variant families (chains via shared normalized labels)
+    for fam in range(12):
+        for v, label in enumerate([f"Fam {fam}", f"fam-{fam}", f"FAM {fam}."]):
+            rows.append((f"http://kg/f{fam}v{v}", SKOS_PREF_LABEL,
+                         label, "literal", "", ""))
+    # explicit sameAs chains, some bridging two label families
+    for i in range(8):
+        rows.append((f"http://kg/f{i}v0", OWL_SAME_AS,
+                     f"http://kg/f{i + 1}v1", "uri", "", ""))
+    # mention rows whose objects must be rewritten
+    for i in range(40):
+        rows.append((f"http://kg/t{i}", KG_MENTIONS,
+                     f"http://kg/f{rng.randrange(12)}v{rng.randrange(3)}",
+                     "uri", "", ""))
+    df = pd.DataFrame(rows, columns=["subject", "predicate", "object",
+                                     "object_kind", "lang", "datatype"])
+    ds = rd.from_pandas(df.sample(frac=1, random_state=2)).repartition(4)
+
+    out_drv, map_drv = canonicalize(ds, driver_pair_cap=10**9)
+    out_dst, map_dst = canonicalize(ds, driver_pair_cap=0)
+    assert map_dst == map_drv and len(map_drv) > 0
+    key = ["subject", "predicate", "object", "object_kind"]
+    a = out_drv.to_pandas().sort_values(key).reset_index(drop=True)
+    b = out_dst.to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

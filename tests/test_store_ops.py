@@ -286,3 +286,26 @@ def test_prefixes(store):
     sources = {p["prefix"]: p["source"] for p in store.get_prefixes()}
     assert sources["owl"] == "standard"
     assert sources[""] == "default"
+
+
+def test_bulk_delete_properties(populated):
+    """Mirror of reference tests/test_bulk.py TestBulkDeleteProperties
+    (om:682-692): deletes object AND datatype properties, captures
+    per-name errors for unknown names, clears predicate-position rows."""
+    populated.add_object_property("likes")
+    populated.add_data_property("age", domain="Person", range_="integer")
+    populated.add_individual("al", "Person")
+    populated.add_individual("bo", "Person")
+    populated.add_individual_property("al", "likes", "bo")
+
+    result = populated.bulk_delete_properties(["likes", "age", "ghost"])
+    assert result["deleted"] == ["likes", "age"]
+    assert result["errors"] == [{"name": "ghost", "error": "Not found"}]
+    names = {p["name"] for p in populated.get_object_properties()} \
+        | {p["name"] for p in populated.get_data_properties()}
+    assert "likes" not in names and "age" not in names
+    # predicate-position rows cleared too
+    assert populated.value(B + "al", B + "likes") is None
+
+    assert populated.bulk_delete_properties([]) == {
+        "deleted": [], "errors": []}

@@ -500,6 +500,74 @@ class _ShingleSets:
             "_set": pa.array(sets, pa.binary())})
 
 
+#: distinct candidate-doc ids above this count are NOT collected on
+#: the driver / broadcast to every actor (8 B/id: the default caps the
+#: broadcast at ~160 MB); the verify payloads bucket-hash semi-join
+#: against the candidate-id Dataset instead — one exchange of the
+#: compact payloads, zero driver materialization (VERDICT r3 item 8,
+#: same documented-bound + streamed-fallback treatment as update_kg's
+#: delta and canonicalize's pair collect).
+BROADCAST_ID_CAP = 20_000_000
+
+
+def _wanted_ids_or_none(pairs, cap: int | None):
+    """Distinct doc ids of the (materialized) candidate-pair Dataset
+    as a driver numpy array — the broadcast semi-join side.  Returns
+    None when 2x the pair count (an upper bound on distinct ids,
+    checked WITHOUT collecting anything) exceeds ``cap``; callers then
+    switch to the streamed ``_semi_join_payload`` path."""
+    if cap is None:
+        cap = BROADCAST_ID_CAP
+    if 2 * pairs.count() > cap:
+        return None
+    id_frames = list(pairs.iter_batches(batch_size=65536,
+                                        batch_format="pandas"))
+    if not id_frames:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(
+        [np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])
+         for b in id_frames]))
+
+
+def _semi_join_payload(payload, pairs, num_buckets: int, value_type):
+    """Streamed semi-join: keep payload rows (_k, _set) whose _k occurs
+    in a candidate pair — the candidate ids stay a Dataset (no driver
+    collect, no per-actor broadcast copy).  One bucket-hash exchange of
+    the compact payloads (8 B/shingle sets or 8 B signatures, never
+    text); output is candidate-sized."""
+    nb = num_buckets
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        ids = t["_k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_k": t["_k"].cast(pa.int64()),
+            "_set": t["_set"].cast(value_type),
+            "_need": pa.array(np.zeros(len(t), dtype=bool)),
+            "_b": pa.array((ids % nb).astype(np.int32)),
+        })
+
+    def tag_ids(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t["id_a"].to_numpy(zero_copy_only=False),
+            t["id_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({
+            "_k": pa.array(ids, pa.int64()),
+            "_set": pa.array([None] * len(ids), value_type),
+            "_need": pa.array(np.ones(len(ids), dtype=bool)),
+            "_b": pa.array((ids % nb).astype(np.int32)),
+        })
+
+    def pick(t: pa.Table) -> pa.Table:
+        need_mask = t["_need"].to_numpy(zero_copy_only=False)
+        ids = t["_k"].to_numpy(zero_copy_only=False)
+        keep = np.logical_and(~need_mask, np.isin(ids, ids[need_mask]))
+        return t.filter(pa.array(keep)).select(["_k", "_set"])
+
+    tagged = payload.map_batches(tag_payload, batch_format="pyarrow") \
+        .union(pairs.map_batches(tag_ids, batch_format="pyarrow"))
+    return tagged.groupby("_b").map_groups(pick, batch_format="pyarrow")
+
+
 def _attach_payload(pairs, sets_ds, key_col: str, out_col: str,
                     num_buckets: int, payload_type, carry_schema):
     """pairs ⋈ per-doc payload on ``key_col`` via a bucket-hash join
@@ -583,35 +651,41 @@ def _attach_sets(pairs, sets_ds, key_col: str, out_col: str,
 
 def verified_near_dup_edges(ds, threshold=0.7, num_perm=64, num_bands=16,
                             shingle_k=3, id_col="doc_id", text_col="text",
-                            num_buckets=32, hash_mode="fast"):
+                            num_buckets=32, hash_mode="fast",
+                            broadcast_id_cap=None):
     """LSH candidates -> exact-Jaccard-verified edge Dataset (id_a,
     id_b), fully distributed: the corpus never reaches the driver.
 
     The shingle sets of docs that appear in at least one candidate pair
-    are semi-joined in (broadcast of the distinct candidate ids — the
-    pair set is the small side by construction), then attached to the
-    pairs with two bucket-hash joins; each doc's set crosses the wire
-    once per join round.
+    are semi-joined in — below ``broadcast_id_cap`` distinct ids
+    (default BROADCAST_ID_CAP) via a broadcast of the candidate-id
+    array; above it via the streamed bucket-hash semi-join
+    (``_semi_join_payload``, zero driver materialization) — then
+    attached to the pairs with two bucket-hash joins; each doc's set
+    crosses the wire once per join round.
     """
     import ray
 
     pairs = minhash_candidate_pairs(ds, num_perm, num_bands, shingle_k,
                                     id_col, text_col,
                                     hash_mode=hash_mode).materialize()
-    id_frames = [b for b in pairs.iter_batches(batch_size=65536,
-                                               batch_format="pandas")]
-    if not id_frames:
+    if pairs.count() == 0:
         return pairs  # empty (id_a, id_b) dataset
-    wanted = np.unique(np.concatenate(
-        [np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])
-         for b in id_frames]))
-    wref = ray.put(wanted)
-
-    sets_ds = ds.map_batches(
-        _WantedShingleSets, fn_constructor_kwargs=dict(
-            shingle_k=shingle_k, id_col=id_col, text_col=text_col,
-            wanted_ref=wref),
-        batch_format="pandas", concurrency=pool_size())
+    wanted = _wanted_ids_or_none(pairs, broadcast_id_cap)
+    if wanted is not None:
+        wref = ray.put(wanted)
+        sets_ds = ds.map_batches(
+            _WantedShingleSets, fn_constructor_kwargs=dict(
+                shingle_k=shingle_k, id_col=id_col, text_col=text_col,
+                wanted_ref=wref),
+            batch_format="pandas", concurrency=pool_size())
+    else:
+        full_sets = ds.map_batches(
+            _ShingleSets, fn_constructor_kwargs=dict(
+                shingle_k=shingle_k, id_col=id_col, text_col=text_col),
+            batch_format="pandas", concurrency=pool_size())
+        sets_ds = _semi_join_payload(full_sets, pairs, num_buckets,
+                                     pa.binary())
     # both join rounds read the (pair-id-filtered, small) set side —
     # materialize so the corpus scan + shingling runs once, not twice
     sets_ds = sets_ds.materialize()
@@ -982,7 +1056,7 @@ def simhash_docs(ds, id_col="doc_id", text_col="text",
 
 def ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=3, id_col="doc_id",
                         text_col="text", num_buckets=32, df_cap=None,
-                        hash_mode: str = "fast"):
+                        hash_mode: str = "fast", broadcast_id_cap=None):
     """Exact n-gram Jaccard near-dup PAIRS via an inverted shingle
     index: candidates are pairs sharing at least one k-token shingle
     (complete for any threshold > 0 — disjoint-shingle pairs have
@@ -1028,23 +1102,26 @@ def ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=3, id_col="doc_id",
     index = sets_stream.map_batches(inverted, batch_format="pyarrow")
     pairs = _pairs_from_bands(index, "doc_id", num_buckets,
                               max_group=df_cap).materialize()
-    id_frames = list(pairs.iter_batches(batch_size=65536,
-                                        batch_format="pandas"))
-    if not id_frames:
+    if pairs.count() == 0:
         import ray.data as rd
 
         return rd.from_arrow(pa.schema(
             [("id_a", pa.int64()), ("id_b", pa.int64()),
              ("n_inter", pa.int64()), ("n_union", pa.int64())])
             .empty_table())
-    wanted = np.unique(np.concatenate(
-        [np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])
-         for b in id_frames]))
-    wref = ray.put(wanted)
-    sets_ds = ds.map_batches(
-        _WantedShingleSets, fn_constructor_kwargs=dict(
-            **shingle_kwargs, wanted_ref=wref),
-        batch_format="pandas", concurrency=pool_size()).materialize()
+    wanted = _wanted_ids_or_none(pairs, broadcast_id_cap)
+    if wanted is not None:
+        wref = ray.put(wanted)
+        sets_ds = ds.map_batches(
+            _WantedShingleSets, fn_constructor_kwargs=dict(
+                **shingle_kwargs, wanted_ref=wref),
+            batch_format="pandas", concurrency=pool_size()).materialize()
+    else:
+        full_sets = ds.map_batches(
+            _ShingleSets, fn_constructor_kwargs=shingle_kwargs,
+            batch_format="pandas", concurrency=pool_size())
+        sets_ds = _semi_join_payload(full_sets, pairs, num_buckets,
+                                     pa.binary()).materialize()
 
     with_a = _attach_sets(pairs, sets_ds, "id_a", "_set_a", num_buckets)
     with_ab = _attach_sets(
@@ -1076,7 +1153,7 @@ def ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=3, id_col="doc_id",
 
 def simhash_near_dup_pairs(ds, max_hamming=3, id_col="doc_id",
                            text_col="text", num_buckets=32,
-                           hash_mode: str = "md5"):
+                           hash_mode: str = "md5", broadcast_id_cap=None):
     """SimHash near-dup PAIRS: banded LSH over the 63-bit signature
     with an exact vectorized Hamming verify.
 
@@ -1125,9 +1202,7 @@ def simhash_near_dup_pairs(ds, max_hamming=3, id_col="doc_id",
     pairs = _pairs_from_bands(
         sigs.map_batches(bands, batch_format="pandas"), id_col,
         num_buckets).materialize()
-    id_frames = list(pairs.iter_batches(batch_size=65536,
-                                        batch_format="pandas"))
-    if not id_frames:
+    if pairs.count() == 0:
         import ray.data as rd
 
         return rd.from_arrow(pa.schema(
@@ -1135,21 +1210,27 @@ def simhash_near_dup_pairs(ds, max_hamming=3, id_col="doc_id",
              ("hamming", pa.int64())]).empty_table())
     import ray
 
-    wanted = np.unique(np.concatenate(
-        [np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])
-         for b in id_frames]))
-    wref = ray.put(wanted)
-
-    def to_payload(t: pa.Table) -> pa.Table:
-        # semi-join to candidate docs: only their 16 B signatures enter
-        # the payload shuffle (the jaccard/minhash verify shape)
-        w = ray.get(wref) if isinstance(wref, ray.ObjectRef) else wref
-        keep = np.isin(t[id_col].to_numpy(zero_copy_only=False), w)
-        t = t.filter(pa.array(keep))
+    def sig_payload(t: pa.Table) -> pa.Table:
         return pa.table({"_k": t[id_col], "_set": t["simhash"]}).cast(
             pa.schema([("_k", pa.int64()), ("_set", pa.int64())]))
 
-    payload = sigs.map_batches(to_payload, batch_format="pyarrow")
+    wanted = _wanted_ids_or_none(pairs, broadcast_id_cap)
+    if wanted is not None:
+        wref = ray.put(wanted)
+
+        def to_payload(t: pa.Table) -> pa.Table:
+            # semi-join to candidate docs: only their 16 B signatures
+            # enter the payload shuffle (the jaccard/minhash verify
+            # shape)
+            w = ray.get(wref) if isinstance(wref, ray.ObjectRef) else wref
+            keep = np.isin(t[id_col].to_numpy(zero_copy_only=False), w)
+            return sig_payload(t.filter(pa.array(keep)))
+
+        payload = sigs.map_batches(to_payload, batch_format="pyarrow")
+    else:
+        payload = _semi_join_payload(
+            sigs.map_batches(sig_payload, batch_format="pyarrow"),
+            pairs, num_buckets, pa.int64())
     with_a = _attach_payload(pairs, payload, "id_a", "sig_a",
                              num_buckets, pa.int64(), _PAIR_SCHEMA)
     with_ab = _attach_payload(

@@ -260,7 +260,7 @@ def doc_dedup_exact(sf_dir):
 
 def doc_token_counts(sf_dir):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", concurrency=pool_size())
+        TokenCounter, batch_format="pyarrow", concurrency=pool_size())
 
 
 def doc_ngram_stats(sf_dir):

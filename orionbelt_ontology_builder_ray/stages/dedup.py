@@ -33,16 +33,25 @@ def _local_dedup(t: pa.Table) -> pa.Table:
 
 
 class _AddBucket:
+    """Arrow-native bucket assignment for the triple-dedup shuffles.
+
+    Buckets are LAYOUT-only (per-bucket dedup needs identical rows
+    co-located, which hashing the subject alone guarantees — equal
+    rows share their subject), so only ONE string column is boxed for
+    the hash instead of all six (the add_part lesson: boxing the full
+    triple stream into pandas objects was the single biggest
+    memory-traffic hop in the write phase)."""
+
     def __init__(self, num_buckets: int):
         self.num_buckets = num_buckets
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # stable row-content hash (fixed default hash key -> deterministic
-        # across processes and runs)
-        h = pd.util.hash_pandas_object(batch[TRIPLE_COLS], index=False)
-        batch = batch.copy()
-        batch["_bucket"] = (h % self.num_buckets).astype(np.int32)
-        return batch
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # stable hash (fixed default hash key -> deterministic across
+        # processes and runs)
+        h = pd.util.hash_pandas_object(
+            t["subject"].to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "_bucket", pa.array((h % self.num_buckets).astype(np.int32)))
 
 
 class _DedupAndHash:
@@ -108,7 +117,7 @@ def dedup_triples_scoped(ds, scope_regex: str, num_buckets: int = 16,
     # cost per block, so coalesce to the bucket count first (local
     # split/merge, no all-to-all) — measured ~2s off the flagship
     shared = shared.repartition(num_buckets)
-    shared = shared.map_batches(_AddBucket(num_buckets), batch_format="pandas")
+    shared = shared.map_batches(_AddBucket(num_buckets), batch_format="pyarrow")
     shared = shared.groupby("_bucket").map_groups(
         lambda t: _local_dedup(t), batch_format="pyarrow")
     if dict_columns:
@@ -139,7 +148,7 @@ def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast",
     """
     if strategy == "shuffle":
         ds = ds.map_batches(lambda t: _local_dedup(t), batch_format="pyarrow")
-        ds = ds.map_batches(_AddBucket(num_buckets), batch_format="pandas")
+        ds = ds.map_batches(_AddBucket(num_buckets), batch_format="pyarrow")
         ds = ds.groupby("_bucket").map_groups(
             lambda t: _local_dedup(t), batch_format="pyarrow")
         return ds
@@ -212,7 +221,7 @@ def dedup_triples(ds, num_buckets: int = 64, strategy: str = "broadcast",
     # the contested rows are tiny; one bucket shuffle over just them
     dups = combined.map_batches(SplitClean(True), batch_format="pyarrow")
     dups = dups.map_batches(_AddBucket(max(8, num_buckets // 8)),
-                            batch_format="pandas")
+                            batch_format="pyarrow")
     dups = dups.groupby("_bucket").map_groups(
         lambda t: _local_dedup(t), batch_format="pyarrow")
     return clean.union(dups)
@@ -398,10 +407,11 @@ def _pairs_from_bands(bands, id_col: str, num_buckets: int,
     (``max_group`` = its hot-key df cap: groups larger than this are
     skipped instead of expanded quadratically)."""
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_b"] = (df["band_hash"] % num_buckets).astype(np.int32)
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # all-int table: zero-copy to numpy, no pandas round-trip
+        h = t["band_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b", pa.array((h % num_buckets).astype(np.int32)))
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -421,7 +431,7 @@ def _pairs_from_bands(bands, id_col: str, num_buckets: int,
             "id_a": np.concatenate(out_a),
             "id_b": np.concatenate(out_b)}).drop_duplicates()
 
-    cand = bands.map_batches(add_bucket, batch_format="pandas") \
+    cand = bands.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(pairs_in_bucket, batch_format="pandas")
     return _pair_bucket_dedup(cand)
 

@@ -38,8 +38,41 @@ class TokenCounter:
     """doc -> (doc_id, n_chars, n_tokens, n_bpe_tokens): whitespace
     tokenization plus a BPE-ish pretokenizer match count — the
     token-budget estimate a training pipeline actually needs (oracle:
-    sql_doc_token_counts; both counts are one vectorized pandas
-    ``str`` pass per batch)."""
+    sql_doc_token_counts).
+
+    Arrow-native: ``pc.count_substring_regex`` runs the SAME RE2
+    engine DuckDB uses (pandas ``str.count`` is a per-row Python re
+    loop over boxed objects), so the counts match the oracle by
+    construction and the text column never leaves Arrow buffers."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        import pyarrow as pa
+
+        self.id_col, self.text_col = id_col, text_col
+        self._ws_run = rf"[^{_WS}]+"
+        self._pa = pa
+
+    def __call__(self, t):
+        import pyarrow.compute as pc
+        pa = self._pa
+
+        text = pc.cast(t[self.text_col], pa.string())
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                text, pattern=self._ws_run), pa.int64()),
+            "n_bpe_tokens": pc.cast(pc.count_substring_regex(
+                text, pattern=BPE_TOKEN_RE), pa.int64()),
+        })
+
+
+class TokenCounterPandas:
+    """Pandas reference implementation of :class:`TokenCounter` (kept
+    for the interleaved A/B and the parity test; not on any pipeline
+    path).  NOTE: ``str.split()`` uses Python's Unicode whitespace, so
+    on non-ASCII whitespace this reference can differ from both the
+    arrow stage and the DuckDB oracle (which share RE2 semantics)."""
 
     def __init__(self, id_col="doc_id", text_col="text"):
         self.id_col, self.text_col = id_col, text_col

@@ -570,3 +570,38 @@ def test_streamed_semi_join_equals_broadcast(ray_session):
         bcast = pairset(fn(ds, **kw), cols)
         streamed = pairset(fn(ds, broadcast_id_cap=0, **kw), cols)
         assert streamed == bcast and len(bcast) > 0, fn.__name__
+
+
+def test_token_counter_arrow_equals_pandas_on_ascii():
+    """The arrow TokenCounter (RE2 kernels) must equal the pandas
+    reference on ASCII corpora (where Python's Unicode \\s and RE2's
+    ASCII \\s coincide); on non-ASCII whitespace the arrow stage must
+    side with the DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from orionbelt_ontology_builder_ray.stages.textops import (
+        BPE_TOKEN_RE, TokenCounter, TokenCounterPandas)
+
+    ascii_docs = pd.DataFrame({
+        "doc_id": range(5),
+        "text": ["hello world", "", "  a  b  ", "it's 42, ok?!",
+                 "one\ttwo\nthree"]})
+    got = TokenCounter()(pa.Table.from_pandas(
+        ascii_docs, preserve_index=False)).to_pandas()
+    exp = TokenCounterPandas()(ascii_docs)
+    pd.testing.assert_frame_equal(got, exp)
+
+    # non-ASCII whitespace: arrow == DuckDB (RE2), by construction
+    nb = "a b c"
+    t = TokenCounter()(pa.table({"doc_id": [0], "text": [nb]})).to_pandas()
+    d = duckdb.sql(
+        "SELECT CAST(length(?) AS BIGINT) AS n_chars, "
+        "CASE WHEN trim(?) = '' THEN 0 ELSE CAST(array_length("
+        "regexp_split_to_array(trim(?), '\\s+')) AS BIGINT) END AS n_tokens, "
+        "CAST(length(regexp_extract_all(?, '"
+        + BPE_TOKEN_RE.replace("'", "''") + "')) AS BIGINT) AS n_bpe",
+        params=[nb, nb, nb, nb]).fetchone()
+    assert (int(t["n_chars"][0]), int(t["n_tokens"][0]),
+            int(t["n_bpe_tokens"][0])) == (d[0], d[1], d[2])

@@ -24,6 +24,7 @@ from typing import Dict, Set
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..functions.terms import (
     pool_size,
@@ -55,13 +56,19 @@ def collect_schema(ds) -> dict:
     domain / range edges -> closed maps ready to broadcast."""
     preds = [RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE]
 
-    def slice_(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[batch["predicate"].isin(preds)
-                  & (batch["object_kind"] == "uri")
-                  & ~batch["object"].str.startswith("_:")]
-        return m[["subject", "predicate", "object"]].drop_duplicates()
+    def slice_(t: pa.Table) -> pa.Table:
+        # arrow-native corpus scan: the string columns never box into
+        # pandas objects; only the schema-sized survivors do (below)
+        import pyarrow.compute as pc
 
-    schema = ds.map_batches(slice_, batch_format="pandas").to_pandas()
+        keep = pc.and_(pc.and_(
+            pc.is_in(t["predicate"], value_set=pa.array(preds)),
+            pc.equal(t["object_kind"], "uri")),
+            pc.invert(pc.starts_with(t["object"], "_:")))
+        m = t.filter(keep).select(["subject", "predicate", "object"])
+        return m.group_by(m.column_names).aggregate([])
+
+    schema = ds.map_batches(slice_, batch_format="pyarrow").to_pandas()
     if schema.empty or "predicate" not in schema.columns:
         # an all-empty-blocks dataset can lose its schema entirely
         schema = pd.DataFrame({"subject": [], "predicate": [],
@@ -174,14 +181,18 @@ def collect_owl_schema(ds) -> dict:
     preds = [OWL_INVERSE_OF, OWL_PROPERTY_CHAIN_AXIOM, OWL_HAS_KEY,
              RDF_FIRST, RDF_REST]
 
-    def slice_(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[
-            batch["predicate"].isin(preds)
-            | ((batch["predicate"] == RDF_TYPE)
-               & batch["object"].isin([OWL_SYMMETRIC, OWL_TRANSITIVE]))]
-        return m[["subject", "predicate", "object"]].drop_duplicates()
+    def slice_(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    schema = ds.map_batches(slice_, batch_format="pandas").to_pandas()
+        keep = pc.or_(
+            pc.is_in(t["predicate"], value_set=pa.array(preds)),
+            pc.and_(pc.equal(t["predicate"], RDF_TYPE),
+                    pc.is_in(t["object"], value_set=pa.array(
+                        [OWL_SYMMETRIC, OWL_TRANSITIVE]))))
+        m = t.filter(keep).select(["subject", "predicate", "object"])
+        return m.group_by(m.column_names).aggregate([])
+
+    schema = ds.map_batches(slice_, batch_format="pyarrow").to_pandas()
     if schema.empty or "predicate" not in schema.columns:
         schema = pd.DataFrame({"subject": [], "predicate": [],
                                "object": []})
@@ -338,12 +349,15 @@ def transitive_closure_edges(ds, transitive_preds, num_buckets: int = 16,
         return rd.from_pandas(pd.DataFrame(
             {c: pd.Series([], dtype=object) for c in TRIPLE_COLS}))
 
-    def edge_slice(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[batch["predicate"].isin(preds)
-                  & (batch["object_kind"] == "uri")]
-        return m[["predicate", "subject", "object"]].drop_duplicates()
+    def edge_slice(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    edges = ds.map_batches(edge_slice, batch_format="pandas").materialize()
+        keep = pc.and_(pc.is_in(t["predicate"], value_set=pa.array(preds)),
+                       pc.equal(t["object_kind"], "uri"))
+        m = t.filter(keep).select(["predicate", "subject", "object"])
+        return m.group_by(m.column_names).aggregate([])
+
+    edges = ds.map_batches(edge_slice, batch_format="pyarrow").materialize()
     total = edges.count()
 
     def dedup_edges(e):
@@ -440,17 +454,22 @@ def has_key_same_as_edges(ds, keys, num_buckets: int = 16):
     keyed_classes = sorted({c for c, _ in keys_list})
     key_props = sorted({p for _, ps in keys_list for p in ps})
 
-    def slice_(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[
-            ((batch["predicate"] == RDF_TYPE)
-             & batch["object"].isin(keyed_classes))
-            | batch["predicate"].isin(key_props)]
-        out = m[["subject", "predicate", "object", "object_kind",
-                 "lang", "datatype"]].drop_duplicates()
-        out = out.copy()
-        out["_b"] = (pd.util.hash_pandas_object(out["subject"], index=False)
-                     % num_buckets).astype(np.int32)
-        return out
+    def slice_(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.or_(
+            pc.and_(pc.equal(t["predicate"], RDF_TYPE),
+                    pc.is_in(t["object"],
+                             value_set=pa.array(keyed_classes))),
+            pc.is_in(t["predicate"], value_set=pa.array(key_props)))
+        m = t.filter(keep).select(["subject", "predicate", "object",
+                                   "object_kind", "lang", "datatype"])
+        m = m.group_by(m.column_names).aggregate([])
+        # only the (small) keyed survivors box into pandas for the hash
+        h = pd.util.hash_pandas_object(m["subject"].to_pandas(),
+                                       index=False).to_numpy()
+        return m.append_column(
+            "_b", pa.array((h % num_buckets).astype(np.int32)))
 
     def combos_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_combo: list = []
@@ -482,7 +501,7 @@ def has_key_same_as_edges(ds, keys, num_buckets: int = 16):
         return pd.DataFrame({"_combo": pd.Series(out_combo, dtype=object),
                              "subject": pd.Series(out_subj, dtype=object)})
 
-    combos = ds.map_batches(slice_, batch_format="pandas") \
+    combos = ds.map_batches(slice_, batch_format="pyarrow") \
         .groupby("_b").map_groups(combos_in_bucket, batch_format="pandas")
 
     def rebucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -534,12 +553,15 @@ def replicate_same_as(ds, num_buckets: int = 16):
 
     from ..functions.terms import OWL_SAME_AS
 
-    def same_slice(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[(batch["predicate"] == OWL_SAME_AS)
-                  & (batch["object_kind"] == "uri")]
-        return m[["subject", "object"]].drop_duplicates()
+    def same_slice(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    edges = ds.map_batches(same_slice, batch_format="pandas").to_pandas()
+        keep = pc.and_(pc.equal(t["predicate"], OWL_SAME_AS),
+                       pc.equal(t["object_kind"], "uri"))
+        m = t.filter(keep).select(["subject", "object"])
+        return m.group_by(m.column_names).aggregate([])
+
+    edges = ds.map_batches(same_slice, batch_format="pyarrow").to_pandas()
     if edges.empty or "subject" not in edges.columns:
         return ds
     edges = edges.drop_duplicates()

@@ -59,16 +59,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": q.doc_dedup_exact,
         "doc_token_counts": q.doc_token_counts,
         "doc_ngram_stats": q.doc_ngram_stats,
-        "doc_quality": q.doc_quality,
-        "doc_langid": q.doc_langid,
+        "doc_text_profile": q.doc_text_profile,
+        "doc_pii_redact": q.doc_pii_redact,
         "doc_sample_stratified": q.doc_sample_stratified,
         "doc_corpus_mix": q.doc_corpus_mix,
-        "doc_fingerprints": q.doc_fingerprints,
+        "doc_ngram_contamination": q.doc_ngram_contamination,
         "doc_simhash_all": q.doc_simhash_all,
         "doc_jaccard_pairs": q.doc_jaccard_pairs,
         "doc_minhash_clusters": q.doc_minhash_clusters,
-        "doc_corpus_near_clean": q.doc_corpus_near_clean,
-        "doc_corpus_clean": q.doc_corpus_clean,
+        "doc_corpus_cleans": q.doc_corpus_cleans,
+        "doc_pack": q.doc_pack,
         "embedding_near_dups": q.embedding_near_dups,
         "embedding_dedup_clusters": q.embedding_dedup_clusters,
         "events_hourly": q.events_hourly,
@@ -109,16 +109,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact": o.sql_doc_dedup_exact(),
         "doc_token_counts": o.sql_doc_token_counts(),
         "doc_ngram_stats": o.sql_doc_ngram_stats(),
-        "doc_corpus_clean": o.sql_doc_corpus_clean(),
+        "doc_corpus_cleans": o.sql_doc_corpus_cleans(),
+        "doc_pack": o.sql_doc_pack(),
         "events_hourly": o.sql_events_hourly(),
         "ann_search": o.sql_ann_search(),
-        "doc_quality": o.sql_doc_quality(),
-        "doc_langid": o.sql_doc_langid(),
+        "doc_text_profile": o.sql_doc_text_profile(),
+        "doc_pii_redact": o.sql_doc_pii_redact(),
         "doc_sample_stratified": o.sql_doc_sample_stratified(),
         "doc_corpus_mix": o.sql_doc_corpus_mix(),
         "doc_simhash_all": o.sql_doc_simhash_all(),
         "doc_jaccard_pairs": o.sql_doc_jaccard_pairs(),
-        "doc_fingerprints": o.sql_doc_fingerprints(),
+        "doc_ngram_contamination": o.sql_doc_ngram_contamination(),
         "multimodal_pipeline": o.sql_multimodal_pipeline(),
         "events_asof_join": o.sql_events_asof_join(),
         "events_range_join": o.sql_events_range_join(),
@@ -140,7 +141,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_canonicalized": o.sql_kg_triples_canonicalized(),
         "kg_canonicalization_demo": o.sql_kg_canonicalization_demo(),
         "doc_minhash_clusters": o.sql_doc_minhash_clusters(),
-        "doc_corpus_near_clean": o.sql_doc_corpus_near_clean(),
         "embedding_near_dups": o.sql_embedding_near_dups(),
         "embedding_dedup_clusters": o.sql_embedding_dedup_clusters(),
     }

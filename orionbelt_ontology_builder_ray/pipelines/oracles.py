@@ -1257,3 +1257,118 @@ ranked AS (
 SELECT conv_uri, entity, CAST(n_mentions AS BIGINT) AS n_mentions
 FROM ranked WHERE rn <= {int(k)}
 ORDER BY conv_uri, entity""")
+
+
+def sql_doc_text_profile() -> str:
+    """Mirror of stages.textops.TextProfile: the fused stage is
+    column-identical to QualityScorer + LangId + Fingerprinter, so the
+    oracle is the equijoin of their three mirrors."""
+    return f"""
+WITH q AS ({sql_doc_quality()}),
+     l AS ({sql_doc_langid()}),
+     f AS ({sql_doc_fingerprints()})
+SELECT q.*, l.pred_lang, f.fingerprint
+FROM q JOIN l USING (doc_id) JOIN f USING (doc_id)
+ORDER BY doc_id"""
+
+
+def sql_doc_pii_redact(mod: int = 4) -> str:
+    """Mirror of stages.scrub.PiiRedactor(inject=True): the identical
+    deterministic PII injection (pure function of doc_id), then
+    per-pattern match counts on the injected text and the sequential
+    regexp_replace chain in PII_PATTERNS order.  Both engines run RE2,
+    so counts and redacted text agree byte-for-byte."""
+    from ..stages.scrub import PII_PATTERNS
+
+    count_cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, {_sql_str(pat)})) AS BIGINT)"
+        f" AS n_{name}s"
+        for name, pat, _ in PII_PATTERNS)
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, {_sql_str(pat)}, {_sql_str(repl)}, 'g')"
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {mod} <> 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or +1 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+           || '-' || CAST((doc_id * 7) % 9000 + 1000 AS VARCHAR)
+           || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+           || ' ref ' || CAST(doc_id * doc_id + 100000 AS VARCHAR)
+    ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  {count_cols},
+  {red} AS text_redacted
+FROM injected ORDER BY doc_id"""
+
+
+def sql_doc_ngram_contamination(k: int = 3, eval_mod: int = 97) -> str:
+    """Mirror of queries.doc_ngram_contamination: distinct word
+    k-grams on the explicit ASCII whitespace class (docs with < k
+    tokens emit none), eval split = doc_id % eval_mod = 0; the engine
+    counts gram HASHES where this counts gram strings — identical
+    absent a 64-bit md5 collision."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                     t -> t <> '') AS w
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w) - {k - 1}),
+                                 i -> array_to_string(w[i+1:i+{k}], ' '))) AS g
+    FROM toks WHERE len(w) >= {k})),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {eval_mod} = 0),
+overlap AS (
+  SELECT doc_id, 'eval_overlap' AS metric, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grams JOIN eval_grams USING (g)
+  WHERE doc_id % {eval_mod} <> 0
+  GROUP BY doc_id),
+dup AS (
+  SELECT doc_id, 'dup_grams' AS metric, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS c FROM grams)
+  WHERE c > 1 GROUP BY doc_id)
+SELECT * FROM overlap UNION ALL SELECT * FROM dup
+ORDER BY metric, doc_id"""
+
+
+def sql_doc_corpus_cleans() -> str:
+    """Mirror of queries.doc_corpus_cleans: tagged union of the exact
+    clean (sql_doc_corpus_clean) and near-dup clean
+    (sql_doc_corpus_near_clean) mirrors."""
+    return f"""
+WITH exact AS ({sql_doc_corpus_clean()}),
+     near AS ({sql_doc_corpus_near_clean()})
+SELECT doc_id, 'exact' AS metric, CAST(n_tokens AS BIGINT) AS n FROM exact
+UNION ALL
+SELECT doc_id, 'near' AS metric, CAST(cluster_size AS BIGINT) AS n FROM near
+ORDER BY metric, doc_id"""
+
+
+def sql_doc_pack(seq_len: int = 512) -> str:
+    """Mirror of stages.pack.pack_sequences: token counts on the
+    explicit ASCII whitespace class, exclusive prefix sum in doc_id
+    order, concat-and-chunk sequence ids."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS token_offset
+  FROM t)
+SELECT doc_id, n_tokens, token_offset,
+       CAST(token_offset // {seq_len} AS BIGINT) AS seq_id,
+       CAST((token_offset + greatest(n_tokens - 1, 0)) // {seq_len}
+         AS BIGINT) AS seq_id_last
+FROM c ORDER BY doc_id"""

@@ -373,6 +373,55 @@ def doc_fingerprints(sf_dir):
         Fingerprinter, batch_format="pandas", concurrency=pool_size())
 
 
+def doc_text_profile(sf_dir):
+    """Fused quality + language-ID + fingerprint profile (one corpus
+    pass; oracle joins the three per-stage SQL mirrors)."""
+    from ..stages.textops import TextProfile
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        TextProfile, batch_format="pandas", concurrency=pool_size())
+
+
+def doc_pii_redact(sf_dir):
+    """PII counting + redaction (RE2 on both engines, byte-identical
+    redacted text).  ``inject=True`` plants deterministic synthetic
+    PII — the sandbox corpus is PII-free word salad, and the oracle
+    performs the identical injection."""
+    from ..stages.scrub import PiiRedactor
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        PiiRedactor, fn_constructor_kwargs=dict(inject=True),
+        batch_format="pyarrow", concurrency=pool_size())
+
+
+def doc_ngram_contamination(sf_dir, k=3, hash_mode="md5"):
+    """Two n-gram contamination signals in one tagged union:
+    ``eval_overlap`` = per-doc count of distinct word k-grams shared
+    with the (deterministically carved) eval split, via a broadcast
+    gram set — zero shuffles over the corpus; ``dup_grams`` = per-doc
+    count of distinct k-grams appearing in >= 1 other doc, via one
+    int-bucket shuffle of (hash, doc_id) pairs."""
+    from ..stages.scrub import decontaminate, dup_ngram_counts
+
+    def tag(metric):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "metric": pa.array([metric] * len(t), pa.string()),
+                "n": t["n"].cast(pa.int64())})
+        return f
+
+    decon = decontaminate(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=k, hash_mode=hash_mode).map_batches(
+            tag("eval_overlap"), batch_format="pyarrow")
+    dup = dup_ngram_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=k, hash_mode=hash_mode).map_batches(
+            tag("dup_grams"), batch_format="pyarrow")
+    return decon.union(dup)
+
+
 def doc_simhash(sf_dir):
     from ..stages.dedup import simhash_docs
 
@@ -411,6 +460,38 @@ def doc_corpus_clean(sf_dir):
 
     return clean_corpus(_read(sf_dir, "documents",
                               columns=["doc_id", "text"]))
+
+
+def doc_corpus_cleans(sf_dir):
+    """Both corpus-cleaning end products in one tagged union (one
+    driver slot): ``exact`` = quality/language filter + exact text
+    dedup (n = kept doc's token count); ``near`` = one representative
+    per MinHash near-dup cluster (n = cluster size)."""
+
+    def tag(metric, n_col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "metric": pa.array([metric] * len(t), pa.string()),
+                "n": t[n_col].cast(pa.int64())})
+        return f
+
+    exact = doc_corpus_clean(sf_dir).map_batches(
+        tag("exact", "n_tokens"), batch_format="pyarrow")
+    near = doc_corpus_near_clean(sf_dir).map_batches(
+        tag("near", "cluster_size"), batch_format="pyarrow")
+    return exact.union(near)
+
+
+def doc_pack(sf_dir, seq_len=512):
+    """Concat-and-chunk sequence packing: per-doc token offset and
+    first/last training-sequence ids via the two-phase distributed
+    prefix sum (stages/pack.py)."""
+    from ..stages.pack import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        seq_len=seq_len)
 
 
 def doc_minhash_clusters(sf_dir):

@@ -293,3 +293,70 @@ def clean_corpus(ds, id_col="doc_id", text_col="text", min_tokens=20,
 
     return cleaned.map_batches(add_bucket, batch_format="pandas") \
         .groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+class TextProfile:
+    """Fused per-doc text profile: QualityScorer + LangId +
+    Fingerprinter columns in ONE batch pass over the corpus (quality
+    features, predicted language, winnowing fingerprint).
+
+    Why fused: all three stages tokenize the same text; at 100 TB each
+    separate stage is a full corpus read + tokenize.  The profile is
+    the natural "document metadata" head of a training-data pipeline
+    (filter / mix / dedup all consume its columns), so computing it in
+    one pass per block is the scale-correct shape.  Output is
+    column-identical to running the three stages separately (pinned by
+    tests/test_scrub.py::test_text_profile_matches_parts and the
+    sql_doc_text_profile oracle, which joins the three SQL mirrors).
+    """
+
+    def __init__(self, id_col="doc_id", text_col="text", k=3):
+        self.id_col, self.text_col = id_col, text_col
+        self.k = k
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.profiles = sorted(_LANG_PROFILES.items())
+        self.stop_en = _LANG_PROFILES["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        text = batch[self.text_col].astype(str)
+        n = len(text)
+        n_chars = text.str.len().astype(np.int64)
+        n_punct = text.str.count(self.punct_re.pattern)
+        n_tokens = np.zeros(n, np.int64)
+        stop_ratio = np.zeros(n, np.float64)
+        distinct_ratio = np.zeros(n, np.float64)
+        fingerprints = np.zeros(n, np.int64)
+        langs = []
+        for i, t in enumerate(text):
+            low = t.lower().split()
+            denom = max(1, len(low))
+            n_tokens[i] = len(low)
+            stop_ratio[i] = sum(w in self.stop_en for w in low) / denom
+            tset = set(low)
+            distinct_ratio[i] = len(tset) / denom
+            best, best_score = "unknown", 0
+            for lang, stop in self.profiles:
+                score = len(tset & stop)
+                if score > best_score:
+                    best, best_score = lang, score
+            langs.append(best)
+            toks = t.split()
+            grams = ([" ".join(toks[j:j + self.k])
+                      for j in range(len(toks) - self.k + 1)]
+                     if len(toks) >= self.k else [" ".join(toks)])
+            fingerprints[i] = min(
+                int(hashlib.md5(g.encode()).hexdigest()[:16], 16) >> 1
+                for g in grams)
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "n_chars": n_chars.to_numpy(),
+            "n_tokens": n_tokens,
+            "punct_ratio": (n_punct.to_numpy(np.float64)
+                            / np.maximum(n_chars.to_numpy(), 1)),
+            "stopword_ratio": stop_ratio,
+            "distinct_token_ratio": distinct_ratio,
+            "pred_lang": langs,
+            "fingerprint": fingerprints,
+        })

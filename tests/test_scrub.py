@@ -1,0 +1,228 @@
+"""PII scrubbing, n-gram decontamination, and the fused text profile.
+
+Covers stages/scrub.py (PiiRedactor / decontaminate /
+dup_ngram_counts) and stages/textops.TextProfile — the training-data
+compliance operators (no reference analog; graft requirement)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from orionbelt_ontology_builder_ray.stages.scrub import (
+    MAX_EVAL_GRAMS, PiiRedactor, ascii_tokens, decontaminate,
+    doc_gram_hashes, dup_ngram_counts, inject_pii)
+
+
+def _docs_table(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# PiiRedactor
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redactor_counts_and_redaction():
+    t = _docs_table([
+        (1, "mail bob.smith@corp.example.org now"),
+        (2, "call +1 555-123-4567 or 44 555-000-1111"),
+        (3, "host 192.168.0.1 ref 1234567"),
+        (4, "clean text with no pii at all"),
+    ])
+    out = PiiRedactor()(t)
+    assert out["n_emails"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_phones"].to_pylist() == [0, 2, 0, 0]
+    assert out["n_ips"].to_pylist() == [0, 0, 1, 0]
+    assert out["n_ids"].to_pylist() == [0, 0, 1, 0]
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "mail [EMAIL] now"
+    assert red[1] == "call [PHONE] or [PHONE]"
+    assert red[2] == "host [IP] ref [ID]"
+    assert red[3] == "clean text with no pii at all"
+
+
+def test_pii_redactor_email_digits_not_half_eaten():
+    # the email is replaced FIRST, so its long digit run never
+    # surfaces as a standalone [ID] match
+    t = _docs_table([(1, "reach 123456789@example.com please")])
+    out = PiiRedactor()(t)
+    assert out["n_emails"].to_pylist() == [1]
+    assert out["text_redacted"].to_pylist() == ["reach [EMAIL] please"]
+    # counts are on the ORIGINAL text: the digit run inside the email
+    # has no word boundary break, so n_ids sees the full run once
+    assert out["n_ids"].to_pylist() == [1]
+
+
+def test_inject_pii_deterministic_and_mod_gated():
+    t = _docs_table([(0, "zero"), (1, "one"), (4, "four"), (5, "five")])
+    out = inject_pii(t)
+    texts = out["text"].to_pylist()
+    assert texts[0] == "zero"          # doc_id % 4 == 0: untouched
+    assert texts[2] == "four"
+    assert "user1@example.com" in texts[1]
+    assert " ref 100025" in texts[3]   # 5*5 + 100000
+    # injection is a pure function: re-running yields identical text
+    assert out["text"].to_pylist() == inject_pii(t)["text"].to_pylist()
+
+
+def test_pii_redactor_empty_batch():
+    out = PiiRedactor()(_docs_table([]))
+    assert out.num_rows == 0
+    assert set(out.column_names) == {
+        "doc_id", "n_emails", "n_phones", "n_ips", "n_ids", "text_redacted"}
+
+
+# ---------------------------------------------------------------------------
+# gram machinery
+# ---------------------------------------------------------------------------
+
+
+def test_ascii_tokens_explicit_class():
+    assert ascii_tokens("a  b\tc\nd") == ["a", "b", "c", "d"]
+    # non-ASCII whitespace is NOT a separator (RE2 parity)
+    assert ascii_tokens("a b c") == ["a b", "c"]
+    assert ascii_tokens("   ") == []
+
+
+def test_doc_gram_hashes_short_doc_empty():
+    assert len(doc_gram_hashes("one two", 3)) == 0
+    assert len(doc_gram_hashes("", 3)) == 0
+    h = doc_gram_hashes("one two three four", 3)
+    assert len(h) == 2  # two distinct 3-grams
+    # distinct: repeated grams hash once
+    h2 = doc_gram_hashes("a b a b a b", 2)  # grams: "a b", "b a"
+    assert len(h2) == 2
+
+
+def test_doc_gram_hashes_md5_matches_duckdb():
+    import duckdb
+    import hashlib
+
+    g = "one two three"
+    expect = int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+    got = duckdb.sql(
+        "SELECT CAST(('0x' || substr(md5('one two three'), 1, 16)) "
+        "AS UBIGINT)").fetchone()[0]
+    assert got == expect
+    assert doc_gram_hashes(g, 3, "md5")[0] == np.uint64(expect)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate / dup_ngram_counts (Ray paths)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_ds(ray_session):
+    import ray.data as rd
+
+    # doc 0 and 97 are "eval" (doc_id % 97 == 0); doc 1 shares a
+    # 3-gram with doc 0; doc 2 is disjoint; docs 3/4 duplicate each
+    # other; doc 5 is too short to shingle
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (97, "epsilon zeta eta theta"),
+        (1, "alpha beta gamma omega"),
+        (2, "iota kappa lambda mu"),
+        (3, "nu xi omicron pi rho"),
+        (4, "nu xi omicron pi rho"),
+        (5, "too short"),
+    ]
+    return rd.from_arrow(_docs_table(rows)), rows
+
+
+def test_decontaminate(ray_session):
+    ds, _ = _corpus_ds(ray_session)
+    out = decontaminate(ds).to_pandas().sort_values("doc_id")
+    # doc 1 shares exactly one 3-gram ("alpha beta gamma") with eval
+    assert out["doc_id"].tolist() == [1]
+    assert out["n"].tolist() == [1]
+
+
+def test_decontaminate_empty_eval_split(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table([(1, "a b c d"), (2, "e f g h")]))
+    out = decontaminate(ds).to_pandas()
+    assert len(out) == 0
+
+
+def test_decontaminate_budget_enforced(ray_session, monkeypatch):
+    import orionbelt_ontology_builder_ray.stages.scrub as scrub
+
+    ds, _ = _corpus_ds(ray_session)
+    monkeypatch.setattr(scrub, "MAX_EVAL_GRAMS", 1)
+    with pytest.raises(ValueError, match="broadcast"):
+        scrub.decontaminate(ds).to_pandas()
+    assert MAX_EVAL_GRAMS > 1_000_000  # real budget is generous
+
+
+def test_dup_ngram_counts(ray_session):
+    ds, _ = _corpus_ds(ray_session)
+    out = dup_ngram_counts(ds).to_pandas().sort_values("doc_id")
+    # docs 0 and 1 share 1 gram; docs 3 and 4 share all 3 grams
+    assert out["doc_id"].tolist() == [0, 1, 3, 4]
+    assert out["n"].tolist() == [1, 1, 3, 3]
+
+
+def test_dup_ngram_counts_partition_invariant(ray_session):
+    import ray.data as rd
+
+    t = _docs_table([(i, f"w{i % 3} x{i % 2} common tail words {i}")
+                     for i in range(40)])
+    a = dup_ngram_counts(rd.from_arrow(t), k=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dup_ngram_counts(rd.from_arrow(t).repartition(7), k=2,
+                         num_buckets=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_gram_ops_hash_mode_agreement(ray_session):
+    # fast and md5 hashes differ, but the COUNTS they induce agree
+    import ray.data as rd
+
+    t = _docs_table([(i, f"p{i % 4} q{i % 3} r s t u{i}")
+                     for i in range(1, 30)])
+    fast = dup_ngram_counts(rd.from_arrow(t), k=3, hash_mode="fast") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    md5 = dup_ngram_counts(rd.from_arrow(t), k=3, hash_mode="md5") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, md5)
+
+
+# ---------------------------------------------------------------------------
+# fused TextProfile == its three parts
+# ---------------------------------------------------------------------------
+
+
+def test_text_profile_matches_parts():
+    from orionbelt_ontology_builder_ray.stages.textops import (
+        Fingerprinter, LangId, QualityScorer, TextProfile)
+
+    b = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "the cat and the dog in the house",
+            "der hund ist nicht ein vogel und das ist gut",
+            "xyzzy plugh",
+            "",
+            "le chat est dans la maison et il est pour les chats",
+            "a a a a a a a",
+        ],
+    })
+    prof = TextProfile()(b)
+    q = QualityScorer()(b)
+    for c in ("n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
+              "distinct_token_ratio"):
+        np.testing.assert_array_equal(prof[c].to_numpy(), q[c].to_numpy(), c)
+    np.testing.assert_array_equal(
+        prof["pred_lang"].to_numpy(), LangId()(b)["pred_lang"].to_numpy())
+    np.testing.assert_array_equal(
+        prof["fingerprint"].to_numpy(),
+        Fingerprinter()(b)["fingerprint"].to_numpy())

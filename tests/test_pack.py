@@ -1,0 +1,87 @@
+"""Sequence packing (stages/pack.py pack_sequences).
+
+Concat-and-chunk document -> training-sequence assignment via the
+two-phase distributed prefix sum (no reference analog; graft
+requirement: beyond-reference training-data ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from orionbelt_ontology_builder_ray.stages.pack import pack_sequences
+
+
+def _docs(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                         "text": texts})
+
+
+def _brute(df, seq_len):
+    """Reference semantics: global doc_id order, exclusive prefix sum."""
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    n = df["text"].map(lambda t: len(t.split())).to_numpy(np.int64)
+    off = np.concatenate([[0], n[:-1]]).cumsum()
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(),
+        "n_tokens": n,
+        "token_offset": off,
+        "seq_id": off // seq_len,
+        "seq_id_last": (off + np.maximum(n - 1, 0)) // seq_len,
+    })
+
+
+def _run(df, seq_len, repartition=None):
+    import ray.data as rd
+
+    ds = rd.from_pandas(df)
+    if repartition:
+        ds = ds.repartition(repartition)
+    out = pack_sequences(ds, seq_len=seq_len).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_pack_matches_brute_force(ray_session):
+    rng = np.random.default_rng(7)
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(0, 40)))
+             for _ in range(200)]
+    df = _docs(texts)
+    expected = _brute(df, seq_len=64)
+    got = _run(df, seq_len=64)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_pack_partition_invariant(ray_session):
+    rng = np.random.default_rng(11)
+    texts = [" ".join("tok" for _ in range(rng.integers(1, 30)))
+             for _ in range(120)]
+    # shuffled input order AND different block structure must not
+    # change the packing (global order is doc_id, not arrival order)
+    df = _docs(texts).sample(frac=1, random_state=3)
+    a = _run(df, seq_len=32, repartition=1)
+    b = _run(df, seq_len=32, repartition=9)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(
+        a, _brute(df, 32), check_dtype=False)
+
+
+def test_pack_boundary_crossing_and_empty_docs(ray_session):
+    # doc 0: 5 tokens [0,5) -> seq 0 only; doc 1: 6 tokens [5,11)
+    # crosses the seq_len=8 boundary -> first seq 0, last seq 1;
+    # doc 2 empty: occupies no tokens, seq_id_last == seq_id
+    df = _docs(["a b c d e", "f g h i j k", "", "x y"],
+               ids=[0, 1, 2, 3])
+    out = _run(df, seq_len=8)
+    assert out["token_offset"].tolist() == [0, 5, 11, 11]
+    assert out["seq_id"].tolist() == [0, 0, 1, 1]
+    assert out["seq_id_last"].tolist() == [0, 1, 1, 1]
+    assert out["n_tokens"].tolist() == [5, 6, 0, 2]
+
+
+def test_pack_rejects_bad_seq_len(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError):
+        pack_sequences(rd.from_pandas(_docs(["a"])), seq_len=0)

@@ -56,9 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_annotations_all": q.kg_annotations_all,
         "kg_canonicalization_demo": q.kg_canonicalization_demo,
         # training-data ops
-        "doc_dedup_exact": q.doc_dedup_exact,
-        "doc_token_counts": q.doc_token_counts,
-        "doc_ngram_stats": q.doc_ngram_stats,
+        "doc_dedups": q.doc_dedups,
+        "doc_token_stats": q.doc_token_stats,
+        "doc_repetition": q.doc_repetition,
         "doc_text_profile": q.doc_text_profile,
         "doc_pii_redact": q.doc_pii_redact,
         "doc_sample_stratified": q.doc_sample_stratified,
@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_corpus_cleans": q.doc_corpus_cleans,
         "doc_pack": q.doc_pack,
         "embedding_near_dups": q.embedding_near_dups,
-        "embedding_dedup_clusters": q.embedding_dedup_clusters,
+        "embedding_clusters": q.embedding_clusters,
         "events_hourly": q.events_hourly,
         "ann_search": q.ann_search,
         "multimodal_pipeline": q.multimodal_pipeline,
@@ -106,9 +106,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_delete_impact": o.sql_kg_delete_impact(),
         "kg_usages": o.sql_kg_usages(),
         "kg_turn_text_by_role": o.sql_kg_turn_text_by_role(),
-        "doc_dedup_exact": o.sql_doc_dedup_exact(),
-        "doc_token_counts": o.sql_doc_token_counts(),
-        "doc_ngram_stats": o.sql_doc_ngram_stats(),
+        "doc_dedups": o.sql_doc_dedups(),
+        "doc_token_stats": o.sql_doc_token_stats(),
+        "doc_repetition": o.sql_doc_repetition(),
         "doc_corpus_cleans": o.sql_doc_corpus_cleans(),
         "doc_pack": o.sql_doc_pack(),
         "events_hourly": o.sql_events_hourly(),
@@ -142,7 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonicalization_demo": o.sql_kg_canonicalization_demo(),
         "doc_minhash_clusters": o.sql_doc_minhash_clusters(),
         "embedding_near_dups": o.sql_embedding_near_dups(),
-        "embedding_dedup_clusters": o.sql_embedding_dedup_clusters(),
+        "embedding_clusters": o.sql_embedding_clusters(),
     }
     from orionbelt_ontology_builder_ray.pipelines.goldens import sql_all_goldens
 

@@ -1372,3 +1372,121 @@ SELECT doc_id, n_tokens, token_offset,
        CAST((token_offset + greatest(n_tokens - 1, 0)) // {seq_len}
          AS BIGINT) AS seq_id_last
 FROM c ORDER BY doc_id"""
+
+
+def sql_doc_repetition() -> str:
+    """Gopher-style token-stream repetition fractions (mirror of
+    stages/textops.py RepetitionStats): every fraction is an
+    exact-int division performed in the same order as the numpy side
+    (divide, then subtract), so the doubles are bit-identical."""
+    return """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+tokc AS (
+  SELECT doc_id, MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_token_frac
+  FROM (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+  GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, array_length(w)),
+                                       i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM toks WHERE array_length(w) >= 2),
+bgc AS (
+  SELECT doc_id, MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_bigram_frac,
+         1.0 - (COUNT(*)::DOUBLE / SUM(c)::DOUBLE) AS dup_bigram_frac
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id),
+lg AS (
+  SELECT doc_id, unnest(list_transform(range(1, array_length(w) - 3),
+         i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+              || w[i + 3] || ' ' || w[i + 4])) AS g
+  FROM toks WHERE array_length(w) >= 5),
+lgc AS (
+  SELECT doc_id, 1.0 - (COUNT(*)::DOUBLE / SUM(c)::DOUBLE) AS dup_5gram_frac
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM lg GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(tokc.top_token_frac, 0.0) AS top_token_frac,
+       COALESCE(bgc.top_bigram_frac, 0.0) AS top_bigram_frac,
+       COALESCE(bgc.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+       COALESCE(lgc.dup_5gram_frac, 0.0) AS dup_5gram_frac
+FROM documents d
+LEFT JOIN tokc USING (doc_id)
+LEFT JOIN bgc USING (doc_id)
+LEFT JOIN lgc USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+def sql_doc_token_stats() -> str:
+    """Tagged-union mirror of queries.doc_token_stats (token counts
+    melted + distinct-bigram counts, one driver slot)."""
+    return f"""
+WITH tc AS ({sql_doc_token_counts()}), ng AS ({sql_doc_ngram_stats()})
+SELECT doc_id, 'n_chars' AS metric, n_chars AS n FROM tc
+UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM tc
+UNION ALL SELECT doc_id, 'n_bpe_tokens', n_bpe_tokens FROM tc
+UNION ALL SELECT doc_id, 'n_distinct_bigrams', n_distinct_bigrams FROM ng"""
+
+
+def sql_doc_dedups() -> str:
+    """Tagged-union mirror of queries.doc_dedups: whole-corpus exact
+    dedup + the incremental (new-split vs store-split) anti-join."""
+    return """
+WITH full_d AS (
+  SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+store AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+new_d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+incr AS (
+  SELECT text, MIN(doc_id) AS doc_id FROM new_d
+  WHERE text NOT IN (SELECT text FROM store) GROUP BY text)
+SELECT doc_id, 'full' AS metric, text FROM full_d
+UNION ALL SELECT doc_id, 'incr' AS metric, text FROM incr"""
+
+
+def sql_embedding_kmeans(k: int = 8, n_iter: int = 4, dim: int = 64) -> str:
+    """DuckDB mirror of stages/similarity.kmeans_embeddings — the
+    Lloyd iterations UNROLLED as CTE pairs (assign by
+    ``ORDER BY list_distance, cid``, update by per-position
+    ``ROUND(AVG(..), 6)``).  The 6-decimal rounding after every update
+    is the shared determinism contract: both engines land on the same
+    decimal despite different summation orders, so an ITERATIVE
+    algorithm hash-matches exactly."""
+    parts = [f"""
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+              CAST(embedding AS DOUBLE[]) AS c
+       FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+a{t} AS (SELECT vec_id, e, cid FROM (
+    SELECT x.vec_id, x.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_distance(x.e, c.c), c.cid) AS rn
+    FROM base x CROSS JOIN c{t - 1} c) WHERE rn = 1),
+u{t} AS (SELECT cid, list(v ORDER BY i) AS c FROM (
+    SELECT a.cid, r.i, ROUND(AVG(a.e[r.i]), 6) AS v
+    FROM a{t} a, range(1, {dim + 1}) r(i)
+    GROUP BY a.cid, r.i) GROUP BY cid),
+c{t} AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
+         FROM c{t - 1} p LEFT JOIN u{t} u USING (cid))""")
+    final = f"""
+SELECT x.vec_id, cid AS cluster FROM (
+    SELECT x.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_distance(x.e, c.c), c.cid) AS rn
+    FROM base x CROSS JOIN c{n_iter} c) x WHERE rn = 1"""
+    return "WITH " + ",".join(parts) + final
+
+
+def sql_embedding_clusters() -> str:
+    """Tagged-union mirror of queries.embedding_clusters: cosine-pair
+    connected components + iterative k-means, one driver slot."""
+    return f"""
+WITH cc AS ({sql_embedding_dedup_clusters()}),
+km AS ({sql_embedding_kmeans()})
+SELECT CAST(vec_id AS BIGINT) AS vec_id, 'cc' AS method,
+       CAST(cluster AS BIGINT) AS cluster FROM cc
+UNION ALL
+SELECT CAST(vec_id AS BIGINT), 'kmeans', CAST(cluster AS BIGINT) FROM km"""

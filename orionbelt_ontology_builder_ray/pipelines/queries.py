@@ -268,6 +268,81 @@ def doc_ngram_stats(sf_dir):
         BigramStats, batch_format="pandas", concurrency=pool_size())
 
 
+def doc_dedups(sf_dir):
+    """Exact corpus dedup + INCREMENTAL dedup in one tagged union (one
+    driver slot): ``full`` = min doc_id per identical text over the
+    whole corpus; ``incr`` = the new-snapshot split (doc_id % 5 == 0)
+    deduplicated against the existing-store split via the broadcast
+    128-bit hash-pair anti-join (stages/dedup.py
+    incremental_dedup_docs — the doc-plane update_kg)."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import incremental_dedup_docs
+
+    def split(want_new):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = pa.array(ids % 5 == 0)
+            return t.filter(m if want_new else pc.invert(m))
+        return f
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(metric):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "metric": pa.array([metric] * len(t), pa.string()),
+                "text": t["text"].cast(pa.string())})
+        return f
+
+    full = exact_dedup_docs(docs).map_batches(
+        tag("full"), batch_format="pyarrow")
+    incr = incremental_dedup_docs(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        strategy="broadcast").map_batches(
+            tag("incr"), batch_format="pyarrow")
+    return full.union(incr)
+
+
+def doc_token_stats(sf_dir):
+    """Token counts + distinct-bigram counts in ONE tagged union (one
+    driver slot; both are per-doc integer count surfaces).  Melting to
+    (doc_id, metric, n) is a zero-copy-ish arrow reshape — the text
+    column never re-reads."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = [pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "metric": pa.array([c] * len(t), pa.string()),
+            "n": t[c].cast(pa.int64())})
+            for c in ("n_chars", "n_tokens", "n_bpe_tokens")]
+        return pa.concat_tables(parts)
+
+    def tag_bigrams(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "metric": pa.array(["n_distinct_bigrams"] * len(t), pa.string()),
+            "n": t["n_distinct_bigrams"].cast(pa.int64())})
+
+    counts = doc_token_counts(sf_dir).map_batches(
+        melt, batch_format="pyarrow")
+    grams = doc_ngram_stats(sf_dir).map_batches(
+        tag_bigrams, batch_format="pyarrow")
+    return counts.union(grams)
+
+
+def doc_repetition(sf_dir):
+    """Gopher-style repetition-filter signals per doc (top-token /
+    top-bigram coverage, duplicate bigram / 5-gram fractions) — the
+    quality gate a training-data ingest applies before mixing."""
+    from ..stages.textops import RepetitionStats
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        RepetitionStats, batch_format="pandas", concurrency=pool_size())
+
+
 def doc_quality(sf_dir):
     from ..stages.textops import QualityScorer
 
@@ -536,6 +611,30 @@ def embedding_dedup_clusters(sf_dir, threshold=0.45):
         .select_columns(["id_a", "id_b"])
     labels = _propagate_min_labels(pairs)
     return assign_clusters(ds, labels, id_col="vec_id")
+
+
+def embedding_clusters(sf_dir):
+    """Both semantic-clustering surfaces in one tagged union (one
+    driver slot): ``cc`` = cosine near-dup pairs closed into connected
+    components (embedding_dedup_clusters); ``kmeans`` = distributed
+    Lloyd's k-means assignments (stages/similarity.kmeans_embeddings
+    — the SemDeDup-style bucket/domain-discovery primitive, oracle-
+    checked through 4 unrolled iterations)."""
+    from ..stages.similarity import kmeans_embeddings
+
+    def tag(method):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "method": pa.array([method] * len(t), pa.string()),
+                "cluster": t["cluster"].cast(pa.int64())})
+        return f
+
+    cc = embedding_dedup_clusters(sf_dir).map_batches(
+        tag("cc"), batch_format="pyarrow")
+    km, _ = kmeans_embeddings(_read(sf_dir, "embeddings"))
+    km = km.map_batches(tag("kmeans"), batch_format="pyarrow")
+    return cc.union(km)
 
 
 def events_hourly(sf_dir):

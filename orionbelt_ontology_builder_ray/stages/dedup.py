@@ -265,6 +265,140 @@ def exact_dedup_docs(ds, id_col: str = "doc_id", text_col: str = "text",
                                            batch_format="pandas")
 
 
+def _doc_hash_pair(texts) -> Tuple[np.ndarray, np.ndarray]:
+    """128-bit text identity as two independent 64-bit hashes
+    (pandas' C hash + md5 leading 64) viewed as int64 — the same
+    collision-safety convention as the triple-store pair columns
+    (pipelines/kg_build.py:_add_hash_cols): a single 64-bit key has
+    birthday collisions at ~2^32 docs, a 128-bit pair does not."""
+    texts = pd.Series(texts, dtype=object).astype(str)
+    h1 = _hash_strings(texts).view(np.int64)
+    h2 = _hash_strings_md5(texts.tolist()).view(np.int64)
+    return h1, h2
+
+
+# above this many store docs the broadcast index (~16 B/doc on the
+# driver and in plasma) stops being comfortable; auto switches to the
+# bucket-shuffle anti-join, which never materializes the store keys
+_INCR_BROADCAST_MAX = 20_000_000
+
+
+def incremental_dedup_docs(new_ds, store_ds, id_col: str = "doc_id",
+                           text_col: str = "text", num_buckets: int = 64,
+                           strategy: str = "auto"):
+    """Dedup NEW documents against an EXISTING corpus store, then
+    within themselves — the incremental-ingest primitive (new crawl
+    snapshot vs. the already-cleaned corpus), the doc-plane analogue
+    of ``update_kg``'s zero-shuffle anti-join.
+
+    Strategies (equal outputs, pinned by tests):
+
+    - ``broadcast``: the store is reduced to its 128-bit text-hash
+      pairs (16 B/doc — hash-only, payload never leaves its blocks),
+      radix-sorted into the ``_pair_index`` probe structure, and
+      broadcast ONCE via ``ray.put``; every new batch probes in place.
+      Zero shuffle.  Bound: driver/plasma holds 16 B per store doc
+      (1e9 docs = 16 GB) — fine for node-RAM-sized stores; persisting
+      the pair as store columns (the ``build_kg(store_hashes=True)``
+      upgrade path) removes the re-hash but not the bound.
+    - ``shuffle``: store rows ship hash-only (16 B/row, no text) and
+      new rows ship (hash, id, text), co-bucketed on ``h1 % B``; each
+      bucket drops new rows whose pair appears on the store side.
+      No driver materialization of anything — the path for stores
+      beyond object-store comfort.
+    - ``auto``: footer-estimated store row count picks broadcast below
+      ``_INCR_BROADCAST_MAX``, shuffle above.
+
+    Survivors then run the standard bucketed exact dedup (min id per
+    identical text), so the result schema matches ``exact_dedup_docs``.
+    Oracle: sql_doc_dedups (NOT IN anti-join + GROUP BY in DuckDB).
+    """
+    import ray
+
+    from ..pipelines.kg_build import _pair_index, _pair_member
+
+    if strategy == "auto":
+        try:
+            est = store_ds.count()
+        except Exception:
+            est = _INCR_BROADCAST_MAX + 1
+        strategy = ("broadcast" if est <= _INCR_BROADCAST_MAX
+                    else "shuffle")
+
+    def hash_only(b: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _doc_hash_pair(b[text_col])
+        return pd.DataFrame({"_h1": h1, "_h2": h2})
+
+    if strategy == "broadcast":
+        parts = list(store_ds.map_batches(
+            hash_only, batch_format="pandas").iter_batches(
+                batch_size=65536, batch_format="pandas"))
+        if parts:
+            allh = pd.concat(parts, ignore_index=True)
+            idx = _pair_index(allh["_h1"].to_numpy(),
+                              allh["_h2"].to_numpy())
+        else:
+            idx = _pair_index(np.empty(0, np.int64), np.empty(0, np.int64))
+        idx_ref = ray.put(idx)
+
+        class ProbeStore:
+            def __init__(self, ref):
+                self.idx = ray.get(ref) if isinstance(
+                    ref, ray.ObjectRef) else ref
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                if not len(b):
+                    return b[[id_col, text_col]]
+                h1, h2 = _doc_hash_pair(b[text_col])
+                keep = ~_pair_member(self.idx, h1, h2)
+                return b.loc[keep, [id_col, text_col]]
+
+        survivors = new_ds.map_batches(
+            ProbeStore, fn_constructor_kwargs=dict(ref=idx_ref),
+            batch_format="pandas", concurrency=pool_size())
+        return exact_dedup_docs(survivors, id_col=id_col,
+                                text_col=text_col, num_buckets=num_buckets)
+
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    def tag_store(b: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _doc_hash_pair(b[text_col])
+        return pd.DataFrame({
+            "_h1": h1, "_h2": h2, "_side": np.zeros(len(b), np.int8),
+            id_col: np.full(len(b), -1, np.int64),
+            text_col: np.full(len(b), "", object),
+            "_b": (h1.view(np.uint64) % np.uint64(num_buckets))
+                  .astype(np.int32)})
+
+    def tag_new(b: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _doc_hash_pair(b[text_col])
+        return pd.DataFrame({
+            "_h1": h1, "_h2": h2, "_side": np.ones(len(b), np.int8),
+            id_col: b[id_col].to_numpy(np.int64),
+            text_col: b[text_col].astype(str).to_numpy(),
+            "_b": (h1.view(np.uint64) % np.uint64(num_buckets))
+                  .astype(np.int32)})
+
+    def anti_join(g: pd.DataFrame) -> pd.DataFrame:
+        store = g[g["_side"] == 0]
+        new = g[g["_side"] == 1]
+        if len(store):
+            sidx = _pair_index(store["_h1"].to_numpy(),
+                               store["_h2"].to_numpy())
+            keep = ~_pair_member(sidx, new["_h1"].to_numpy(),
+                                 new["_h2"].to_numpy())
+            new = new[keep]
+        return new[[id_col, text_col]]
+
+    tagged = store_ds.map_batches(tag_store, batch_format="pandas").union(
+        new_ds.map_batches(tag_new, batch_format="pandas"))
+    survivors = tagged.groupby("_b").map_groups(
+        anti_join, batch_format="pandas")
+    return exact_dedup_docs(survivors, id_col=id_col, text_col=text_col,
+                            num_buckets=num_buckets)
+
+
 _MERSENNE = (1 << 61) - 1
 
 

@@ -150,3 +150,110 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
                             concurrency=pool_size())
     return ann_topk(probed, q, k=k, id_col=id_col, vec_col=vec_col,
                     exclude_ids=exclude_ids)
+
+
+class _AssignPartial:
+    """map_batches stage for one Lloyd iteration: per-batch nearest-
+    centroid assignment (squared L2, argmin tie -> smallest cid) and
+    the per-centroid (count, vector-sum) PARTIAL — only k rows of
+    k x dim partials leave each batch, never the vectors (the
+    combiner-before-shuffle shape; the 'shuffle' here is a driver
+    merge of k x n_blocks tiny rows)."""
+
+    def __init__(self, cents_ref, id_col: str, vec_col: str,
+                 emit: str = "partial"):
+        import ray
+
+        self.c = (ray.get(cents_ref)
+                  if isinstance(cents_ref, ray.ObjectRef) else cents_ref)
+        self.c_sq = (self.c * self.c).sum(axis=1)
+        self.id_col, self.vec_col, self.emit = id_col, vec_col, emit
+
+    def _assign(self, mat: np.ndarray) -> np.ndarray:
+        # squared L2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row
+        # so argmin over (-2 x.c + |c|^2) matches argmin over the true
+        # sqrt distance (monotonic); np.argmin takes the FIRST minimum
+        # = smallest cid, mirroring the oracle's ORDER BY dist, cid
+        return (self.c_sq - 2.0 * (mat @ self.c.T)).argmin(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            if self.emit == "assign":
+                return pd.DataFrame({
+                    self.id_col: pd.Series([], dtype=np.int64),
+                    "cluster": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame({
+                "cid": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "s": pd.Series([], dtype=object)})
+        mat = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        a = self._assign(mat)
+        if self.emit == "assign":
+            return pd.DataFrame({
+                self.id_col: batch[self.id_col].to_numpy(np.int64),
+                "cluster": a.astype(np.int64)})
+        cids, counts, sums = [], [], []
+        for cid in np.unique(a):
+            m = a == cid
+            cids.append(int(cid))
+            counts.append(int(m.sum()))
+            sums.append(mat[m].sum(axis=0))
+        return pd.DataFrame({
+            "cid": np.asarray(cids, np.int64),
+            "n": np.asarray(counts, np.int64),
+            "s": pd.Series(sums, dtype=object)})
+
+
+def kmeans_embeddings(ds, k: int = 8, n_iter: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd's k-means over an embedding column — the
+    semantic-clustering primitive (SemDeDup-style dedup buckets,
+    domain discovery, IVF training) expressed Ray-Data-first:
+
+    - init: centroids = the embeddings of the ``k`` smallest ids
+      (deterministic; per-block local k-smallest, k x blocks driver
+      merge — no sort, no full collect);
+    - each iteration: broadcast the k x dim centroid matrix via
+      ``ray.put``, one streaming pass emits per-batch per-centroid
+      (count, sum) partials, the driver folds k x n_blocks partial
+      rows into new means.  Data never shuffles; only centroid-sized
+      state moves.  Empty clusters keep their previous centroid.
+    - means are rounded to 6 decimals each iteration so the numpy and
+      DuckDB mirrors see bit-identical centroids (both engines round
+      the same exact-int-free mean to the same decimal, absorbing
+      summation-order ulps), making an ITERATIVE algorithm fully
+      oracle-checkable (sql_embedding_clusters);
+    - final pass: (id, cluster) assignment, streaming.
+
+    Returns (assignments Dataset, centroid matrix np.ndarray).
+    """
+    import ray
+
+    work = ds.select_columns([id_col, vec_col]).materialize()
+
+    # ---- deterministic init: embeddings of the k smallest ids
+    def local_min(b: pd.DataFrame) -> pd.DataFrame:
+        return b.nsmallest(k, id_col)[[id_col, vec_col]]
+
+    cand = work.map_batches(local_min, batch_format="pandas").to_pandas()
+    cand = cand.nsmallest(k, id_col).sort_values(id_col)
+    cents = np.stack(cand[vec_col].to_numpy()).astype(np.float64)
+
+    for _ in range(n_iter):
+        cref = ray.put(cents)
+        parts = work.map_batches(
+            _AssignPartial, fn_constructor_kwargs=dict(
+                cents_ref=cref, id_col=id_col, vec_col=vec_col),
+            batch_format="pandas", concurrency=pool_size()).to_pandas()
+        new = cents.copy()
+        for cid, g in parts.groupby("cid"):
+            total = np.sum(np.stack(g["s"].to_numpy()), axis=0)
+            new[int(cid)] = total / g["n"].sum()
+        cents = np.round(new, 6)
+
+    cref = ray.put(cents)
+    assign = work.map_batches(
+        _AssignPartial, fn_constructor_kwargs=dict(
+            cents_ref=cref, id_col=id_col, vec_col=vec_col, emit="assign"),
+        batch_format="pandas", concurrency=pool_size())
+    return assign, cents

@@ -360,3 +360,63 @@ class TextProfile:
             "pred_lang": langs,
             "fingerprint": fingerprints,
         })
+
+
+class RepetitionStats:
+    """Gopher-style repetition signals per doc (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1 repetition
+    filters), re-expressed for the token stream:
+
+      - ``top_token_frac``    = count(most frequent token) / n_tokens
+      - ``top_bigram_frac``   = count(most frequent bigram) / n_bigrams
+      - ``dup_bigram_frac``   = 1 - distinct_bigrams / n_bigrams
+      - ``dup_5gram_frac``    = 1 - distinct_5grams / n_5grams
+
+    (Line/paragraph-based variants degenerate on the sandbox corpus —
+    no newlines — so the token-stream forms are the checked surface;
+    the formulas are delimiter-agnostic.)  Fractions are exact-int
+    divisions, so numpy and DuckDB produce bit-identical doubles and
+    the oracle (sql_doc_repetition) hash-matches.
+
+    Per-doc Counter loop: distinct-n-gram counting needs a set per
+    doc, and docs are KB-scale — the loop is per-doc, not per-token
+    (same trade as BigramStats/TextProfile above; at 100 TB this
+    stage is embarrassingly parallel and CPU-light next to the
+    tokenize).
+    """
+
+    def __init__(self, id_col="doc_id", text_col="text", long_k=5):
+        self.id_col, self.text_col = id_col, text_col
+        self.long_k = long_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        n = len(batch)
+        top_tok = np.zeros(n, np.float64)
+        top_bg = np.zeros(n, np.float64)
+        dup_bg = np.zeros(n, np.float64)
+        dup_lg = np.zeros(n, np.float64)
+        for i, t in enumerate(batch[self.text_col]):
+            toks = str(t).split()
+            if not toks:
+                continue
+            c = Counter(toks)
+            top_tok[i] = max(c.values()) / len(toks)
+            if len(toks) >= 2:
+                bg = Counter(zip(toks, toks[1:]))
+                nb = len(toks) - 1
+                top_bg[i] = max(bg.values()) / nb
+                dup_bg[i] = 1.0 - len(bg) / nb
+            k = self.long_k
+            if len(toks) >= k:
+                ng = len(toks) - k + 1
+                distinct = len({tuple(toks[j:j + k]) for j in range(ng)})
+                dup_lg[i] = 1.0 - distinct / ng
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "top_token_frac": top_tok,
+            "top_bigram_frac": top_bg,
+            "dup_bigram_frac": dup_bg,
+            "dup_5gram_frac": dup_lg,
+        })

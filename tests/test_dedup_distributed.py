@@ -605,3 +605,138 @@ def test_token_counter_arrow_equals_pandas_on_ascii():
         params=[nb, nb, nb, nb]).fetchone()
     assert (int(t["n_chars"][0]), int(t["n_tokens"][0]),
             int(t["n_bpe_tokens"][0])) == (d[0], d[1], d[2])
+
+
+def _incr_corpus():
+    """Store/new split with planted cross-split and in-split dups."""
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(60)]
+    store = pd.DataFrame({
+        "doc_id": np.arange(0, 40, dtype=np.int64),
+        "text": texts[:40]})
+    # new split: 10 fresh, 5 copies of store texts (must drop), 5
+    # in-split dup pairs of the fresh ones (keep min id only)
+    new_texts = texts[40:50] + texts[0:5] + texts[40:45]
+    new = pd.DataFrame({
+        "doc_id": np.arange(100, 100 + len(new_texts), dtype=np.int64),
+        "text": new_texts})
+    return store, new
+
+
+def _brute_incremental(store: pd.DataFrame, new: pd.DataFrame):
+    keep = new[~new["text"].isin(set(store["text"]))]
+    return keep.groupby("text", as_index=False)["doc_id"].min() \
+        .sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
+
+
+def test_incremental_dedup_broadcast_equals_brute_force(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        incremental_dedup_docs)
+
+    store, new = _incr_corpus()
+    out = incremental_dedup_docs(
+        rd.from_pandas(new).repartition(4),
+        rd.from_pandas(store).repartition(3),
+        strategy="broadcast").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
+    pd.testing.assert_frame_equal(out, _brute_incremental(store, new))
+
+
+def test_incremental_dedup_shuffle_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        incremental_dedup_docs)
+
+    store, new = _incr_corpus()
+    outs = {}
+    for strat in ("broadcast", "shuffle"):
+        outs[strat] = incremental_dedup_docs(
+            rd.from_pandas(new).repartition(4),
+            rd.from_pandas(store).repartition(3),
+            strategy=strat).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["shuffle"])
+
+
+def test_incremental_dedup_empty_store(ray_session):
+    """No store -> pure exact dedup of the new split."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        incremental_dedup_docs)
+
+    _, new = _incr_corpus()
+    empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                          "text": np.empty(0, object)})
+    out = incremental_dedup_docs(
+        rd.from_pandas(new).repartition(4),
+        rd.from_pandas(empty),
+        strategy="broadcast").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
+    pd.testing.assert_frame_equal(out, _brute_incremental(empty, new))
+
+
+def _brute_kmeans(ids, mat, k, n_iter):
+    """Single-process Lloyd mirror of kmeans_embeddings' protocol."""
+    order = np.argsort(ids)
+    cents = mat[order[:k]].astype(np.float64)
+    for _ in range(n_iter):
+        d = ((cents * cents).sum(axis=1)
+             - 2.0 * (mat.astype(np.float64) @ cents.T))
+        a = d.argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new[c] = mat[m].astype(np.float64).sum(axis=0) / m.sum()
+        cents = np.round(new, 6)
+    d = ((cents * cents).sum(axis=1)
+         - 2.0 * (mat.astype(np.float64) @ cents.T))
+    return d.argmin(axis=1)
+
+
+def test_kmeans_equals_brute_force_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.similarity import (
+        kmeans_embeddings)
+
+    rng = np.random.RandomState(5)
+    n, dim, k = 120, 8, 4
+    mat = rng.randn(n, dim).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [v for v in mat]})
+    expect = _brute_kmeans(ids, mat, k, 3)
+    for nparts in (2, 7):
+        out, cents = kmeans_embeddings(
+            rd.from_pandas(df).repartition(nparts), k=k, n_iter=3)
+        got = out.to_pandas().sort_values("vec_id")
+        assert (got["cluster"].to_numpy() == expect).all(), nparts
+    assert cents.shape == (k, dim)
+    assert len(np.unique(expect)) > 1  # non-degenerate clustering
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """A centroid that captures no points must persist unchanged
+    (matching the oracle's COALESCE) instead of going NaN."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.similarity import (
+        kmeans_embeddings)
+
+    # two tight blobs far apart + k=3: the 3rd initial centroid sits
+    # inside blob A and loses all its points to centroid 0 by iter 2
+    a = np.zeros((10, 4), np.float32)
+    b = np.ones((10, 4), np.float32) * 100
+    mat = np.vstack([a, b])
+    df = pd.DataFrame({"vec_id": np.arange(20, dtype=np.int64),
+                       "embedding": [v for v in mat]})
+    out, cents = kmeans_embeddings(rd.from_pandas(df), k=3, n_iter=4)
+    assert not np.isnan(cents).any()
+    got = out.to_pandas()
+    assert set(got["cluster"].unique()) <= {0, 1, 2}

@@ -226,3 +226,55 @@ def test_text_profile_matches_parts():
     np.testing.assert_array_equal(
         prof["fingerprint"].to_numpy(),
         Fingerprinter()(b)["fingerprint"].to_numpy())
+
+
+def test_repetition_stats_hand_computed():
+    from orionbelt_ontology_builder_ray.stages.textops import RepetitionStats
+
+    stage = RepetitionStats()
+    out = stage(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        # 1: "a b a b a" -> tokens: a x3 of 5; bigrams (a b)x2 (b a)x2
+        #    of 4 -> top 2/4, distinct 2/4 -> dup 0.5; 5-grams: 1 of 1
+        "text": ["a b a b a",
+                 # 2: all-distinct 6 tokens, no repeats anywhere
+                 "u v w x y z",
+                 # 3: the same 5-gram twice ("a b c d e" x2)
+                 "a b c d e a b c d e",
+                 ""],  # 4: empty -> all zeros
+    }))
+    got = out.set_index("doc_id")
+    assert got.loc[1, "top_token_frac"] == 3 / 5
+    assert got.loc[1, "top_bigram_frac"] == 2 / 4
+    assert got.loc[1, "dup_bigram_frac"] == 1 - 2 / 4
+    assert got.loc[1, "dup_5gram_frac"] == 0.0
+    assert got.loc[2, "top_token_frac"] == 1 / 6
+    assert got.loc[2, "dup_bigram_frac"] == 0.0
+    # doc 3: 10 tokens, 9 bigrams of which distinct = 5 ("e a" once,
+    # others twice); 6 5-grams, distinct = 5 ("a b c d e" twice)
+    assert got.loc[3, "dup_bigram_frac"] == 1 - 5 / 9
+    assert got.loc[3, "dup_5gram_frac"] == 1 - 5 / 6
+    assert (got.loc[4] == 0.0).all()
+
+
+def test_repetition_stats_matches_duckdb_formula():
+    """The fraction arithmetic (divide-then-subtract on exact ints)
+    must be bit-identical to the SQL mirror's."""
+    import duckdb
+
+    from orionbelt_ontology_builder_ray.pipelines.oracles import (
+        sql_doc_repetition)
+    from orionbelt_ontology_builder_ray.stages.textops import RepetitionStats
+
+    rng = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, rng.randint(0, 30)))
+                 for _ in range(40)],
+    })
+    ours = RepetitionStats()(docs).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    theirs = con.sql(sql_doc_repetition()).df()
+    pd.testing.assert_frame_equal(ours, theirs, check_exact=True)

@@ -248,6 +248,41 @@ def run_bench() -> dict:
     queries["doc_jaccard_pairs"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    q.doc_repetition(SF_DIR).count()
+    queries["doc_repetition"] = round(time.time() - t0, 3)
+
+    # incremental corpus dedup: new snapshot (doc_id % 5 == 0) vs the
+    # existing-store split via the broadcast hash-pair anti-join
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        incremental_dedup_docs)
+
+    def _split(want_new):
+        import pyarrow as _pa
+
+        def f(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = _pa.array(ids % 5 == 0)
+            import pyarrow.compute as _pc
+
+            return t.filter(m if want_new else _pc.invert(m))
+        return f
+
+    _docs = _read(SF_DIR, "documents", columns=["doc_id", "text"])
+    incremental_dedup_docs(
+        _docs.map_batches(_split(True), batch_format="pyarrow"),
+        _docs.map_batches(_split(False), batch_format="pyarrow"),
+        strategy="broadcast").count()
+    queries["doc_dedup_incremental"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.similarity import (
+        kmeans_embeddings)
+
+    kmeans_embeddings(_read(SF_DIR, "embeddings"))[0].count()
+    queries["embedding_kmeans"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     q.events_asof_join(SF_DIR).count()
     queries["events_asof_join"] = round(time.time() - t0, 3)
 

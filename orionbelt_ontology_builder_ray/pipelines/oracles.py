@@ -1432,16 +1432,23 @@ UNION ALL SELECT doc_id, 'n_distinct_bigrams', n_distinct_bigrams FROM ng"""
 
 def sql_doc_dedups() -> str:
     """Tagged-union mirror of queries.doc_dedups: whole-corpus exact
-    dedup + the incremental (new-split vs store-split) anti-join."""
+    dedup + normalized-text ("fuzzy-exact") dedup + the incremental
+    (new-split vs store-split) anti-join."""
     return """
 WITH full_d AS (
   SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+norm_d AS (
+  SELECT n_text AS text, MIN(doc_id) AS doc_id FROM (
+    SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n_text
+    FROM documents) GROUP BY n_text),
 store AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
 new_d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 incr AS (
   SELECT text, MIN(doc_id) AS doc_id FROM new_d
   WHERE text NOT IN (SELECT text FROM store) GROUP BY text)
 SELECT doc_id, 'full' AS metric, text FROM full_d
+UNION ALL SELECT doc_id, 'norm' AS metric, text FROM norm_d
 UNION ALL SELECT doc_id, 'incr' AS metric, text FROM incr"""
 
 

@@ -269,12 +269,15 @@ def doc_ngram_stats(sf_dir):
 
 
 def doc_dedups(sf_dir):
-    """Exact corpus dedup + INCREMENTAL dedup in one tagged union (one
-    driver slot): ``full`` = min doc_id per identical text over the
-    whole corpus; ``incr`` = the new-snapshot split (doc_id % 5 == 0)
-    deduplicated against the existing-store split via the broadcast
-    128-bit hash-pair anti-join (stages/dedup.py
-    incremental_dedup_docs — the doc-plane update_kg)."""
+    """Three dedup surfaces in one tagged union (one driver slot):
+    ``full`` = min doc_id per identical text over the whole corpus;
+    ``norm`` = the same over CCNet/RefinedWeb-style NORMALIZED text
+    (lowercase, alnum-only, collapsed whitespace — "fuzzy-exact"
+    dedup, RE2 kernels byte-identical on both engines); ``incr`` =
+    the new-snapshot split (doc_id % 5 == 0) deduplicated against the
+    existing-store split via the broadcast 128-bit hash-pair
+    anti-join (stages/dedup.py incremental_dedup_docs — the doc-plane
+    update_kg)."""
     import pyarrow.compute as pc
 
     from ..stages.dedup import incremental_dedup_docs
@@ -296,14 +299,29 @@ def doc_dedups(sf_dir):
                 "text": t["text"].cast(pa.string())})
         return f
 
+    def normalize(t: pa.Table) -> pa.Table:
+        # CCNet/RefinedWeb-style normalization before hashing
+        # ("fuzzy-exact" dedup): lowercase, strip non-alnum, collapse
+        # whitespace — RE2 on both engines, byte-identical keys
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t["text"].cast(pa.string())),
+                pattern="[^a-z0-9 ]", replacement=""),
+            pattern=" +", replacement=" "))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "text": norm})
+
     full = exact_dedup_docs(docs).map_batches(
         tag("full"), batch_format="pyarrow")
+    norm = exact_dedup_docs(
+        docs.map_batches(normalize, batch_format="pyarrow")).map_batches(
+            tag("norm"), batch_format="pyarrow")
     incr = incremental_dedup_docs(
         docs.map_batches(split(True), batch_format="pyarrow"),
         docs.map_batches(split(False), batch_format="pyarrow"),
         strategy="broadcast").map_batches(
             tag("incr"), batch_format="pyarrow")
-    return full.union(incr)
+    return full.union(norm).union(incr)
 
 
 def doc_token_stats(sf_dir):

@@ -232,14 +232,17 @@ def kg_usages(sf_dir, entity_local="region-europe"):
 def kg_turn_text_by_role(sf_dir, role="tool"):
     ds = _transcripts(sf_dir)
 
-    def flt(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[batch["role"] == role]
-        return pd.DataFrame({
-            "turn_uri": KG + m["conv_id"] + "-t" + m["turn_idx"].astype(str),
-            "text": m["text"].to_numpy(),
-        })
+    def flt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return ds.map_batches(flt, batch_format="pandas")
+        m = t.filter(pc.equal(t["role"], role))
+        uri = pc.binary_join_element_wise(
+            KG, m["conv_id"].cast(pa.string()), "-t",
+            m["turn_idx"].cast(pa.string()), "")
+        return pa.table({"turn_uri": uri,
+                         "text": m["text"].cast(pa.string())})
+
+    return ds.map_batches(flt, batch_format="pyarrow")
 
 
 def kg_triples_canonicalized(sf_dir):

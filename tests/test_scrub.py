@@ -278,3 +278,29 @@ def test_repetition_stats_matches_duckdb_formula():
     con.register("documents", docs)
     theirs = con.sql(sql_doc_repetition()).df()
     pd.testing.assert_frame_equal(ours, theirs, check_exact=True)
+
+
+def test_fingerprint_fast_mode_same_shape_and_md5_unchanged():
+    """fast mode = same min-sampling semantics on a different hash
+    family; md5 mode must keep its exact per-doc values (oracle
+    contract)."""
+    from orionbelt_ontology_builder_ray.stages.textops import Fingerprinter
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b c d e", "a b c", "x", ""]})
+    md5 = Fingerprinter(hash_mode="md5")(docs)
+    fast = Fingerprinter(hash_mode="fast")(docs)
+    assert list(md5.columns) == list(fast.columns)
+    # identical texts -> identical fingerprints within each mode
+    dup = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d e"] * 2})
+    for mode in ("md5", "fast"):
+        f = Fingerprinter(hash_mode=mode)(dup)["fingerprint"]
+        assert f.iloc[0] == f.iloc[1]
+    # md5 mode equals the hand-computable definition
+    import hashlib
+
+    grams = ["a b c", "b c d", "c d e"]
+    expect = min(int(hashlib.md5(g.encode()).hexdigest()[:16], 16) >> 1
+                 for g in grams)
+    assert md5.loc[0, "fingerprint"] == expect

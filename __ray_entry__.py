@@ -61,7 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q.doc_repetition,
         "doc_text_profile": q.doc_text_profile,
         "doc_pii_redact": q.doc_pii_redact,
-        "doc_sample_stratified": q.doc_sample_stratified,
+        "doc_samples": q.doc_samples,
         "doc_corpus_mix": q.doc_corpus_mix,
         "doc_ngram_contamination": q.doc_ngram_contamination,
         "doc_simhash_all": q.doc_simhash_all,
@@ -115,7 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_search": o.sql_ann_search(),
         "doc_text_profile": o.sql_doc_text_profile(),
         "doc_pii_redact": o.sql_doc_pii_redact(),
-        "doc_sample_stratified": o.sql_doc_sample_stratified(),
+        "doc_samples": o.sql_doc_samples(),
         "doc_corpus_mix": o.sql_doc_corpus_mix(),
         "doc_simhash_all": o.sql_doc_simhash_all(),
         "doc_jaccard_pairs": o.sql_doc_jaccard_pairs(),

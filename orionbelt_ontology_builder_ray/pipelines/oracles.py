@@ -1497,3 +1497,23 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, 'cc' AS method,
        CAST(cluster AS BIGINT) AS cluster FROM cc
 UNION ALL
 SELECT CAST(vec_id AS BIGINT), 'kmeans', CAST(cluster AS BIGINT) FROM km"""
+
+
+def sql_doc_samples(topn: int = 25) -> str:
+    """Tagged-union mirror of queries.doc_samples: the rate-gated
+    stratified sample + the fixed-budget per-stratum top-N (smallest
+    md5-keyed hash, doc_id tiebreak — same ORDER BY as the Ray side's
+    grouped_topk order_cols)."""
+    h = _MD5_LOW64.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH rate AS ({sql_doc_sample_stratified()}),
+langs AS ({sql_doc_langid()}),
+ranked AS (
+  SELECT doc_id, pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY pred_lang
+                            ORDER BY ({h} >> 1), doc_id) AS rn
+  FROM langs)
+SELECT doc_id, 'rate' AS metric, pred_lang FROM rate
+UNION ALL
+SELECT doc_id, 'topn' AS metric, pred_lang FROM ranked
+WHERE rn <= {topn}"""

@@ -395,6 +395,44 @@ def doc_sample_stratified(sf_dir, rates=None, default_rate=0.05):
         batch_format="pandas", concurrency=pool_size())
 
 
+def doc_samples(sf_dir, topn=25):
+    """Both deterministic sampling primitives in one tagged union (one
+    driver slot): ``rate`` = per-stratum keep-rates (the hash-gated
+    StratifiedSampler — unbounded corpus, fixed fraction); ``topn`` =
+    per-stratum FIXED BUDGET (the N docs with the smallest md5-keyed
+    hash per language — "give me exactly N per stratum", the other
+    shape a data-mixing spec asks for).  topn rides grouped_topk's
+    combiner: per-block local top-N per stratum, then one bucket
+    shuffle of at most N x strata x blocks candidate rows."""
+    from ..stages.dedup import _hash_strings_md5
+    from ..stages.windows import grouped_topk
+
+    def tag(metric):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "metric": pa.array([metric] * len(t), pa.string()),
+                "pred_lang": t["pred_lang"].cast(pa.string())})
+        return f
+
+    rate = doc_sample_stratified(sf_dir).map_batches(
+        tag("rate"), batch_format="pyarrow")
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_h"] = (_hash_strings_md5(
+            b["doc_id"].astype(str).tolist()) >> np.uint64(1)) \
+            .astype(np.int64)
+        return b
+
+    langs = doc_langid(sf_dir)
+    top = grouped_topk(langs.map_batches(add_hash, batch_format="pandas"),
+                       key_cols=["pred_lang"], order_cols=["_h", "doc_id"],
+                       k=topn, descending=False) \
+        .map_batches(tag("topn"), batch_format="pyarrow")
+    return rate.union(top)
+
+
 def doc_corpus_near_clean(sf_dir):
     """Near-dup-cleaned corpus: MinHash clusters reduced to one
     representative per cluster (the min id, which IS the cluster

@@ -740,3 +740,44 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     assert not np.isnan(cents).any()
     got = out.to_pandas()
     assert set(got["cluster"].unique()) <= {0, 1, 2}
+
+
+def test_topn_per_stratum_deterministic_budget(ray_session):
+    """Fixed-budget sampling: exactly min(N, |stratum|) rows per
+    stratum, selected by smallest md5 hash — partition-invariant and
+    equal to the brute-force ranking."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import _hash_strings_md5
+    from orionbelt_ontology_builder_ray.stages.windows import grouped_topk
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "pred_lang": rng.choice(["en", "de", "rare"], 200,
+                                p=[0.6, 0.38, 0.02])})
+    N = 15
+    h = (_hash_strings_md5(df["doc_id"].astype(str).tolist())
+         >> np.uint64(1)).astype(np.int64)
+    expect = df.assign(_h=h).sort_values(["_h", "doc_id"]) \
+        .groupby("pred_lang", sort=False).head(N)
+    expect = set(map(tuple, expect[["doc_id", "pred_lang"]].to_numpy()))
+
+    def add_hash(b):
+        b = b.copy()
+        b["_h"] = (_hash_strings_md5(b["doc_id"].astype(str).tolist())
+                   >> np.uint64(1)).astype(np.int64)
+        return b
+
+    for nparts in (1, 6):
+        got = grouped_topk(
+            rd.from_pandas(df).repartition(nparts).map_batches(
+                add_hash, batch_format="pandas"),
+            key_cols=["pred_lang"], order_cols=["_h", "doc_id"],
+            k=N, descending=False).to_pandas()
+        assert set(map(tuple, got[["doc_id", "pred_lang"]]
+                       .to_numpy())) == expect, nparts
+        sizes = got.groupby("pred_lang").size()
+        full = df.groupby("pred_lang").size()
+        for lang, n in sizes.items():
+            assert n == min(N, full[lang])

@@ -251,6 +251,12 @@ def run_bench() -> dict:
     q.doc_repetition(SF_DIR).count()
     queries["doc_repetition"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.textops import corpus_vocab
+
+    corpus_vocab(_read(SF_DIR, "documents", columns=["text"]))
+    queries["corpus_vocab"] = round(time.time() - t0, 3)
+
     # incremental corpus dedup: new snapshot (doc_id % 5 == 0) vs the
     # existing-store split via the broadcast hash-pair anti-join
     t0 = time.time()

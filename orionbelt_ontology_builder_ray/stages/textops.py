@@ -441,3 +441,50 @@ class RepetitionStats:
             "dup_bigram_frac": dup_bg,
             "dup_5gram_frac": dup_lg,
         })
+
+
+def corpus_vocab(ds, text_col="text", top_m: int = 10000,
+                 num_buckets: int = 64):
+    """Corpus-wide token frequencies, top-M — tokenizer-training prep
+    (vocab selection) and the global-stats primitive behind stopword /
+    frequency filters.
+
+    Scale shape: each batch emits its LOCAL (token, n) partial counts
+    (a batch with 10M token occurrences but 50k distinct tokens ships
+    50k rows), the partials co-locate via one token-hash bucket
+    shuffle, each bucket sums vectorized, and the per-bucket top-M
+    partials (at most M x buckets rows) reduce to the global top-M on
+    the driver.  The raw token stream never shuffles.  Ties at the
+    M-th count break by token string ascending (deterministic,
+    mirrored by ORDER BY n DESC, token)."""
+    from collections import Counter
+
+    from ..functions.terms import pool_size
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in b[text_col]:
+            c.update(str(t).split())
+        if not c:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        toks = np.fromiter(c.keys(), dtype=object, count=len(c))
+        ns = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        h = pd.util.hash_pandas_object(pd.Series(toks, dtype=object),
+                                       index=False)
+        return pd.DataFrame({
+            "token": toks, "n": ns,
+            "_b": (h % num_buckets).astype(np.int32)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort")
+        return s.head(top_m)
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = parts.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(top_m)
+    return out.reset_index(drop=True)

@@ -781,3 +781,31 @@ def test_topn_per_stratum_deterministic_budget(ray_session):
         full = df.groupby("pred_lang").size()
         for lang, n in sizes.items():
             assert n == min(N, full[lang])
+
+
+def test_corpus_vocab_matches_duckdb(ray_session):
+    """Global top-M token frequencies == the DuckDB groupby (engine
+    parity without a driver slot), partition-invariant, deterministic
+    tie-break."""
+    import duckdb
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.textops import corpus_vocab
+
+    rng = np.random.RandomState(9)
+    vocab = [f"tok{i}" for i in range(30)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, rng.randint(1, 40)))
+                 for _ in range(50)]})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    expect = con.sql("""
+        SELECT tok AS token, COUNT(*)::BIGINT AS n FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents WHERE trim(text) <> '')
+        GROUP BY tok ORDER BY n DESC, token LIMIT 12""").df()
+    for nparts in (1, 5):
+        got = corpus_vocab(rd.from_pandas(docs).repartition(nparts),
+                           top_m=12)
+        pd.testing.assert_frame_equal(got, expect, check_exact=True)

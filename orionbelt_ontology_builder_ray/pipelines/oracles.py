@@ -1212,6 +1212,50 @@ def sql_multimodal_pipeline(num_items: int = 64, seed: int = 42,
                                         digest_size=64).digest()
                 rows.append(("frames", i, f,
                              f"{float(f / fps)}|{frame[:8].hex()}"))
+    # 'real' part: width/height/features re-derived from the
+    # GENERATOR's RNG protocol (synthesize_media_dataset(real=True)
+    # draws dims/pixels/samples in this exact call order) — NOT from
+    # the codec under test, so the row only matches when the Ray side
+    # round-trips actual PNG/WAV content.  n_bytes uses the encoder
+    # (payload identity); video rows take the hash pseudo-decode
+    # (mode='auto' semantics).
+    rng = np.random.RandomState(seed)
+    n_real = 24
+    for i in range(n_real):
+        kind = kinds[i % 3]
+        if kind == "image":
+            from ..sources.codecs import png_encode
+
+            w = 16 + int(rng.randint(0, 48))
+            h = 16 + int(rng.randint(0, 48))
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            payload = png_encode(img)
+            px = img.reshape(-1, 3).astype(np.float64) / 255.0
+            feat0 = float(px.mean(axis=0)[0])
+            rows.append(("real", i, -1,
+                         f"image|{w}|{h}|{len(payload)}|{feat0:.12f}"))
+        elif kind == "audio":
+            from ..sources.codecs import wav_encode
+
+            n = 800 + int(rng.randint(0, 1600))
+            t = np.arange(n)
+            f0 = 5 + rng.randint(0, 40)
+            s = (np.sin(t / f0) * 12000
+                 + np.sin(t / (f0 * 2.7)) * 6000).astype(np.int16)
+            payload = wav_encode(s, rate=16000)
+            mono = s.astype(np.float64) / 32768.0
+            rms = float(np.sqrt(np.mean(mono ** 2)))
+            rows.append(("real", i, -1,
+                         f"audio|{n}|1|{len(payload)}|{rms:.12f}"))
+        else:
+            payload = rng.bytes(256 + (i % 7) * 64)
+            digest = hashlib.blake2b(payload, digest_size=16).digest()
+            feats = np.frombuffer(hashlib.blake2b(
+                payload, digest_size=64).digest(),
+                dtype=np.uint64).astype(np.float64) / np.float64(2 ** 64)
+            rows.append(("real", i, -1,
+                         f"video|{16 + digest[0]}|{16 + digest[1]}"
+                         f"|{len(payload)}|{float(feats[0]):.12f}"))
     values = ",\n  ".join(
         f"({_sql_str(p)}, CAST({m} AS BIGINT), CAST({it} AS BIGINT), "
         f"{_sql_str(pl)})"

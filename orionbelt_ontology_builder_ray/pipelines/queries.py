@@ -1224,12 +1224,22 @@ def doc_simhash_all(sf_dir):
 
 
 def multimodal_pipeline(sf_dir):
-    """Decode + frame-sample as ONE driver slot: part-tagged rows with
-    a canonical payload string per row (both parts are small synthetic
-    tables — 64 decode rows, ~84 frame rows — so the driver-side
-    serialization is schema-sized, not corpus-sized)."""
+    """Decode + frame-sample + REAL-codec decode as ONE driver slot:
+    part-tagged rows with a canonical payload string per row (all
+    parts are small synthetic tables, so the driver-side serialization
+    is schema-sized, not corpus-sized).
+
+    The ``real`` part runs the pure-stdlib PNG/WAV codecs
+    (sources/codecs.py) over real encoded payloads; its oracle
+    re-derives width/height/features from the GENERATOR's RNG
+    protocol — the pipeline only matches if encode -> Ray transport ->
+    decode round-trips the actual content."""
+    from ..stages.multimodal import decode_media, synthesize_media_dataset
+
     dec = multimodal_decode(sf_dir).to_pandas()
     fr = multimodal_frames(sf_dir).to_pandas()
+    real = decode_media(synthesize_media_dataset(num_items=24, real=True),
+                        mode="auto", batch_size=8).to_pandas()
     parts, ids, items, payloads = [], [], [], []
     for r in dec.itertuples(index=False):
         parts.append("decode")
@@ -1242,6 +1252,12 @@ def multimodal_pipeline(sf_dir):
         ids.append(int(r.media_id))
         items.append(int(r.frame_idx))
         payloads.append(f"{float(r.ts_sec)}|{r.frame_hex}")
+    for r in real.itertuples(index=False):
+        parts.append("real")
+        ids.append(int(r.media_id))
+        items.append(-1)
+        payloads.append(f"{r.kind}|{int(r.width)}|{int(r.height)}"
+                        f"|{int(r.n_bytes)}|{float(r.features[0]):.12f}")
     return pa.table({
         "part": pa.array(parts, pa.string()),
         "media_id": pa.array(ids, pa.int64()),

@@ -2,12 +2,16 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages.  The actual codecs are NOT in this container,
-so the decode kernel is stubbed: ``DecodeStub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it emits a
-deterministic fake decode (content-hash-derived dimensions/features)
-so the Ray-side plumbing — schema, batch sizing, actor signature,
-output layout — is real and tested.
+``map_batches`` stages.
+
+Codecs: PNG and WAV decode/resize are REAL — pure-stdlib
+implementations in sources/codecs.py (zlib scanline filters, RIFF
+PCM16) — selected with ``mode="real"``/``"auto"``.  Video decode has
+no hand-rollable codec, so the frame sampler (and ``mode="fake"``,
+the original stub and the driver-slot oracle path) derives
+deterministic pseudo-outputs from the payload hash; the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is
+identical across modes.
 
 Scale notes: binary payload batches must be SMALL (``batch_size`` of
 tens, not thousands) so batch × concurrency fits worker heaps; blocks
@@ -33,18 +37,50 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synthesize_media_dataset(num_items: int = 64, seed: int = 42):
-    """Deterministic fake media table (binary payloads from a seeded
-    generator) for exercising the plumbing."""
+def synthesize_media_dataset(num_items: int = 64, seed: int = 42,
+                             real: bool = False):
+    """Deterministic media table for exercising the plumbing.
+
+    ``real=False``: opaque seeded byte payloads (the original stub
+    corpus).  ``real=True``: images are REAL PNGs (seeded pixel
+    arrays, varying sizes) and audio rows are REAL PCM16 WAVs (seeded
+    sine mixes) via sources/codecs.py; only video payloads stay
+    opaque bytes (no video codec can be honestly hand-rolled)."""
     import ray.data as rd
 
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
+    payloads, ctypes = [], []
+    for i in range(num_items):
+        kind = kinds[i % 3]
+        if not real:
+            payloads.append(rng.bytes(256 + (i % 7) * 64))
+            ctypes.append("application/octet-stream")
+        elif kind == "image":
+            from ..sources.codecs import png_encode
+
+            w, h = 16 + int(rng.randint(0, 48)), 16 + int(rng.randint(0, 48))
+            payloads.append(png_encode(
+                rng.randint(0, 256, (h, w, 3), dtype=np.uint8)))
+            ctypes.append("image/png")
+        elif kind == "audio":
+            from ..sources.codecs import wav_encode
+
+            n = 800 + int(rng.randint(0, 1600))
+            t = np.arange(n)
+            f0 = 5 + rng.randint(0, 40)
+            s = (np.sin(t / f0) * 12000
+                 + np.sin(t / (f0 * 2.7)) * 6000).astype(np.int16)
+            payloads.append(wav_encode(s, rate=16000))
+            ctypes.append("audio/wav")
+        else:
+            payloads.append(rng.bytes(256 + (i % 7) * 64))
+            ctypes.append("application/octet-stream")
     rows = {
         "media_id": np.arange(num_items, dtype=np.int64),
         "kind": [kinds[i % 3] for i in range(num_items)],
-        "payload": [rng.bytes(256 + (i % 7) * 64) for i in range(num_items)],
-        "content_type": ["application/octet-stream"] * num_items,
+        "payload": payloads,
+        "content_type": ctypes,
         "source": [f"synthetic://{i}" for i in range(num_items)],
     }
     return rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
@@ -53,34 +89,79 @@ def synthesize_media_dataset(num_items: int = 64, seed: int = 42):
 class DecodeStub:
     """Actor-pool decode stage.
 
-    Real deployments replace ``_decode`` with PIL/ffmpeg calls loaded
-    once per actor in ``__init__``; here the codec libraries are
-    unavailable, so ``fake=True`` derives deterministic pseudo-features
-    from the payload hash and ``fake=False`` raises.
+    Modes (``mode``, or the legacy ``fake`` bool):
+
+    - ``fake``  — deterministic pseudo-decode from the payload hash
+      (the original stub; the driver-slot oracle pins this path).
+    - ``real``  — REAL decode via the pure-stdlib codecs
+      (sources/codecs.py): ``image/png`` -> pixel array (true
+      width/height, per-channel mean/std features), ``audio/wav`` ->
+      PCM samples (width = n_samples, height = channels, RMS/mean/
+      zero-crossing features).  Payloads with no hand-rollable codec
+      (video) raise — filter kinds first.
+    - ``auto``  — real where a codec exists (by content_type),
+      hash-fake otherwise: the practical mixed-corpus setting.
+
+    Production swaps the codec table for PIL/ffmpeg loaded once per
+    actor in ``__init__`` — the stage shape does not change.
     """
 
-    def __init__(self, fake: bool = True, feature_dim: int = 8):
-        self.fake = fake
+    def __init__(self, fake: bool = True, feature_dim: int = 8,
+                 mode: str = None):
+        self.mode = mode if mode else ("fake" if fake else "real")
         self.feature_dim = feature_dim
 
-    def _decode(self, payload: bytes, kind: str):
-        if not self.fake:
-            raise NotImplementedError(
-                "media codecs are not available in this environment; "
-                "run with fake=True or install PIL/ffmpeg in production")
+    def _decode_fake(self, payload: bytes):
         h = hashlib.blake2b(payload, digest_size=16).digest()
-        width = 16 + h[0]
-        height = 16 + h[1]
         feats = np.frombuffer(
             hashlib.blake2b(payload, digest_size=self.feature_dim * 8).digest(),
             dtype=np.uint64).astype(np.float64)
-        feats = feats / np.float64(2 ** 64)
-        return width, height, feats
+        return 16 + h[0], 16 + h[1], feats / np.float64(2 ** 64)
+
+    def _decode_real(self, payload: bytes, content_type: str):
+        d = self.feature_dim
+        if content_type == "image/png":
+            from ..sources.codecs import png_decode
+
+            img = png_decode(payload)
+            px = img.reshape(-1, 1 if img.ndim == 2 else img.shape[2])
+            px = px.astype(np.float64) / 255.0
+            feats = np.zeros(d, np.float64)
+            stats = np.concatenate([px.mean(axis=0), px.std(axis=0)])
+            feats[:min(d, len(stats))] = stats[:d]
+            return img.shape[1], img.shape[0], feats
+        if content_type == "audio/wav":
+            from ..sources.codecs import wav_decode
+
+            samples, rate = wav_decode(payload)
+            mono = (samples if samples.ndim == 1
+                    else samples[:, 0]).astype(np.float64) / 32768.0
+            feats = np.zeros(d, np.float64)
+            zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(
+                np.int8))))) if len(mono) > 1 else 0.0
+            stats = np.array([np.sqrt(np.mean(mono ** 2)), mono.mean(),
+                              mono.max(initial=0.0), zc, rate / 1e5])
+            feats[:min(d, len(stats))] = stats[:d]
+            n_ch = 1 if samples.ndim == 1 else samples.shape[1]
+            return len(mono), n_ch, feats
+        raise NotImplementedError(
+            f"no hand-rollable codec for {content_type!r}; use "
+            "mode='auto' to pseudo-decode unknown payloads")
+
+    def _decode(self, payload: bytes, content_type: str):
+        if self.mode == "fake":
+            return self._decode_fake(payload)
+        if self.mode == "real":
+            return self._decode_real(payload, content_type)
+        try:
+            return self._decode_real(payload, content_type)
+        except (NotImplementedError, ValueError):
+            return self._decode_fake(payload)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         widths, heights, feats = [], [], []
-        for payload, kind in zip(batch["payload"], batch["kind"]):
-            w, h, f = self._decode(bytes(payload), kind)
+        for payload, ctype in zip(batch["payload"], batch["content_type"]):
+            w, h, f = self._decode(bytes(payload), ctype)
             widths.append(w)
             heights.append(h)
             feats.append(f)
@@ -94,7 +175,8 @@ class DecodeStub:
         })
 
 
-def decode_media(ds, concurrency=None, batch_size: int = 32, fake: bool = True):
+def decode_media(ds, concurrency=None, batch_size: int = 32,
+                 fake: bool = True, mode: str = None):
     """Small batches + actor pool: the canonical multimodal stage shape.
     Decode and feature extraction are fused in one pass (DecodeStub
     emits width/height AND the feature vector — the decoded pixels
@@ -102,7 +184,7 @@ def decode_media(ds, concurrency=None, batch_size: int = 32, fake: bool = True):
     if concurrency is None:
         concurrency = pool_size()
     return ds.map_batches(DecodeStub,
-                          fn_constructor_kwargs=dict(fake=fake),
+                          fn_constructor_kwargs=dict(fake=fake, mode=mode),
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
 
@@ -120,30 +202,45 @@ class ResizeStub:
     """
 
     def __init__(self, target_w: int = 64, target_h: int = 64,
-                 fake: bool = True):
+                 fake: bool = True, mode: str = None):
         self.target_w = target_w
         self.target_h = target_h
-        self.fake = fake
+        self.mode = mode if mode else ("fake" if fake else "real")
 
-    def _resize(self, payload: bytes) -> bytes:
-        if not self.fake:
-            raise NotImplementedError(
-                "media codecs are not available in this environment; "
-                "run with fake=True or install PIL/libvips in production")
+    def _resize_fake(self, payload: bytes) -> bytes:
         n = 3 * self.target_w * self.target_h
         h = hashlib.blake2b(payload, digest_size=32).digest()
         reps = -(-n // len(h))  # ceil
         return (h * reps)[:n]
 
+    def _resize(self, payload: bytes, content_type: str):
+        if self.mode != "fake" and content_type == "image/png":
+            # REAL resize: decode -> nearest-neighbour resample ->
+            # re-encode (sources/codecs.py; deterministic kernel)
+            from ..sources.codecs import (png_decode, png_encode,
+                                          resize_nearest)
+
+            img = resize_nearest(png_decode(payload),
+                                 self.target_w, self.target_h)
+            return png_encode(img), "image/png"
+        if self.mode == "real":
+            raise NotImplementedError(
+                f"no hand-rollable resize for {content_type!r}; use "
+                "mode='auto' to pseudo-resize unknown payloads")
+        return self._resize_fake(payload), "application/x-raw-rgb"
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
-        out["payload"] = [self._resize(bytes(p)) for p in batch["payload"]]
-        out["content_type"] = "application/x-raw-rgb"
+        pairs = [self._resize(bytes(p), c)
+                 for p, c in zip(batch["payload"], batch["content_type"])]
+        out["payload"] = [p for p, _ in pairs]
+        out["content_type"] = [c for _, c in pairs]
         return out
 
 
 def resize_media(ds, target_w: int = 64, target_h: int = 64,
-                 concurrency=None, batch_size: int = 32, fake: bool = True):
+                 concurrency=None, batch_size: int = 32,
+                 fake: bool = True, mode: str = None):
     """Resize as its own actor-pool stage; output rows keep the input
     schema with bounded payloads (the scale point of resizing early:
     every downstream byte moved is `3*w*h`, not the original size)."""
@@ -152,7 +249,7 @@ def resize_media(ds, target_w: int = 64, target_h: int = 64,
     return ds.map_batches(
         ResizeStub,
         fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h,
-                                   fake=fake),
+                                   fake=fake, mode=mode),
         batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
 

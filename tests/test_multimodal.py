@@ -24,12 +24,15 @@ def test_decode_fake_deterministic(ray_session):
 
 
 def test_decode_real_path_raises():
+    """real mode on a payload with no hand-rollable codec (video /
+    opaque bytes) must raise, not silently pseudo-decode."""
     import pandas as pd
 
     stub = DecodeStub(fake=False)
     with pytest.raises(NotImplementedError):
-        stub(pd.DataFrame({"media_id": [1], "kind": ["image"],
-                           "payload": [b"xx"]}))
+        stub(pd.DataFrame({"media_id": [1], "kind": ["video"],
+                           "payload": [b"xx"],
+                           "content_type": ["application/octet-stream"]}))
 
 
 def test_resize_bounds_payload_and_keeps_schema(ray_session):
@@ -90,3 +93,111 @@ def test_resize_real_path_raises():
         stub(pd.DataFrame({"media_id": [1], "kind": ["image"],
                            "payload": [b"xx"], "content_type": ["x"],
                            "source": ["s"]}))
+
+
+def test_codecs_roundtrip():
+    from orionbelt_ontology_builder_ray.sources.codecs import (
+        png_decode, png_encode, resize_nearest, wav_decode, wav_encode)
+
+    rng = np.random.RandomState(1)
+    for shape in [(9, 7), (12, 5, 3), (6, 6, 4)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = png_decode(png_encode(img))
+        assert out.shape == img.shape and (out == img).all()
+    s = (np.sin(np.arange(1500) / 11) * 15000).astype(np.int16)
+    d, rate = wav_decode(wav_encode(s, rate=22050))
+    assert rate == 22050 and (d == s).all()
+    r = resize_nearest(rng.randint(0, 256, (10, 20, 3), np.uint8), 5, 4)
+    assert r.shape == (4, 5, 3)
+
+
+def test_png_decoder_handles_filtered_scanlines():
+    """The decoder must handle filters our encoder never writes
+    (Sub/Up/Average/Paeth) — real-world PNGs use them."""
+    import struct
+    import zlib
+
+    from orionbelt_ontology_builder_ray.sources.codecs import (
+        _PNG_SIG, _chunk, png_decode)
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (8, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    stride = w * ch
+    rows = img.reshape(h, stride).astype(np.int16)
+    for f in (1, 2, 3, 4):
+        enc = np.zeros((h, stride + 1), np.uint8)
+        for y in range(h):
+            enc[y, 0] = f
+            prev = rows[y - 1] if y else np.zeros(stride, np.int16)
+            cur = rows[y]
+            left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+            if f == 1:
+                delta = cur - left
+            elif f == 2:
+                delta = cur - prev
+            elif f == 3:
+                delta = cur - ((left + prev) >> 1)
+            else:
+                p = left + prev - upleft
+                pa_, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                               np.abs(p - upleft))
+                pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                                np.where(pb <= pc, prev, upleft))
+                delta = cur - pred
+            enc[y, 1:] = (delta & 0xFF).astype(np.uint8)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(enc.tobytes()))
+               + _chunk(b"IEND", b""))
+        out = png_decode(png)
+        assert (out == img).all(), f"filter {f}"
+
+
+def test_real_decode_recovers_true_dimensions(ray_session):
+    from orionbelt_ontology_builder_ray.sources.codecs import png_decode, wav_decode
+    from orionbelt_ontology_builder_ray.stages.multimodal import (
+        decode_media, synthesize_media_dataset)
+
+    ds = synthesize_media_dataset(num_items=18, real=True)
+    rows = {r["media_id"]: r for r in ds.take_all()}
+    out = decode_media(ds, mode="auto", batch_size=6).to_pandas() \
+        .set_index("media_id")
+    for mid, r in rows.items():
+        got = out.loc[mid]
+        if r["content_type"] == "image/png":
+            img = png_decode(bytes(r["payload"]))
+            assert (got["width"], got["height"]) == (img.shape[1],
+                                                     img.shape[0])
+            assert abs(got["features"][0]
+                       - img[:, :, 0].mean() / 255.0) < 1e-12
+        elif r["content_type"] == "audio/wav":
+            samples, _ = wav_decode(bytes(r["payload"]))
+            assert got["width"] == len(samples)
+            assert got["height"] == 1
+
+
+def test_real_mode_raises_on_video(ray_session):
+    import pytest as _pytest
+
+    from orionbelt_ontology_builder_ray.stages.multimodal import (
+        decode_media, synthesize_media_dataset)
+
+    ds = synthesize_media_dataset(num_items=6, real=True)
+    with _pytest.raises(Exception):
+        decode_media(ds, mode="real", batch_size=6).materialize()
+
+
+def test_real_resize_reencodes_png(ray_session):
+    from orionbelt_ontology_builder_ray.sources.codecs import png_decode
+    from orionbelt_ontology_builder_ray.stages.multimodal import (
+        resize_media, synthesize_media_dataset)
+
+    ds = synthesize_media_dataset(num_items=9, real=True)
+    out = resize_media(ds, target_w=8, target_h=5, mode="auto",
+                       batch_size=4).to_pandas()
+    for _, r in out.iterrows():
+        if r["content_type"] == "image/png":
+            img = png_decode(bytes(r["payload"]))
+            assert img.shape == (5, 8, 3)

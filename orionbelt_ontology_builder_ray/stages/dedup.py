@@ -317,28 +317,38 @@ def incremental_dedup_docs(new_ds, store_ds, id_col: str = "doc_id",
 
     from ..pipelines.kg_build import _pair_index, _pair_member
 
-    if strategy == "auto":
-        try:
-            est = store_ds.count()
-        except Exception:
-            est = _INCR_BROADCAST_MAX + 1
-        strategy = ("broadcast" if est <= _INCR_BROADCAST_MAX
-                    else "shuffle")
-
     def hash_only(b: pd.DataFrame) -> pd.DataFrame:
         h1, h2 = _doc_hash_pair(b[text_col])
         return pd.DataFrame({"_h1": h1, "_h2": h2})
 
-    if strategy == "broadcast":
-        parts = list(store_ds.map_batches(
-            hash_only, batch_format="pandas").iter_batches(
-                batch_size=65536, batch_format="pandas"))
-        if parts:
-            allh = pd.concat(parts, ignore_index=True)
-            idx = _pair_index(allh["_h1"].to_numpy(),
-                              allh["_h2"].to_numpy())
+    if strategy in ("auto", "broadcast"):
+        # ONE streaming pass over the hash-only store projection; auto
+        # bails to the shuffle path mid-stream if the store exceeds the
+        # broadcast cap (no separate count() execution, no second scan
+        # in the common case)
+        parts, total, overflow = [], 0, False
+        for b in store_ds.map_batches(
+                hash_only, batch_format="pandas").iter_batches(
+                    batch_size=65536, batch_format="pandas"):
+            parts.append(b)
+            total += len(b)
+            if strategy == "auto" and total > _INCR_BROADCAST_MAX:
+                overflow = True
+                break
+        if overflow:
+            strategy = "shuffle"
         else:
-            idx = _pair_index(np.empty(0, np.int64), np.empty(0, np.int64))
+            if parts:
+                allh = pd.concat(parts, ignore_index=True)
+                idx = _pair_index(allh["_h1"].to_numpy(),
+                                  allh["_h2"].to_numpy())
+            else:
+                idx = _pair_index(np.empty(0, np.int64),
+                                  np.empty(0, np.int64))
+            strategy = "broadcast"
+        del parts
+
+    if strategy == "broadcast":
         idx_ref = ray.put(idx)
 
         class ProbeStore:

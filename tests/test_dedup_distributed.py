@@ -809,3 +809,21 @@ def test_corpus_vocab_matches_duckdb(ray_session):
         got = corpus_vocab(rd.from_pandas(docs).repartition(nparts),
                            top_m=12)
         pd.testing.assert_frame_equal(got, expect, check_exact=True)
+
+
+def test_incremental_dedup_auto_overflows_to_shuffle(ray_session,
+                                                     monkeypatch):
+    """auto with a tiny broadcast cap must bail to the shuffle path
+    mid-stream and still produce the exact result."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages import dedup as dd
+
+    store, new = _incr_corpus()
+    monkeypatch.setattr(dd, "_INCR_BROADCAST_MAX", 5)
+    out = dd.incremental_dedup_docs(
+        rd.from_pandas(new).repartition(4),
+        rd.from_pandas(store).repartition(3),
+        strategy="auto").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
+    pd.testing.assert_frame_equal(out, _brute_incremental(store, new))

@@ -119,14 +119,22 @@ def train_centroids(ds, n_centroids: int = 16, sample_rows: int = 2048,
 
 def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", exclude_ids=()) -> pd.DataFrame:
+             vec_col: str = "embedding", exclude_ids=(),
+             centroids: np.ndarray = None) -> pd.DataFrame:
     """IVF: assign vectors to coarse buckets, probe only the nearest
     ``nprobe`` buckets per query. One int-key shuffle; per-bucket exact.
     With ``nprobe == n_centroids`` every bucket is probed and the
-    result equals brute-force top-k exactly."""
+    result equals brute-force top-k exactly.
+
+    ``centroids``: optionally pass a precomputed quantizer — e.g. the
+    full-corpus ``kmeans_embeddings`` output (normalized here) instead
+    of the default sample-trained k-means-lite."""
     import ray
 
-    centroids = train_centroids(ds, n_centroids, vec_col=vec_col)
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids, vec_col=vec_col)
+    else:
+        centroids = _normalize(np.asarray(centroids, dtype=np.float64))
     cref = ray.put(centroids)
     q = _normalize(np.atleast_2d(np.asarray(query_matrix, dtype=np.float64)))
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]

@@ -827,3 +827,28 @@ def test_incremental_dedup_auto_overflows_to_shuffle(ray_session,
         strategy="auto").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
     pd.testing.assert_frame_equal(out, _brute_incremental(store, new))
+
+
+def test_ivf_accepts_kmeans_centroids(ray_session):
+    """Full-probe IVF with a kmeans_embeddings-trained quantizer still
+    equals brute-force top-k exactly (quantizer choice only moves
+    bucket boundaries, never full-probe results)."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.similarity import (
+        ann_topk, ivf_topk, kmeans_embeddings)
+
+    rng = np.random.RandomState(7)
+    n, dim = 80, 16
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v for v in rng.randn(n, dim).astype(np.float32)]})
+    ds = rd.from_pandas(df).repartition(3)
+    _, cents = kmeans_embeddings(ds, k=4, n_iter=2)
+    q = rng.randn(2, dim)
+    brute = ann_topk(ds, q, k=5)
+    ivf = ivf_topk(rd.from_pandas(df).repartition(3), q, k=5,
+                   n_centroids=4, nprobe=4, centroids=cents)
+    pd.testing.assert_frame_equal(
+        brute[["query_idx", "vec_id", "rnk"]].reset_index(drop=True),
+        ivf[["query_idx", "vec_id", "rnk"]].reset_index(drop=True))

@@ -213,14 +213,19 @@ class _AssignPartial:
 
 
 def kmeans_embeddings(ds, k: int = 8, n_iter: int = 4,
-                      id_col: str = "vec_id", vec_col: str = "embedding"):
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      init: str = "ids", sample_rows: int = 4096):
     """Distributed Lloyd's k-means over an embedding column — the
     semantic-clustering primitive (SemDeDup-style dedup buckets,
     domain discovery, IVF training) expressed Ray-Data-first:
 
-    - init: centroids = the embeddings of the ``k`` smallest ids
-      (deterministic; per-block local k-smallest, k x blocks driver
-      merge — no sort, no full collect);
+    - init ``"ids"`` (oracle mode): centroids = the embeddings of
+      the ``k`` smallest ids (deterministic; per-block local
+      k-smallest, k x blocks driver merge — no sort, no full collect);
+      init ``"spread"`` (production mode): greedy farthest-point
+      (k-means++-style without RNG) over a deterministic
+      ``sample_rows``-row prefix sample — far better seeds on clumped
+      data, still fully deterministic, no SQL mirror;
     - each iteration: broadcast the k x dim centroid matrix via
       ``ray.put``, one streaming pass emits per-batch per-centroid
       (count, sum) partials, the driver folds k x n_blocks partial
@@ -239,13 +244,31 @@ def kmeans_embeddings(ds, k: int = 8, n_iter: int = 4,
 
     work = ds.select_columns([id_col, vec_col]).materialize()
 
-    # ---- deterministic init: embeddings of the k smallest ids
+    # ---- deterministic init
     def local_min(b: pd.DataFrame) -> pd.DataFrame:
         return b.nsmallest(k, id_col)[[id_col, vec_col]]
 
-    cand = work.map_batches(local_min, batch_format="pandas").to_pandas()
-    cand = cand.nsmallest(k, id_col).sort_values(id_col)
-    cents = np.stack(cand[vec_col].to_numpy()).astype(np.float64)
+    if init == "ids":
+        cand = work.map_batches(local_min, batch_format="pandas").to_pandas()
+        cand = cand.nsmallest(k, id_col).sort_values(id_col)
+        cents = np.stack(cand[vec_col].to_numpy()).astype(np.float64)
+    elif init == "spread":
+        # greedy farthest-point: seed with the smallest-id vector,
+        # then repeatedly take the sample vector farthest from its
+        # nearest chosen centroid (deterministic ties -> smallest idx)
+        sample = work.take(sample_rows)
+        sample.sort(key=lambda r: r[id_col])
+        mat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                        for r in sample])
+        chosen = [0]
+        d2 = ((mat - mat[0]) ** 2).sum(axis=1)
+        while len(chosen) < min(k, len(mat)):
+            nxt = int(d2.argmax())
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((mat - mat[nxt]) ** 2).sum(axis=1))
+        cents = mat[chosen]
+    else:
+        raise ValueError(f"unknown init {init!r}")
 
     # task-pool stages, NOT an actor pool: a fresh actor pool per
     # Lloyd iteration costs ~1.2 s spin-up each (measured 6.0 s ->

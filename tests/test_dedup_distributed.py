@@ -852,3 +852,30 @@ def test_ivf_accepts_kmeans_centroids(ray_session):
     pd.testing.assert_frame_equal(
         brute[["query_idx", "vec_id", "rnk"]].reset_index(drop=True),
         ivf[["query_idx", "vec_id", "rnk"]].reset_index(drop=True))
+
+
+def test_kmeans_spread_init_separates_planted_blobs(ray_session):
+    """Farthest-point init must place seeds across all planted blobs
+    (id init can start all seeds inside one blob); the final
+    assignment separates the blobs exactly."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.similarity import (
+        kmeans_embeddings)
+
+    rng = np.random.RandomState(4)
+    blobs = []
+    for c in range(3):
+        center = np.zeros(6)
+        center[c] = 50.0
+        blobs.append(center + rng.randn(20, 6) * 0.1)
+    mat = np.vstack(blobs).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                       "embedding": [v for v in mat]})
+    out, cents = kmeans_embeddings(rd.from_pandas(df).repartition(4),
+                                   k=3, n_iter=3, init="spread")
+    got = out.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    # each blob maps to one distinct cluster id
+    ids = [set(got[i * 20:(i + 1) * 20]) for i in range(3)]
+    assert all(len(s) == 1 for s in ids)
+    assert len(set.union(*ids)) == 3

@@ -409,6 +409,10 @@ class RepetitionStats:
     def __init__(self, id_col="doc_id", text_col="text", long_k=5):
         self.id_col, self.text_col = id_col, text_col
         self.long_k = long_k
+        # explicit ASCII whitespace, not str.split(): Python's split is
+        # Unicode-aware while the oracle's RE2 '\s+' is ASCII-only —
+        # same cross-engine contract as BPE_TOKEN_RE above
+        self._split = re.compile(f"[{_WS}]+").split
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
@@ -419,7 +423,7 @@ class RepetitionStats:
         dup_bg = np.zeros(n, np.float64)
         dup_lg = np.zeros(n, np.float64)
         for i, t in enumerate(batch[self.text_col]):
-            toks = str(t).split()
+            toks = [w for w in self._split(str(t)) if w]
             if not toks:
                 continue
             c = Counter(toks)

@@ -304,3 +304,27 @@ def test_fingerprint_fast_mode_same_shape_and_md5_unchanged():
     expect = min(int(hashlib.md5(g.encode()).hexdigest()[:16], 16) >> 1
                  for g in grams)
     assert md5.loc[0, "fingerprint"] == expect
+
+
+def test_repetition_stats_ascii_split_matches_duckdb_on_nbsp():
+    """U+00A0 inside a token must NOT split it (RE2 '\\s' is
+    ASCII-only; Python str.split would split — the BPE_TOKEN_RE
+    contract applied to the repetition stats)."""
+    import duckdb
+
+    from orionbelt_ontology_builder_ray.pipelines.oracles import (
+        sql_doc_repetition)
+    from orionbelt_ontology_builder_ray.stages.textops import RepetitionStats
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0], dtype=np.int64),
+        "text": ["a b a b c c c"]})
+    ours = RepetitionStats()(docs)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    theirs = con.sql(sql_doc_repetition()).df()
+    pd.testing.assert_frame_equal(ours.reset_index(drop=True), theirs,
+                                  check_exact=True)
+    # 5 ASCII-split tokens ('a\xa0b' stays whole; Python str.split
+    # would see 7), top = 'c' x3
+    assert ours.loc[0, "top_token_frac"] == 3 / 5

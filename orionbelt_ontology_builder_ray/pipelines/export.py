@@ -91,3 +91,42 @@ def read_exported(out_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(out_dir)
+
+
+def export_training_corpus(docs_ds, out_dir: str, seq_len: int = 2048,
+                           num_partitions: int = 16,
+                           min_tokens: int = 20) -> dict:
+    """The full training-data endgame as one composition:
+    clean (fused pre-shuffle filter + exact dedup) -> sequence-pack
+    (distributed prefix sum) -> resumable partitioned export, each
+    partition carrying (doc_id, n_tokens, token_offset, seq_id) so a
+    trainer can stream any key range independently.  Returns the
+    export report ({"written", "skipped", "rows_written"})."""
+    from ..stages.pack import pack_sequences
+    from ..stages.textops import clean_corpus
+
+    cleaned_ids = clean_corpus(docs_ds, min_tokens=min_tokens)
+    keep = set()
+    for b in cleaned_ids.iter_batches(batch_size=65536,
+                                      batch_format="pandas"):
+        keep.update(b["doc_id"].tolist())
+    # survivor-id broadcast (8 B/doc) gates the pack input; at store
+    # scale swap for the bucket-shuffle semi-join (dedup._semi_join
+    # machinery) — same documented bound as incremental_dedup_docs
+    import numpy as np
+    import pandas as pd
+
+    keep_arr = np.fromiter(keep, dtype=np.int64, count=len(keep))
+    keep_arr.sort()
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(keep_arr):
+            return b.iloc[:0]
+        ids = b["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(keep_arr, ids).clip(0, len(keep_arr) - 1)
+        return b[keep_arr[pos] == ids]
+
+    survivors = docs_ds.map_batches(gate, batch_format="pandas")
+    packed = pack_sequences(survivors, seq_len=seq_len)
+    return export_corpus_partitioned(packed, out_dir,
+                                     num_partitions=num_partitions)

@@ -135,3 +135,42 @@ def test_export_partitioned_resumable(ray_session, tmp_path):
     back = back.drop(columns=[c for c in back.columns
                               if c not in df.columns])
     pd.testing.assert_frame_equal(back, df, check_like=True)
+
+
+def test_export_training_corpus_end_to_end(ray_session, tmp_path):
+    """clean -> pack -> resumable export: survivors only, packed
+    offsets contiguous in doc order, re-run writes nothing."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.pipelines.export import (
+        export_training_corpus, read_exported)
+
+    rng = np.random.RandomState(8)
+    words = ["the", "and", "of", "to", "a", "in", "is", "it"]
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(40)]
+    texts[5] = texts[4]          # exact dup: loses to min id
+    texts[9] = "short"           # fails min_tokens
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts})
+    out = str(tmp_path / "train")
+    r1 = export_training_corpus(rd.from_pandas(df).repartition(4), out,
+                                seq_len=64, num_partitions=4,
+                                min_tokens=10)
+    back = read_exported(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert 5 not in set(back["doc_id"]) and 9 not in set(back["doc_id"])
+    assert 4 in set(back["doc_id"])
+    # offsets are the exclusive prefix sum of n_tokens in doc order
+    assert (back["token_offset"].to_numpy()
+            == np.concatenate([[0], back["n_tokens"].cumsum()
+                               .to_numpy()[:-1]])).all()
+    assert (back["seq_id"].to_numpy()
+            == back["token_offset"].to_numpy() // 64).all()
+    assert r1["rows_written"] == len(back)
+
+    r2 = export_training_corpus(rd.from_pandas(df).repartition(4), out,
+                                seq_len=64, num_partitions=4,
+                                min_tokens=10)
+    assert r2["written"] == [] and len(r2["skipped"]) == 4

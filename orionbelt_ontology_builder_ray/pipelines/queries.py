@@ -415,8 +415,17 @@ def doc_samples(sf_dir, topn=25):
                 "pred_lang": t["pred_lang"].cast(pa.string())})
         return f
 
-    rate = doc_sample_stratified(sf_dir).map_batches(
-        tag("rate"), batch_format="pyarrow")
+    from ..stages.textops import StratifiedSampler
+
+    # ONE langid pass feeds both legs (each leg alone would re-scan
+    # and re-classify the corpus)
+    langs = doc_langid(sf_dir)
+    rate = langs.map_batches(
+        StratifiedSampler,
+        fn_constructor_kwargs=dict(rates={"en": 0.3, "unknown": 1.0},
+                                   default_rate=0.05),
+        batch_format="pandas", concurrency=pool_size()).map_batches(
+            tag("rate"), batch_format="pyarrow")
 
     def add_hash(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -425,7 +434,6 @@ def doc_samples(sf_dir, topn=25):
             .astype(np.int64)
         return b
 
-    langs = doc_langid(sf_dir)
     top = grouped_topk(langs.map_batches(add_hash, batch_format="pandas"),
                        key_cols=["pred_lang"], order_cols=["_h", "doc_id"],
                        k=topn, descending=False) \

@@ -306,8 +306,10 @@ def incremental_dedup_docs(new_ds, store_ds, id_col: str = "doc_id",
       bucket drops new rows whose pair appears on the store side.
       No driver materialization of anything — the path for stores
       beyond object-store comfort.
-    - ``auto``: footer-estimated store row count picks broadcast below
-      ``_INCR_BROADCAST_MAX``, shuffle above.
+    - ``auto``: ONE streaming pass collects the hash-only store
+      projection and bails to the shuffle path mid-stream the moment
+      the row count crosses ``_INCR_BROADCAST_MAX`` (no separate
+      count() execution).
 
     Survivors then run the standard bucketed exact dedup (min id per
     identical text), so the result schema matches ``exact_dedup_docs``.

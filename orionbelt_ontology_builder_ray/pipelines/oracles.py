@@ -1463,15 +1463,29 @@ LEFT JOIN lgc USING (doc_id)
 ORDER BY d.doc_id"""
 
 
-def sql_doc_token_stats() -> str:
+def sql_doc_token_stats(vocab_top_m: int = 100) -> str:
     """Tagged-union mirror of queries.doc_token_stats (token counts
-    melted + distinct-bigram counts, one driver slot)."""
+    melted + distinct-bigram counts + OOV counts against the corpus's
+    own top-M vocab, one driver slot).  Vocab tie-break: count desc,
+    token asc — the same deterministic ordering as
+    stages/textops.corpus_vocab."""
     return f"""
-WITH tc AS ({sql_doc_token_counts()}), ng AS ({sql_doc_ngram_stats()})
+WITH tc AS ({sql_doc_token_counts()}), ng AS ({sql_doc_ngram_stats()}),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok LIMIT {vocab_top_m}),
+oov AS (
+  SELECT doc_id, COUNT(*) AS n FROM toks
+  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id)
 SELECT doc_id, 'n_chars' AS metric, n_chars AS n FROM tc
 UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM tc
 UNION ALL SELECT doc_id, 'n_bpe_tokens', n_bpe_tokens FROM tc
-UNION ALL SELECT doc_id, 'n_distinct_bigrams', n_distinct_bigrams FROM ng"""
+UNION ALL SELECT doc_id, 'n_distinct_bigrams', n_distinct_bigrams FROM ng
+UNION ALL SELECT d.doc_id, 'n_oov', COALESCE(oov.n, 0)
+FROM documents d LEFT JOIN oov USING (doc_id)"""
 
 
 def sql_doc_dedups() -> str:

@@ -328,10 +328,13 @@ def doc_dedups(sf_dir):
 
 
 def doc_token_stats(sf_dir):
-    """Token counts + distinct-bigram counts in ONE tagged union (one
-    driver slot; both are per-doc integer count surfaces).  Melting to
-    (doc_id, metric, n) is a zero-copy-ish arrow reshape — the text
-    column never re-reads."""
+    """Token counts + distinct-bigram counts + OOV counts in ONE
+    tagged union (one driver slot; all are per-doc integer count
+    surfaces).  The ``n_oov`` leg applies the corpus's own top-100
+    vocabulary (corpus_vocab -> ray.put broadcast -> streaming set
+    lookups): the tokenizer-application step, oracle-mirrored with a
+    NOT IN anti-join over the same deterministically tie-broken
+    vocab."""
 
     def melt(t: pa.Table) -> pa.Table:
         parts = [pa.table({
@@ -347,11 +350,23 @@ def doc_token_stats(sf_dir):
             "metric": pa.array(["n_distinct_bigrams"] * len(t), pa.string()),
             "n": t["n_distinct_bigrams"].cast(pa.int64())})
 
+    def tag_oov(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "metric": pa.array(["n_oov"] * len(t), pa.string()),
+            "n": t["n_oov"].cast(pa.int64())})
+
+    from ..stages.textops import oov_counts
+
     counts = doc_token_counts(sf_dir).map_batches(
         melt, batch_format="pyarrow")
     grams = doc_ngram_stats(sf_dir).map_batches(
         tag_bigrams, batch_format="pyarrow")
-    return counts.union(grams)
+    oov = oov_counts(_read(sf_dir, "documents",
+                           columns=["doc_id", "text"]),
+                     vocab_top_m=100).map_batches(
+        tag_oov, batch_format="pyarrow")
+    return counts.union(grams).union(oov)
 
 
 def doc_repetition(sf_dir):

@@ -465,10 +465,12 @@ def corpus_vocab(ds, text_col="text", top_m: int = 10000,
 
     from ..functions.terms import pool_size
 
+    split = re.compile(f"[{_WS}]+").split  # ASCII ws, RE2 contract
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         c = Counter()
         for t in b[text_col]:
-            c.update(str(t).split())
+            c.update(w for w in split(str(t)) if w)
         if not c:
             return pd.DataFrame({"token": pd.Series([], dtype=object),
                                  "n": pd.Series([], dtype=np.int64)})
@@ -492,3 +494,52 @@ def corpus_vocab(ds, text_col="text", top_m: int = 10000,
     out = parts.sort_values(["n", "token"], ascending=[False, True],
                             kind="mergesort").head(top_m)
     return out.reset_index(drop=True)
+
+
+class OovCounter:
+    """doc -> (doc_id, n_oov): tokens NOT in the broadcast vocabulary
+    — the OOV-rate signal of applying a trained tokenizer/vocab to a
+    corpus.  The vocab (corpus_vocab's top-M tokens) rides ``ray.put``
+    once and lands in each actor as ONE frozenset build in
+    ``__init__`` (per-actor, not per-batch); per-batch work is set
+    lookups over the token stream."""
+
+    def __init__(self, vocab_ref, id_col="doc_id", text_col="text"):
+        try:
+            import ray
+
+            if isinstance(vocab_ref, ray.ObjectRef):
+                vocab_ref = ray.get(vocab_ref)
+        except ImportError:
+            pass
+        self.vocab = frozenset(vocab_ref)
+        self.id_col, self.text_col = id_col, text_col
+        self._split = re.compile(f"[{_WS}]+").split
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        v = self.vocab
+        counts = np.fromiter(
+            (sum(w not in v for w in self._split(str(t)) if w)
+             for t in batch[self.text_col]),
+            dtype=np.int64, count=len(batch))
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "n_oov": counts})
+
+
+def oov_counts(ds, vocab_top_m: int = 100, id_col="doc_id",
+               text_col="text"):
+    """Two-phase: corpus_vocab's top-M tokens (partial counts + one
+    small bucket shuffle) broadcast once, then a streaming per-doc OOV
+    count — the vocab never re-ships per batch and the corpus scans
+    exactly twice (once to build the vocab, once to apply it)."""
+    import ray
+
+    from ..functions.terms import pool_size
+
+    vocab = corpus_vocab(ds, text_col=text_col, top_m=vocab_top_m)
+    vref = ray.put(vocab["token"].tolist())
+    return ds.map_batches(
+        OovCounter, fn_constructor_kwargs=dict(
+            vocab_ref=vref, id_col=id_col, text_col=text_col),
+        batch_format="pandas", concurrency=pool_size())

@@ -879,3 +879,27 @@ def test_kmeans_spread_init_separates_planted_blobs(ray_session):
     ids = [set(got[i * 20:(i + 1) * 20]) for i in range(3)]
     assert all(len(s) == 1 for s in ids)
     assert len(set.union(*ids)) == 3
+
+
+def test_oov_counts_brute_force_and_full_vocab_zero(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.textops import oov_counts
+
+    rng = np.random.RandomState(12)
+    common = [f"c{i}" for i in range(5)]
+    rare = [f"r{i}" for i in range(40)]
+    texts = [" ".join(list(rng.choice(common, 10))
+                      + list(rng.choice(rare, 3))) for _ in range(30)]
+    df = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                       "text": texts})
+    out = oov_counts(rd.from_pandas(df).repartition(4),
+                     vocab_top_m=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # top-5 vocab == the 5 common tokens (each appears ~60x vs <=3x)
+    expect = np.array([sum(w not in set(common) for w in t.split())
+                       for t in texts], dtype=np.int64)
+    assert (out["n_oov"].to_numpy() == expect).all()
+    # vocab covering everything -> zero OOV everywhere
+    full = oov_counts(rd.from_pandas(df), vocab_top_m=1000).to_pandas()
+    assert (full["n_oov"] == 0).all()

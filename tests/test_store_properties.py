@@ -88,3 +88,38 @@ def test_snapshot_restore_exact(ops):
     s.delete_class(ops[0][0]) if ops[0][0] not in ("Anchor", "S") else None
     s.restore_snapshot(snap)
     assert s.rows == rows
+
+
+# ---------------------------------------------------------------------------
+# incremental-dedup anti-join kernel (pure, no Ray): the 128-bit
+# hash-pair membership must agree exactly with text-set membership
+# over randomized corpora — including duplicated store texts
+# (duplicated-h1 side-table path) and empty sides.
+# ---------------------------------------------------------------------------
+
+texts_st = st.lists(st.text(string.ascii_lowercase + " ",
+                            min_size=0, max_size=12),
+                    min_size=0, max_size=50)
+
+
+@settings(max_examples=60, deadline=None)
+@given(store=texts_st, new=texts_st)
+def test_hash_pair_anti_join_kernel_matches_text_membership(store, new):
+    import numpy as np
+
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import (
+        _pair_index, _pair_member)
+    from orionbelt_ontology_builder_ray.stages.dedup import _doc_hash_pair
+
+    if store:
+        h1, h2 = _doc_hash_pair(store)
+        idx = _pair_index(h1, h2)
+    else:
+        idx = _pair_index(np.empty(0, np.int64), np.empty(0, np.int64))
+    if new:
+        n1, n2 = _doc_hash_pair(new)
+        got = _pair_member(idx, n1, n2)
+    else:
+        got = np.zeros(0, dtype=bool)
+    expect = np.array([t in set(store) for t in new], dtype=bool)
+    assert (got == expect).all()

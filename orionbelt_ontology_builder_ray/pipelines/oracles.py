@@ -1475,8 +1475,8 @@ toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents WHERE trim(text) <> ''),
 vocab AS (
-  SELECT tok FROM toks GROUP BY tok
-  ORDER BY COUNT(*) DESC, tok LIMIT {vocab_top_m}),
+  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+  ORDER BY n DESC, tok LIMIT {vocab_top_m}),
 oov AS (
   SELECT doc_id, COUNT(*) AS n FROM toks
   WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id)
@@ -1485,7 +1485,8 @@ UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM tc
 UNION ALL SELECT doc_id, 'n_bpe_tokens', n_bpe_tokens FROM tc
 UNION ALL SELECT doc_id, 'n_distinct_bigrams', n_distinct_bigrams FROM ng
 UNION ALL SELECT d.doc_id, 'n_oov', COALESCE(oov.n, 0)
-FROM documents d LEFT JOIN oov USING (doc_id)"""
+FROM documents d LEFT JOIN oov USING (doc_id)
+UNION ALL SELECT CAST(-1 AS BIGINT), 'vocab:' || tok, n FROM vocab"""
 
 
 def sql_doc_dedups() -> str:

@@ -356,17 +356,28 @@ def doc_token_stats(sf_dir):
             "metric": pa.array(["n_oov"] * len(t), pa.string()),
             "n": t["n_oov"].cast(pa.int64())})
 
-    from ..stages.textops import oov_counts
+    import ray.data as rd
+
+    from ..stages.textops import corpus_vocab, oov_counts
 
     counts = doc_token_counts(sf_dir).map_batches(
         melt, batch_format="pyarrow")
     grams = doc_ngram_stats(sf_dir).map_batches(
         tag_bigrams, batch_format="pyarrow")
-    oov = oov_counts(_read(sf_dir, "documents",
-                           columns=["doc_id", "text"]),
-                     vocab_top_m=100).map_batches(
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    oov = oov_counts(docs, vocab_top_m=100).map_batches(
         tag_oov, batch_format="pyarrow")
-    return counts.union(grams).union(oov)
+    # the trained vocabulary itself rides the same union: the token is
+    # carried in the metric tag ('vocab:<token>') so the corpus-wide
+    # top-M frequencies are driver-hash-checked too (doc_id = -1
+    # marks corpus-grain rows)
+    vdf = corpus_vocab(docs, top_m=100)
+    vocab_rows = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.full(len(vdf), -1, np.int64)),
+        "metric": pa.array(("vocab:" + vdf["token"]).tolist(),
+                           pa.string()),
+        "n": pa.array(vdf["n"].to_numpy(np.int64))}))
+    return counts.union(grams).union(oov).union(vocab_rows)
 
 
 def doc_repetition(sf_dir):

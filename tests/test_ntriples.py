@@ -60,3 +60,19 @@ def test_undo_cap_and_redo_clear(populated):
     populated.add_class("Fresh")
     mgr.checkpoint("fresh")
     assert not mgr.can_redo()  # redo stack cleared on new checkpoint
+
+
+def test_undo_redo_bottom_and_empty_return_none(populated):
+    """Reference edge semantics (tests/test_undo.py): undo at the
+    bottom of the stack and redo with nothing undone both return None
+    and leave the store untouched."""
+    mgr = UndoManager(populated)
+    before = set(populated.rows)
+    assert mgr.undo() is None
+    assert populated.rows == before
+    assert mgr.redo() is None
+    assert populated.rows == before
+    populated.add_class("Edge")
+    mgr.checkpoint("edge")
+    mgr.undo()
+    assert mgr.undo() is None  # bottom again after one real undo

@@ -483,13 +483,18 @@ WHERE (({h} >> 1) % {denom})
 ORDER BY doc_id"""
 
 
-def sql_doc_corpus_mix(doc_rate: float = 0.3,
-                       turn_rate: float = 0.1) -> str:
+def sql_doc_corpus_mix(doc_rate: float = 0.3, turn_rate: float = 0.1,
+                       token_budget: int = 40_000,
+                       weights=(("docs", 7, 10), ("turns", 3, 10))) -> str:
     """Mirror of queries.doc_corpus_mix: the derived transcripts CTE,
-    UNION ALL with the same source tags / disjoint key spaces, and the
-    identical md5 hash + integer thresholds."""
+    UNION ALL with the same source tags / disjoint key spaces, the
+    identical md5 hash + integer thresholds (rate leg), and the
+    budget leg's thresholds re-derived from per-source token totals in
+    the SAME exact integer arithmetic (``//`` floor division on
+    bigints — no float rounding anywhere)."""
     denom = 1_000_000
     h = _MD5_LOW64.format(expr="mix_key")
+    wrows = ", ".join(f"('{s}', {wn}, {wd})" for s, wn, wd in weights)
     return f"""
 WITH {transcripts_cte()},
 pool AS (
@@ -498,13 +503,30 @@ pool AS (
   UNION ALL
   SELECT 'turns',
          't' || conv_id || '-' || CAST(turn_idx AS VARCHAR), text
-  FROM transcripts)
-SELECT source, mix_key, text FROM pool
+  FROM transcripts),
+tot AS (
+  SELECT source,
+         SUM(CAST(length(regexp_extract_all(
+             text, '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT)) AS tokens
+  FROM pool GROUP BY source),
+w(source, wn, wd) AS (VALUES {wrows}),
+thr AS (
+  SELECT w.source,
+         CASE WHEN COALESCE(tot.tokens, 0) = 0 THEN 0
+              ELSE LEAST({denom}, (CAST(w.wn AS BIGINT) * {token_budget}
+                                   * {denom})
+                                  // (CAST(w.wd AS BIGINT) * tot.tokens))
+         END AS thr
+  FROM w LEFT JOIN tot ON w.source = tot.source)
+SELECT source, 'rate' AS metric, mix_key, text FROM pool
 WHERE (({h} >> 1) % {denom})
       < CASE source WHEN 'docs' THEN {int(round(doc_rate * denom))}
                     WHEN 'turns' THEN {int(round(turn_rate * denom))}
                     ELSE 0 END
-ORDER BY mix_key"""
+UNION ALL
+SELECT p.source, 'budget', p.mix_key, p.text
+FROM pool p JOIN thr ON p.source = thr.source
+WHERE (({h.replace('mix_key', 'p.mix_key')} >> 1) % {denom}) < thr.thr"""
 
 
 def sql_doc_corpus_clean(min_tokens: int = 20,

@@ -498,17 +498,9 @@ def doc_corpus_near_clean(sf_dir):
         .groupby("_b").map_groups(merge, batch_format="pandas")
 
 
-def doc_corpus_mix(sf_dir, doc_rate=0.3, turn_rate=0.1):
-    """Weighted multi-source corpus blend (the data-mixing workflow):
-    documents and transcript turns are tagged with a source and a
-    disjoint key space, unioned, and passed through the deterministic
-    hash-keyed sampler with per-source rates — reproducible on any
-    engine/partitioning; mirrored by UNION ALL + the same thresholds
-    in SQL."""
-    import numpy as np
-
-    from ..stages.textops import StratifiedSampler
-
+def _mix_pool(sf_dir):
+    """Documents + transcript turns tagged with a source and a
+    disjoint key space — the shared head of the mixing queries."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
@@ -524,14 +516,79 @@ def doc_corpus_mix(sf_dir, doc_rate=0.3, turn_rate=0.1):
                         + b["turn_idx"].astype(str)).to_numpy(),
             "text": b["text"].to_numpy()})
 
-    pool = docs.map_batches(tag_docs, batch_format="pandas").union(
+    return docs.map_batches(tag_docs, batch_format="pandas").union(
         _transcripts(sf_dir).map_batches(tag_turns, batch_format="pandas"))
-    return pool.map_batches(
+
+
+MIX_DENOM = 1_000_000
+
+
+def doc_corpus_mix(sf_dir, doc_rate=0.3, turn_rate=0.1,
+                   token_budget=40_000,
+                   weights=(("docs", 7, 10), ("turns", 3, 10))):
+    """Both data-mixing recipes in one tagged union (one driver slot):
+
+    - ``rate``: fixed per-source keep RATES through the deterministic
+      hash-keyed sampler (the original blend).
+    - ``budget``: per-source rates DERIVED from a global token budget
+      and target weights (sample source s at rate
+      ``weight_s * budget / tokens_s``, capped at 1) — the "mix to a
+      recipe under a budget" step of corpus assembly.  Per-source
+      token totals come from one partial-count pass (only (source, n)
+      partials move); the keep thresholds are computed in EXACT
+      integer arithmetic (``(wn * budget * DENOM) // (wd * tokens)``),
+      so the Ray side and the SQL mirror agree bit-for-bit with no
+      float rounding contract.
+    """
+    from ..stages.textops import _WS, StratifiedSampler
+
+    pool = _mix_pool(sf_dir)
+
+    def tag(metric):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": t["source"].cast(pa.string()),
+                "metric": pa.array([metric] * len(t), pa.string()),
+                "mix_key": t["mix_key"].cast(pa.string()),
+                "text": t["text"].cast(pa.string())})
+        return f
+
+    rate = pool.map_batches(
         StratifiedSampler,
         fn_constructor_kwargs=dict(
             rates={"docs": doc_rate, "turns": turn_rate},
             default_rate=0.0, id_col="mix_key", strata_col="source"),
-        batch_format="pandas", concurrency=pool_size())
+        batch_format="pandas", concurrency=pool_size()).map_batches(
+            tag("rate"), batch_format="pyarrow")
+
+    # ---- budget leg: one combiner pass for per-source token totals
+    def tok_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(t["text"].cast(pa.string()),
+                                     pattern=rf"[^{_WS}]+")
+        tbl = pa.table({"source": t["source"], "n": n.cast(pa.int64())})
+        return tbl.group_by("source").aggregate([("n", "sum")]) \
+            .rename_columns(["source", "n"])
+
+    parts = pool.map_batches(tok_partial, batch_format="pyarrow") \
+        .to_pandas()
+    totals = parts.groupby("source")["n"].sum().to_dict()
+    thresholds = {}
+    for s, wn, wd in weights:
+        toks = int(totals.get(s, 0))
+        thresholds[s] = (min(MIX_DENOM,
+                             (wn * token_budget * MIX_DENOM) // (wd * toks))
+                         if toks else 0)
+
+    budget = pool.map_batches(
+        StratifiedSampler,
+        fn_constructor_kwargs=dict(
+            rates={}, default_rate=0.0, id_col="mix_key",
+            strata_col="source", thresholds=thresholds),
+        batch_format="pandas", concurrency=pool_size()).map_batches(
+            tag("budget"), batch_format="pyarrow")
+    return rate.union(budget)
 
 
 def doc_fingerprints(sf_dir):

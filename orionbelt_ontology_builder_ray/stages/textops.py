@@ -270,9 +270,16 @@ class StratifiedSampler:
 
     def __init__(self, rates: dict, default_rate: float = 0.0,
                  id_col: str = "doc_id", strata_col: str = "pred_lang",
-                 hash_mode: str = "md5"):
-        self.rates = {k: int(round(v * self.DENOM))
-                      for k, v in rates.items()}
+                 hash_mode: str = "md5", thresholds: dict = None):
+        # ``thresholds``: already-integer keep thresholds (out of
+        # DENOM) computed upstream in exact integer arithmetic — the
+        # budgeted-mixing path, where rates are data-derived and a
+        # float round() contract would be engine-fragile
+        if thresholds is not None:
+            self.rates = {k: int(v) for k, v in thresholds.items()}
+        else:
+            self.rates = {k: int(round(v * self.DENOM))
+                          for k, v in rates.items()}
         self.default = int(round(default_rate * self.DENOM))
         self.id_col, self.strata_col = id_col, strata_col
         self.hash_mode = hash_mode

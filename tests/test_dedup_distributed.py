@@ -903,3 +903,48 @@ def test_oov_counts_brute_force_and_full_vocab_zero(ray_session):
     # vocab covering everything -> zero OOV everywhere
     full = oov_counts(rd.from_pandas(df), vocab_top_m=1000).to_pandas()
     assert (full["n_oov"] == 0).all()
+
+
+def test_budget_mix_thresholds_exact_integer_math():
+    """The budgeted-mix threshold contract: exact integer floor
+    division, capped at DENOM, zero on empty sources; the sampled
+    token mass lands near weight*budget."""
+    import duckdb
+
+    from orionbelt_ontology_builder_ray.stages.dedup import _hash_strings_md5
+    from orionbelt_ontology_builder_ray.stages.textops import (
+        StratifiedSampler)
+
+    DENOM = 1_000_000
+    rng = np.random.RandomState(6)
+    n = 4000
+    df = pd.DataFrame({
+        "source": np.where(np.arange(n) % 3 == 0, "turns", "docs"),
+        "mix_key": [f"k{i}" for i in range(n)],
+        "text": [" ".join(["w"] * rng.randint(5, 15)) for _ in range(n)]})
+    toks = df["text"].str.split().str.len()
+    totals = toks.groupby(df["source"]).sum().to_dict()
+    budget, weights = 5000, (("docs", 7, 10), ("turns", 3, 10))
+    thr = {s: min(DENOM, (wn * budget * DENOM) // (wd * int(totals[s])))
+           for s, wn, wd in weights}
+    out = StratifiedSampler(rates={}, default_rate=0.0, id_col="mix_key",
+                            strata_col="source", thresholds=thr)(df)
+    got_tokens = out["text"].str.split().str.len() \
+        .groupby(out["source"]).sum()
+    for s, wn, wd in weights:
+        target = budget * wn / wd
+        assert abs(got_tokens.get(s, 0) - target) < 0.25 * target, \
+            (s, got_tokens.get(s, 0), target)
+    # DuckDB floor division reproduces the identical thresholds
+    con = duckdb.connect()
+    for s, wn, wd in weights:
+        sql_thr = con.sql(
+            f"SELECT LEAST({DENOM}, (CAST({wn} AS BIGINT) * {budget} * "
+            f"{DENOM}) // (CAST({wd} AS BIGINT) * {int(totals[s])}))"
+        ).fetchone()[0]
+        assert int(sql_thr) == thr[s], s
+    # empty source -> threshold 0 semantics
+    assert StratifiedSampler(rates={}, default_rate=0.0,
+                             id_col="mix_key", strata_col="source",
+                             thresholds={"docs": 0, "turns": 0})(df) \
+        .empty

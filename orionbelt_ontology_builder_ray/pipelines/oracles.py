@@ -1410,10 +1410,18 @@ def sql_doc_corpus_cleans() -> str:
     (sql_doc_corpus_near_clean) mirrors."""
     return f"""
 WITH exact AS ({sql_doc_corpus_clean()}),
-     near AS ({sql_doc_corpus_near_clean()})
+     near AS ({sql_doc_corpus_near_clean()}),
+     reps AS ({sql_doc_repetition()})
 SELECT doc_id, 'exact' AS metric, CAST(n_tokens AS BIGINT) AS n FROM exact
 UNION ALL
 SELECT doc_id, 'near' AS metric, CAST(cluster_size AS BIGINT) AS n FROM near
+UNION ALL
+SELECT d.doc_id, 'gopher',
+       CAST(length(regexp_extract_all(d.text,
+            '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT)
+FROM documents d JOIN reps r ON d.doc_id = r.doc_id
+WHERE r.top_token_frac <= 0.10 AND r.dup_bigram_frac <= 0.05
+  AND r.dup_5gram_frac <= 0.05
 ORDER BY metric, doc_id"""
 
 

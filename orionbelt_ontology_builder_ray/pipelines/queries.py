@@ -688,10 +688,14 @@ def doc_corpus_clean(sf_dir):
 
 
 def doc_corpus_cleans(sf_dir):
-    """Both corpus-cleaning end products in one tagged union (one
+    """Three corpus-cleaning end products in one tagged union (one
     driver slot): ``exact`` = quality/language filter + exact text
     dedup (n = kept doc's token count); ``near`` = one representative
-    per MinHash near-dup cluster (n = cluster size)."""
+    per MinHash near-dup cluster (n = cluster size); ``gopher`` =
+    survivors of the Gopher repetition-threshold FILTER (n = token
+    count) — the signals (doc_repetition) applied as an actual gate,
+    one fused pass, nothing shuffles."""
+    from ..stages.textops import GopherRepetitionFilter
 
     def tag(metric, n_col):
         def f(t: pa.Table) -> pa.Table:
@@ -705,7 +709,11 @@ def doc_corpus_cleans(sf_dir):
         tag("exact", "n_tokens"), batch_format="pyarrow")
     near = doc_corpus_near_clean(sf_dir).map_batches(
         tag("near", "cluster_size"), batch_format="pyarrow")
-    return exact.union(near)
+    gopher = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(GopherRepetitionFilter,
+                     batch_format="pandas", concurrency=pool_size()) \
+        .map_batches(tag("gopher", "n_tokens"), batch_format="pyarrow")
+    return exact.union(near).union(gopher)
 
 
 def doc_pack(sf_dir, seq_len=512):

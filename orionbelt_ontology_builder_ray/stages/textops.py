@@ -550,3 +550,35 @@ def oov_counts(ds, vocab_top_m: int = 100, id_col="doc_id",
         OovCounter, fn_constructor_kwargs=dict(
             vocab_ref=vref, id_col=id_col, text_col=text_col),
         batch_format="pandas", concurrency=pool_size())
+
+
+class GopherRepetitionFilter:
+    """Apply the Gopher repetition thresholds as an actual corpus
+    FILTER (the consumption side of RepetitionStats' signals): keep
+    docs with top_token_frac <= t_top, dup_bigram_frac <= t_bigram,
+    dup_5gram_frac <= t_5gram; emit (doc_id, n_tokens) for survivors.
+    One fused pass — signals and the keep decision per batch, nothing
+    shuffles.  Fraction comparisons are exact across engines because
+    the fractions themselves are bit-identical int divisions
+    (sql_doc_repetition contract)."""
+
+    def __init__(self, id_col="doc_id", text_col="text",
+                 t_top=0.10, t_bigram=0.05, t_5gram=0.05, long_k=5):
+        self.id_col, self.text_col = id_col, text_col
+        self.t_top, self.t_bigram, self.t_5gram = t_top, t_bigram, t_5gram
+        self.stats = RepetitionStats(id_col, text_col, long_k=long_k)
+        self._split = self.stats._split
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = self.stats(batch)
+        keep = ((s["top_token_frac"] <= self.t_top)
+                & (s["dup_bigram_frac"] <= self.t_bigram)
+                & (s["dup_5gram_frac"] <= self.t_5gram)).to_numpy()
+        kept = batch[keep]
+        n_tokens = np.fromiter(
+            (sum(1 for w in self._split(str(t)) if w)
+             for t in kept[self.text_col]),
+            dtype=np.int64, count=len(kept))
+        return pd.DataFrame({
+            self.id_col: kept[self.id_col].to_numpy(np.int64),
+            "n_tokens": n_tokens})

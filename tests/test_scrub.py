@@ -328,3 +328,24 @@ def test_repetition_stats_ascii_split_matches_duckdb_on_nbsp():
     # 5 ASCII-split tokens ('a\xa0b' stays whole; Python str.split
     # would see 7), top = 'c' x3
     assert ours.loc[0, "top_token_frac"] == 3 / 5
+
+
+def test_gopher_filter_equals_stats_then_filter():
+    from orionbelt_ontology_builder_ray.stages.textops import (
+        GopherRepetitionFilter, RepetitionStats)
+
+    rng = np.random.RandomState(13)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, rng.randint(0, 25)))
+                 for _ in range(60)]})
+    out = GopherRepetitionFilter()(docs)
+    s = RepetitionStats()(docs)
+    keep = s[(s["top_token_frac"] <= 0.10)
+             & (s["dup_bigram_frac"] <= 0.05)
+             & (s["dup_5gram_frac"] <= 0.05)]["doc_id"]
+    assert set(out["doc_id"]) == set(keep)
+    got = out.set_index("doc_id")["n_tokens"]
+    for d in out["doc_id"]:
+        assert got[d] == len(docs.loc[d, "text"].split())

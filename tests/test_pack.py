@@ -174,3 +174,42 @@ def test_export_training_corpus_end_to_end(ray_session, tmp_path):
                                 seq_len=64, num_partitions=4,
                                 min_tokens=10)
     assert r2["written"] == [] and len(r2["skipped"]) == 4
+
+
+def test_export_random_partition_deaths_restore_equality(ray_session,
+                                                         tmp_path):
+    """Randomized crash simulation: delete arbitrary subsets of
+    finished partitions (marker and/or data), re-run, and the re-read
+    must equal the full input every time."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.pipelines.export import (
+        export_corpus_partitioned, read_exported)
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "doc_id": np.arange(120, dtype=np.int64),
+        "text": [f"t{i}" for i in range(120)]})
+    out = str(tmp_path / "x")
+    export_corpus_partitioned(rd.from_pandas(df).repartition(6), out,
+                              num_partitions=10)
+    for _ in range(3):
+        dead = rng.choice(10, rng.randint(1, 5), replace=False)
+        for p in dead:
+            pdir = os.path.join(out, f"p={p}")
+            if rng.rand() < 0.5:
+                shutil.rmtree(pdir)          # whole partition gone
+            else:
+                os.remove(os.path.join(pdir, "_SUCCESS"))  # marker only
+        r = export_corpus_partitioned(rd.from_pandas(df).repartition(6),
+                                      out, num_partitions=10)
+        assert sorted(r["written"]) == sorted(int(p) for p in dead)
+        back = read_exported(out).to_pandas()
+        back = back[["doc_id", "text"]].sort_values("doc_id") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(back, df)

@@ -123,3 +123,45 @@ def test_hash_pair_anti_join_kernel_matches_text_membership(store, new):
         got = np.zeros(0, dtype=bool)
     expect = np.array([t in set(store) for t in new], dtype=bool)
     assert (got == expect).all()
+
+
+# ---------------------------------------------------------------------------
+# RepetitionStats formula vs an independent brute force over random
+# ASCII corpora (the oracle pins DuckDB parity; this pins the math).
+# ---------------------------------------------------------------------------
+
+docs_st = st.lists(st.text(string.ascii_lowercase[:4] + "  ",
+                           min_size=0, max_size=40),
+                   min_size=1, max_size=25)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts=docs_st)
+def test_repetition_stats_brute_force(texts):
+    import numpy as np
+    import pandas as pd
+
+    from orionbelt_ontology_builder_ray.stages.textops import RepetitionStats
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = RepetitionStats()(df).set_index("doc_id")
+    for i, t in enumerate(texts):
+        toks = t.split()  # ASCII input: unicode/ascii split agree
+        if not toks:
+            assert (out.loc[i] == 0.0).all()
+            continue
+        from collections import Counter
+
+        c = Counter(toks)
+        assert out.loc[i, "top_token_frac"] == max(c.values()) / len(toks)
+        if len(toks) >= 2:
+            bg = Counter(zip(toks, toks[1:]))
+            assert out.loc[i, "top_bigram_frac"] == \
+                max(bg.values()) / (len(toks) - 1)
+            assert out.loc[i, "dup_bigram_frac"] == \
+                1.0 - len(bg) / (len(toks) - 1)
+        if len(toks) >= 5:
+            ng = len(toks) - 4
+            distinct = len({tuple(toks[j:j + 5]) for j in range(ng)})
+            assert out.loc[i, "dup_5gram_frac"] == 1.0 - distinct / ng

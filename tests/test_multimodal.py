@@ -201,3 +201,26 @@ def test_real_resize_reencodes_png(ray_session):
         if r["content_type"] == "image/png":
             img = png_decode(bytes(r["payload"]))
             assert img.shape == (5, 8, 3)
+
+
+def test_codec_fuzz_roundtrip():
+    """Randomized shapes/dtypes through the PNG and WAV codecs."""
+    from orionbelt_ontology_builder_ray.sources.codecs import (
+        png_decode, png_encode, wav_decode, wav_encode)
+
+    rng = np.random.RandomState(99)
+    for _ in range(25):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        ch = rng.choice([0, 3, 4])
+        shape = (h, w) if ch == 0 else (h, w, int(ch))
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = png_decode(png_encode(img))
+        assert out.shape == img.shape and (out == img).all(), shape
+    for _ in range(10):
+        n = int(rng.randint(1, 5000))
+        nch = int(rng.choice([1, 2]))
+        s = rng.randint(-32768, 32767, (n,) if nch == 1 else (n, nch)) \
+            .astype(np.int16)
+        rate = int(rng.choice([8000, 16000, 44100]))
+        d, r = wav_decode(wav_encode(s, rate=rate))
+        assert r == rate and d.shape == s.shape and (d == s).all()

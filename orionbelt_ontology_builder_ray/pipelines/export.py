@@ -5,6 +5,7 @@ RANGE, each written atomically with a ``_SUCCESS`` marker, so a failed
 export re-run skips finished partitions instead of rewriting the
 corpus:
 
+    <out_dir>/_MANIFEST.json          (partitioning scheme)
     <out_dir>/p=<k>/part.parquet
     <out_dir>/p=<k>/_SUCCESS
 
@@ -12,6 +13,13 @@ Resume is a PRE-SHUFFLE prune: the driver lists the (tiny) marker set,
 and rows belonging to finished partitions are filtered inside the
 first ``map_batches`` — skipped data never enters the partition
 shuffle, so a 90%-complete re-run shuffles only the missing 10%.
+
+Resume is also VALIDATED: the manifest records (num_partitions,
+key_col) and a re-run with a different scheme is refused instead of
+silently mixing stale partitions keyed by the old scheme with new
+ones (ADVICE r4).  Underscore-prefixed files are invisible to
+``read_parquet`` (Ray's file datasource skips them), so the manifest
+and markers never pollute the read side.
 
 Each partition is written by ITS OWN task (``groupby(part).
 map_groups``): write to ``part.parquet.tmp`` then rename + marker, so
@@ -24,10 +32,14 @@ count.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 
 import numpy as np
 import pandas as pd
+
+_PART_RE = re.compile(r"^p=(\d+)$")
 
 
 def _done_partitions(out_dir: str) -> set:
@@ -37,10 +49,31 @@ def _done_partitions(out_dir: str) -> set:
         return set()
     done = set()
     for n in names:
-        if n.startswith("p=") and os.path.exists(
-                os.path.join(out_dir, n, "_SUCCESS")):
-            done.add(int(n[2:]))
+        m = _PART_RE.match(n)
+        if m and os.path.exists(os.path.join(out_dir, n, "_SUCCESS")):
+            done.add(int(m.group(1)))
     return done
+
+
+def _check_manifest(out_dir: str, num_partitions: int, key_col: str) -> None:
+    """Write the partitioning scheme on first run; refuse to resume
+    under a different one (stale p=k dirs keyed by the old scheme
+    would otherwise be silently treated as finished)."""
+    path = os.path.join(out_dir, "_MANIFEST.json")
+    want = {"num_partitions": int(num_partitions), "key_col": key_col}
+    if os.path.exists(path):
+        with open(path) as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"refusing to resume export into {out_dir!r}: manifest "
+                f"records {have}, this run asked for {want}; delete the "
+                "directory (or match the recorded scheme) to proceed")
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, path)
 
 
 def export_corpus_partitioned(ds, out_dir: str, key_col: str = "doc_id",
@@ -49,6 +82,7 @@ def export_corpus_partitioned(ds, out_dir: str, key_col: str = "doc_id",
     returns {"written": [...], "skipped": [...]}.  Idempotent: a
     second run with the same input writes nothing."""
     os.makedirs(out_dir, exist_ok=True)
+    _check_manifest(out_dir, num_partitions, key_col)
     done = _done_partitions(out_dir)
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
@@ -101,32 +135,18 @@ def export_training_corpus(docs_ds, out_dir: str, seq_len: int = 2048,
     (distributed prefix sum) -> resumable partitioned export, each
     partition carrying (doc_id, n_tokens, token_offset, seq_id) so a
     trainer can stream any key range independently.  Returns the
-    export report ({"written", "skipped", "rows_written"})."""
+    export report ({"written", "skipped", "rows_written"}).
+
+    Dataflow note (VERDICT r4 item 1): clean_corpus already emits the
+    survivor TABLE (doc_id, n_tokens), which is everything the packer
+    needs — so there is no survivor-id driver collect, no broadcast
+    gate, and no second scan of the text corpus at all.  The only
+    data that moves after the clean pass is two int64 columns.
+    """
     from ..stages.pack import pack_sequences
     from ..stages.textops import clean_corpus
 
-    cleaned_ids = clean_corpus(docs_ds, min_tokens=min_tokens)
-    keep = set()
-    for b in cleaned_ids.iter_batches(batch_size=65536,
-                                      batch_format="pandas"):
-        keep.update(b["doc_id"].tolist())
-    # survivor-id broadcast (8 B/doc) gates the pack input; at store
-    # scale swap for the bucket-shuffle semi-join (dedup._semi_join
-    # machinery) — same documented bound as incremental_dedup_docs
-    import numpy as np
-    import pandas as pd
-
-    keep_arr = np.fromiter(keep, dtype=np.int64, count=len(keep))
-    keep_arr.sort()
-
-    def gate(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(keep_arr):
-            return b.iloc[:0]
-        ids = b["doc_id"].to_numpy(np.int64)
-        pos = np.searchsorted(keep_arr, ids).clip(0, len(keep_arr) - 1)
-        return b[keep_arr[pos] == ids]
-
-    survivors = docs_ds.map_batches(gate, batch_format="pandas")
-    packed = pack_sequences(survivors, seq_len=seq_len)
+    cleaned = clean_corpus(docs_ds, min_tokens=min_tokens)
+    packed = pack_sequences(cleaned, seq_len=seq_len, precounted=True)
     return export_corpus_partitioned(packed, out_dir,
                                      num_partitions=num_partitions)

@@ -22,6 +22,14 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+# ASCII non-whitespace runs — the SAME RE2 pattern the Ray side
+# tokenizes with (stages/textops._WS).  regexp_extract_all, NOT
+# trim()+regexp_split_to_array: DuckDB trim() strips only spaces, so
+# leading/trailing tabs/newlines would produce empty tokens the Ray
+# side filters out (ADVICE r4, medium).
+_TOK_SQL = "regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')"
+
+
 def seed_schema_values_sql() -> str:
     """The seed ontology as a VALUES list (generated from the same
     store the pipeline unions in — single source of truth)."""
@@ -269,9 +277,7 @@ def sql_doc_token_counts() -> str:
     from ..stages.textops import BPE_TOKEN_RE
 
     return ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
-            "END AS n_tokens, "
+            f"CAST(length({_TOK_SQL}) AS BIGINT) AS n_tokens, "
             "CAST(length(regexp_extract_all(text, "
             f"{_sql_str(BPE_TOKEN_RE)})) AS BIGINT) AS n_bpe_tokens "
             "FROM documents ORDER BY doc_id")
@@ -279,10 +285,10 @@ def sql_doc_token_counts() -> str:
 
 def sql_doc_ngram_stats(n: int = 2) -> str:
     """Distinct word-bigram count per doc (n-gram fingerprint basis)."""
-    return """
+    return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, w FROM (SELECT doc_id, {_TOK_SQL} AS w FROM documents)
+  WHERE array_length(w) >= 1
 )
 SELECT doc_id,
        CAST(length(list_distinct(list_transform(
@@ -1453,10 +1459,10 @@ def sql_doc_repetition() -> str:
     stages/textops.py RepetitionStats): every fraction is an
     exact-int division performed in the same order as the numpy side
     (divide, then subtract), so the doubles are bit-identical."""
-    return """
+    return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, w FROM (SELECT doc_id, {_TOK_SQL} AS w FROM documents)
+  WHERE array_length(w) >= 1
 ),
 tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
 tokc AS (
@@ -1502,8 +1508,7 @@ def sql_doc_token_stats(vocab_top_m: int = 100) -> str:
     return f"""
 WITH tc AS ({sql_doc_token_counts()}), ng AS ({sql_doc_ngram_stats()}),
 toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-  FROM documents WHERE trim(text) <> ''),
+  SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
 vocab AS (
   SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
   ORDER BY n DESC, tok LIMIT {vocab_top_m}),
@@ -1543,12 +1548,20 @@ UNION ALL SELECT doc_id, 'incr' AS metric, text FROM incr"""
 
 def sql_embedding_kmeans(k: int = 8, n_iter: int = 4, dim: int = 64) -> str:
     """DuckDB mirror of stages/similarity.kmeans_embeddings — the
-    Lloyd iterations UNROLLED as CTE pairs (assign by
-    ``ORDER BY list_distance, cid``, update by per-position
-    ``ROUND(AVG(..), 6)``).  The 6-decimal rounding after every update
-    is the shared determinism contract: both engines land on the same
-    decimal despite different summation orders, so an ITERATIVE
-    algorithm hash-matches exactly."""
+    Lloyd iterations UNROLLED as CTE pairs (assign by ``ORDER BY
+    |c|^2 - 2 x·c, cid`` — the SAME expanded expression the numpy
+    side argmins, NOT the sqrt ``list_distance`` form, so the two
+    engines evaluate one functional form and can only diverge on
+    summation-order ulps at an exact near-tie, ADVICE r4 — update by
+    per-position ``ROUND(AVG(..), 6)``).  The 6-decimal rounding
+    after every update is the shared determinism contract: both
+    engines land on the same decimal despite different summation
+    orders, so an ITERATIVE algorithm hash-matches exactly.  Residual
+    contract (same spirit as the ROUND note): points whose two
+    nearest centroids tie within ~1 ulp of the dot products may
+    assign differently per engine; no such tie exists in the test
+    corpora, and the 6-decimal centroid rounding re-synchronizes the
+    next iteration regardless."""
     parts = [f"""
 base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -1559,7 +1572,9 @@ c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
 a{t} AS (SELECT vec_id, e, cid FROM (
     SELECT x.vec_id, x.e, c.cid,
            ROW_NUMBER() OVER (PARTITION BY x.vec_id
-                              ORDER BY list_distance(x.e, c.c), c.cid) AS rn
+                              ORDER BY list_inner_product(c.c, c.c)
+                                     - 2 * list_inner_product(x.e, c.c),
+                                       c.cid) AS rn
     FROM base x CROSS JOIN c{t - 1} c) WHERE rn = 1),
 u{t} AS (SELECT cid, list(v ORDER BY i) AS c FROM (
     SELECT a.cid, r.i, ROUND(AVG(a.e[r.i]), 6) AS v
@@ -1571,7 +1586,9 @@ c{t} AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
 SELECT x.vec_id, cid AS cluster FROM (
     SELECT x.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY x.vec_id
-                              ORDER BY list_distance(x.e, c.c), c.cid) AS rn
+                              ORDER BY list_inner_product(c.c, c.c)
+                                     - 2 * list_inner_product(x.e, c.c),
+                                       c.cid) AS rn
     FROM base x CROSS JOIN c{n_iter} c) x WHERE rn = 1"""
     return "WITH " + ",".join(parts) + final
 

@@ -365,13 +365,15 @@ def doc_token_stats(sf_dir):
     grams = doc_ngram_stats(sf_dir).map_batches(
         tag_bigrams, batch_format="pyarrow")
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    oov = oov_counts(docs, vocab_top_m=100).map_batches(
+    # build the top-100 vocabulary ONCE and share it between the OOV
+    # leg and the vocab rows (it used to be scanned twice — ADVICE r4)
+    vdf = corpus_vocab(docs, top_m=100)
+    oov = oov_counts(docs, vocab=vdf).map_batches(
         tag_oov, batch_format="pyarrow")
     # the trained vocabulary itself rides the same union: the token is
     # carried in the metric tag ('vocab:<token>') so the corpus-wide
     # top-M frequencies are driver-hash-checked too (doc_id = -1
     # marks corpus-grain rows)
-    vdf = corpus_vocab(docs, top_m=100)
     vocab_rows = rd.from_arrow(pa.table({
         "doc_id": pa.array(np.full(len(vdf), -1, np.int64)),
         "metric": pa.array(("vocab:" + vdf["token"]).tolist(),

@@ -155,7 +155,11 @@ class DecodeStub:
             return self._decode_real(payload, content_type)
         try:
             return self._decode_real(payload, content_type)
-        except (NotImplementedError, ValueError):
+        except Exception:
+            # 'auto' is the mixed/dirty-corpus path: a corrupt PNG
+            # raises zlib.error, a truncated header struct.error /
+            # wave.Error — all of them fall back to the deterministic
+            # pseudo-decode rather than crashing the stage (ADVICE r4)
             return self._decode_fake(payload)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -66,7 +66,7 @@ def _token_counts(ds, id_col: str, text_col: str):
 
 
 def pack_sequences(ds, seq_len: int = 2048, id_col: str = "doc_id",
-                   text_col: str = "text"):
+                   text_col: str = "text", precounted: bool = False):
     """documents -> (doc_id, n_tokens, token_offset, seq_id,
     seq_id_last): position of every document in the concat-and-chunk
     packing of the corpus into ``seq_len``-token training sequences.
@@ -75,10 +75,18 @@ def pack_sequences(ds, seq_len: int = 2048, id_col: str = "doc_id",
     order; ``seq_id`` = token_offset // seq_len; ``seq_id_last`` =
     (token_offset + n_tokens - 1) // seq_len for non-empty docs (empty
     docs occupy no tokens: seq_id_last = seq_id).
+
+    ``precounted=True``: the input already carries an ``n_tokens``
+    column (e.g. clean_corpus output) — skip the tokenize pass and
+    pack over (id_col, n_tokens) directly.  At 100 TB this is the
+    difference between packing a survivor TABLE of two int64 columns
+    and re-scanning the text corpus.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    tokens = _token_counts(ds, id_col, text_col).sort(id_col).materialize()
+    counted = (ds.select_columns([id_col, "n_tokens"]) if precounted
+               else _token_counts(ds, id_col, text_col))
+    tokens = counted.sort(id_col).materialize()
 
     def block_partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

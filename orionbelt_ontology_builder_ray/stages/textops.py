@@ -93,11 +93,15 @@ class BigramStats:
 
     def __init__(self, id_col="doc_id", text_col="text"):
         self.id_col, self.text_col = id_col, text_col
+        # ASCII whitespace, not str.split(): same RE2 contract as
+        # TokenCounter/RepetitionStats so the oracle matches on
+        # non-ASCII whitespace too
+        self._split = re.compile(f"[{_WS}]+").split
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, counts = [], []
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            toks = str(text).split()
+            toks = [w for w in self._split(str(text)) if w]
             if len(toks) < 1:
                 continue
             grams = {f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)}
@@ -535,16 +539,20 @@ class OovCounter:
 
 
 def oov_counts(ds, vocab_top_m: int = 100, id_col="doc_id",
-               text_col="text"):
+               text_col="text", vocab=None):
     """Two-phase: corpus_vocab's top-M tokens (partial counts + one
     small bucket shuffle) broadcast once, then a streaming per-doc OOV
     count — the vocab never re-ships per batch and the corpus scans
-    exactly twice (once to build the vocab, once to apply it)."""
+    exactly twice (once to build the vocab, once to apply it).
+    Callers that already hold the vocab DataFrame (doc_token_stats
+    unions the vocab rows into the same slot) pass it via ``vocab`` so
+    the build pass is not repeated (ADVICE r4)."""
     import ray
 
     from ..functions.terms import pool_size
 
-    vocab = corpus_vocab(ds, text_col=text_col, top_m=vocab_top_m)
+    if vocab is None:
+        vocab = corpus_vocab(ds, text_col=text_col, top_m=vocab_top_m)
     vref = ray.put(vocab["token"].tolist())
     return ds.map_batches(
         OovCounter, fn_constructor_kwargs=dict(

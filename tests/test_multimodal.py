@@ -224,3 +224,34 @@ def test_codec_fuzz_roundtrip():
         rate = int(rng.choice([8000, 16000, 44100]))
         d, r = wav_decode(wav_encode(s, rate=rate))
         assert r == rate and d.shape == s.shape and (d == s).all()
+
+
+def test_auto_mode_survives_corrupt_payloads():
+    """mode='auto' is the mixed/dirty-corpus path (ADVICE r4): a
+    corrupt PNG body (zlib.error), a truncated header (struct.error),
+    and a mangled WAV (wave.Error) must all fall back to the
+    deterministic pseudo-decode, never crash the stage — while valid
+    payloads still take the real decoder."""
+    import pandas as pd
+
+    from orionbelt_ontology_builder_ray.sources.codecs import (
+        png_encode, wav_encode)
+
+    good_png = png_encode(np.full((4, 3, 3), 7, dtype=np.uint8))
+    corrupt_png = good_png[:40] + b"\x00" * 20 + good_png[60:]
+    truncated_png = good_png[:20]
+    bad_wav = b"RIFF" + b"\x01" * 30
+    batch = pd.DataFrame({
+        "media_id": np.arange(5, dtype=np.int64),
+        "kind": ["image", "image", "image", "audio", "audio"],
+        "payload": [good_png, corrupt_png, truncated_png, bad_wav,
+                    wav_encode(np.zeros(64, np.int16))],
+        "content_type": ["image/png"] * 3 + ["audio/wav"] * 2})
+    out = DecodeStub(mode="auto")(batch)
+    assert len(out) == 5
+    # the valid PNG really decoded (true dims), corrupt ones got the
+    # deterministic fake (same contract as mode='fake')
+    assert out.loc[0, "width"] == 3 and out.loc[0, "height"] == 4
+    fake = DecodeStub(mode="fake")(batch.iloc[[1, 2, 3]])
+    assert (out.loc[[1, 2, 3], "width"].to_numpy()
+            == fake["width"].to_numpy()).all()

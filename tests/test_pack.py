@@ -213,3 +213,64 @@ def test_export_random_partition_deaths_restore_equality(ray_session,
         back = back[["doc_id", "text"]].sort_values("doc_id") \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(back, df)
+
+
+def test_export_manifest_refuses_scheme_mismatch(ray_session, tmp_path):
+    """Resume validation (ADVICE r4): a re-run with a different
+    partition count or key column must be refused — stale p=k dirs
+    keyed by the old scheme would otherwise silently count as
+    finished.  Stray non-numeric p=* directories are ignored, not a
+    crash."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.pipelines.export import (
+        export_corpus_partitioned)
+
+    df = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                       "text": [f"d{i}" for i in range(30)]})
+    out = str(tmp_path / "c")
+    export_corpus_partitioned(rd.from_pandas(df), out, num_partitions=4)
+
+    with pytest.raises(ValueError, match="refusing to resume"):
+        export_corpus_partitioned(rd.from_pandas(df), out,
+                                  num_partitions=8)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        export_corpus_partitioned(rd.from_pandas(df), out,
+                                  key_col="text", num_partitions=4)
+
+    # junk partition dir: ignored by the resume scan
+    os.makedirs(os.path.join(out, "p=junk"))
+    open(os.path.join(out, "p=junk", "_SUCCESS"), "w").close()
+    r = export_corpus_partitioned(rd.from_pandas(df), out,
+                                  num_partitions=4)
+    assert r["written"] == [] and r["skipped"] == [0, 1, 2, 3]
+
+
+def test_pack_precounted_equals_tokenized(ray_session):
+    """pack_sequences(precounted=True) over a (doc_id, n_tokens) table
+    must equal the text-tokenizing path on the same corpus."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.pack import pack_sequences
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": [" ".join(["w"] * rng.randint(0, 9)) for _ in range(50)]})
+    full = pack_sequences(rd.from_pandas(df).repartition(4), seq_len=16) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pre = pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "n_tokens": df["text"].str.split().str.len().astype(np.int64),
+        "extra": np.ones(50)})
+    got = pack_sequences(rd.from_pandas(pre).repartition(4), seq_len=16,
+                         precounted=True) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, full)

@@ -349,3 +349,42 @@ def test_gopher_filter_equals_stats_then_filter():
     got = out.set_index("doc_id")["n_tokens"]
     for d in out["doc_id"]:
         assert got[d] == len(docs.loc[d, "text"].split())
+
+
+def test_tokenize_edge_whitespace_matches_duckdb():
+    """Leading/trailing tabs/newlines (ADVICE r4, medium): DuckDB
+    trim() strips only spaces, so the old trim+split oracle counted
+    phantom empty tokens the Ray side filters.  All four tokenizing
+    oracles must now agree with their Ray stages on edge-whitespace
+    docs — pinned here on repetition, token counts, and bigrams."""
+    import duckdb
+
+    from orionbelt_ontology_builder_ray.pipelines.oracles import (
+        sql_doc_ngram_stats, sql_doc_repetition, sql_doc_token_counts)
+    from orionbelt_ontology_builder_ray.stages.textops import (
+        BigramStats, RepetitionStats, TokenCounter)
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": ["\ta b", "a\tb\n", "\t\t", "", " x  y ",
+                 "a a\nb b\tb", "\n\na a a\t"]})
+    con = duckdb.connect()
+    con.register("documents", docs)
+
+    ours = RepetitionStats()(docs).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        ours, con.sql(sql_doc_repetition()).df(), check_exact=True)
+    # '\ta b': 2 real tokens, top fraction 1/2 (old SQL said 1/3)
+    assert ours.loc[0, "top_token_frac"] == 1 / 2
+
+    import pyarrow as pa
+
+    tc = TokenCounter()(pa.Table.from_pandas(docs)).to_pandas()
+    sql_tc = con.sql(sql_doc_token_counts()).df()
+    pd.testing.assert_frame_equal(tc.reset_index(drop=True), sql_tc,
+                                  check_exact=True)
+    assert tc.loc[2, "n_tokens"] == 0        # '\t\t' has no tokens
+
+    bg = BigramStats()(docs).reset_index(drop=True)
+    sql_bg = con.sql(sql_doc_ngram_stats()).df()
+    pd.testing.assert_frame_equal(bg, sql_bg, check_exact=True)

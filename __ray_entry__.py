@@ -51,7 +51,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rename_refs": q.kg_rename_refs,
         "kg_diff_ts_stats": q.kg_diff_ts_stats,
         "kg_detect_conflicts": q.kg_detect_conflicts,
-        "events_sessionize": q.events_sessionize,
+        # r5: events_sessionize rides the 'events' leg of this union;
+        # the 'conv' leg is the same operator on the transcripts plane
+        "sessionizes": q.sessionizes,
+        # r5: the day-2 composition — build(half store) -> update_kg
+        # anti-join -> canonicalize -> stats listing, one slot
+        "kg_continuous_ingest": q.kg_continuous_ingest,
         "kg_viz_nodes": q.kg_viz_nodes,
         "kg_annotations_all": q.kg_annotations_all,
         "kg_canonicalization_demo": q.kg_canonicalization_demo,
@@ -77,8 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": q.events_asof_join,
         "events_range_join": q.events_range_join,
         "events_sliding_counts": q.events_sliding_counts,
-        "events_topk_per_user": q.events_topk_per_user,
-        "kg_top_mentions_per_conversation": q.kg_top_mentions_per_conversation,
+        # r5: events_topk_per_user + kg_top_mentions_per_conversation
+        # consolidated (identical legs, tagged)
+        "grouped_topks": q.grouped_topks,
         "events_lag_lead": q.events_lag_lead,
     }
     # schema-plane golden fixtures (hand-written expected outputs),
@@ -124,9 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": o.sql_events_asof_join(),
         "events_range_join": o.sql_events_range_join(),
         "events_sliding_counts": o.sql_events_sliding_counts(),
-        "events_topk_per_user": o.sql_events_topk_per_user(),
-        "kg_top_mentions_per_conversation":
-            o.sql_kg_top_mentions_per_conversation(),
+        "grouped_topks": o.sql_grouped_topks(),
+        "kg_continuous_ingest": o.sql_kg_continuous_ingest(),
         "events_lag_lead": o.sql_events_lag_lead(),
         "kg_classes": o.sql_kg_classes(),
         "kg_individuals_by_class": o.sql_kg_individuals_by_class(),
@@ -135,7 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rename_refs": o.sql_kg_rename_refs(),
         "kg_diff_ts_stats": o.sql_kg_diff_ts_stats(),
         "kg_detect_conflicts": o.sql_kg_detect_conflicts(),
-        "events_sessionize": o.sql_events_sessionize(),
+        "sessionizes": o.sql_sessionizes(),
         "kg_viz_nodes": o.sql_kg_viz_nodes(),
         "kg_annotations_all": o.sql_kg_annotations_all(),
         "kg_triples_canonicalized": o.sql_kg_triples_canonicalized(),

@@ -227,6 +227,28 @@ def run_bench() -> dict:
     q.doc_corpus_clean(SF_DIR).count()
     queries["doc_corpus_clean"] = round(time.time() - t0, 3)
 
+    # the training-data endgame composition (clean -> pack -> resumable
+    # partitioned export) end-to-end; partition count derives from
+    # input BYTES (~64 MiB per partition at bench scale; 256 MiB at
+    # the 100-TB target), never CPU count
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.pipelines.export import (
+        export_training_corpus)
+
+    doc_files = [f for f in os.listdir(os.path.join(SF_DIR))
+                 if f.startswith("documents")]
+    doc_bytes = sum(os.path.getsize(os.path.join(SF_DIR, f))
+                    for f in doc_files) or 1
+    n_parts = max(8, doc_bytes // (64 << 20))
+    exp_out = "/dev/shm/bench_export_out"
+    shutil.rmtree(exp_out, ignore_errors=True)
+    rep = export_training_corpus(
+        _read(SF_DIR, "documents", columns=["doc_id", "text"]),
+        exp_out, num_partitions=int(n_parts))
+    queries["export_training_corpus"] = round(time.time() - t0, 3)
+    assert rep["rows_written"] > 0
+    shutil.rmtree(exp_out, ignore_errors=True)
+
     t0 = time.time()
     q.kg_gazetteer_mentions(SF_DIR).count()
     queries["kg_gazetteer_mentions"] = round(time.time() - t0, 3)

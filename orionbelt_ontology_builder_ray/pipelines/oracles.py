@@ -1623,3 +1623,89 @@ SELECT doc_id, 'rate' AS metric, pred_lang FROM rate
 UNION ALL
 SELECT doc_id, 'topn' AS metric, pred_lang FROM ranked
 WHERE rn <= {topn}"""
+
+
+def sql_sessionizes(gap_minutes: int = 30) -> str:
+    """Tagged-union mirror of queries.sessionizes: the events-plane
+    sessionizer (sql_events_sessionize unchanged, as a CTE) + the
+    transcripts-plane conversation sessionizer — same window/gap
+    semantics partitioned by conv_id, ordered by (ts, turn_idx)."""
+    return f"""
+WITH {transcripts_cte()},
+ev AS ({sql_events_sessionize(gap_minutes)}),
+co AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+), cs AS (
+  SELECT conv_id, ts,
+         SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM co
+), cv AS (
+  SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
+         COUNT(*) AS n, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+  FROM cs GROUP BY conv_id, session_id
+)
+SELECT 'events' AS plane, CAST(user_id AS VARCHAR) AS key,
+       session_id, n_events AS n, start_ts, end_ts FROM ev
+UNION ALL
+SELECT 'conv', conv_id, session_id, n, start_ts, end_ts FROM cv"""
+
+
+def sql_grouped_topks(k: int = 3) -> str:
+    """Tagged-union mirror of queries.grouped_topks: the events-plane
+    grouped top-k + the KG-plane top mentions per conversation, both
+    unchanged as CTEs; the events leg carries epoch_us(ts) in ``n``
+    so every column is non-null on both engines."""
+    return f"""
+WITH ev AS ({sql_events_topk_per_user(k)}),
+kg AS ({sql_kg_top_mentions_per_conversation(k)})
+SELECT 'events' AS plane, CAST(user_id AS VARCHAR) AS key,
+       CAST(event_id AS VARCHAR) AS item,
+       CAST(epoch_us(ts) AS BIGINT) AS n FROM ev
+UNION ALL
+SELECT 'kg', conv_uri, entity, n_mentions FROM kg"""
+
+
+def sql_kg_continuous_ingest() -> str:
+    """Mirror of queries.kg_continuous_ingest.  update_kg's contract
+    is exact (store(half) ∪ added == full-corpus build, disjointly),
+    so the mirror needs no half-split at all: leg 1 is the full-corpus
+    canonicalized triple set (same min-per-normalized-label closure as
+    sql_kg_triples_canonicalized), leg 2 its type counts as
+    pseudo-triples, leg 3 the merged pre-dedup row count — which
+    equals COUNT(triples) exactly when the anti-join added neither
+    duplicates nor omissions."""
+    pl = _sql_str(PREF_LABEL)
+    t = _sql_str(RDF_TYPE)
+    return (kg_triples_cte() + f""",
+labels AS (
+  SELECT DISTINCT subject AS entity,
+         trim(regexp_replace(lower(object), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM triples WHERE predicate = {pl}),
+canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY norm) AS canonical
+  FROM labels),
+canon_triples AS (
+  SELECT DISTINCT coalesce(cs.canonical, tr.subject) AS subject,
+         tr.predicate,
+         CASE WHEN tr.object_kind = 'uri'
+              THEN coalesce(co.canonical, tr.object) ELSE tr.object
+         END AS object,
+         tr.object_kind, tr.lang, tr.datatype
+  FROM triples tr
+  LEFT JOIN canon cs ON cs.entity = tr.subject
+  LEFT JOIN canon co ON co.entity = tr.object AND tr.object_kind = 'uri')
+SELECT * FROM canon_triples
+UNION ALL
+SELECT object AS subject, 'urn:graft:stat:n' AS predicate,
+       CAST(COUNT(*) AS VARCHAR) AS object, 'stat' AS object_kind,
+       '' AS lang, '' AS datatype
+FROM canon_triples WHERE predicate = {t} GROUP BY object
+UNION ALL
+SELECT 'urn:graft:metric:merged_rows', 'urn:graft:stat:n',
+       CAST((SELECT COUNT(*) FROM triples) AS VARCHAR), 'stat', '', ''""")

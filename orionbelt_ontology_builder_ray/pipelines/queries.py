@@ -1450,3 +1450,172 @@ def kg_canonicalization_demo(sf_dir):
     items = sorted(mapping.items())
     return pa.table({"entity": [k for k, _ in items],
                      "canonical": [v for _, v in items]})
+
+
+def kg_conversation_sessions(sf_dir, gap_minutes=30):
+    """Sessionize on the KG plane (VERDICT r4 item 5): conversation
+    turns split into sessions by a 30-min inactivity gap over
+    (conv_id, ts, turn_idx) — the generic string-keyed
+    stages/windows.sessionize_log over the north-star transcripts
+    table.  Output: (conv_id, session_id, n, start_ts, end_ts)."""
+    from ..stages.windows import sessionize_log
+
+    ds = _transcripts(sf_dir)
+    return sessionize_log(ds, "conv_id", "turn_idx", "ts",
+                          gap_minutes=gap_minutes)
+
+
+def sessionizes(sf_dir, gap_minutes=30):
+    """Both sessionize planes in ONE tagged union (one driver slot):
+    ``events`` = the events-log sessionizer (bucket-shuffled
+    stages/windows.sessionize_events — the pre-r5 events_sessionize
+    slot, unchanged); ``conv`` = the same operator on the transcripts
+    plane (kg_conversation_sessions).  Common schema
+    (plane, key, session_id, n, start_ts, end_ts); keys stringify
+    identically on both engines (CAST(BIGINT AS VARCHAR))."""
+
+    def tag_events(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "plane": np.repeat("events", len(b)),
+            "key": b["user_id"].astype(np.int64).astype(str),
+            "session_id": b["session_id"].astype(np.int64),
+            "n": b["n_events"].astype(np.int64),
+            "start_ts": b["start_ts"],
+            "end_ts": b["end_ts"],
+        })
+
+    def tag_conv(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "plane": np.repeat("conv", len(b)),
+            "key": b["conv_id"].astype(str),
+            "session_id": b["session_id"].astype(np.int64),
+            "n": b["n"].astype(np.int64),
+            "start_ts": b["start_ts"],
+            "end_ts": b["end_ts"],
+        })
+
+    ev = events_sessionize(sf_dir, gap_minutes).map_batches(
+        tag_events, batch_format="pandas")
+    cv = kg_conversation_sessions(sf_dir, gap_minutes).map_batches(
+        tag_conv, batch_format="pandas")
+    return ev.union(cv)
+
+
+def grouped_topks(sf_dir, k=3):
+    """Both grouped-top-k planes in ONE tagged union (one driver
+    slot): ``events`` = each user's k most recent events
+    (events_topk_per_user); ``kg`` = each conversation's k
+    most-mentioned entities (kg_top_mentions_per_conversation).
+    Common schema (plane, key, item, n): the events leg carries the
+    event timestamp as epoch micros in ``n`` so every column stays
+    non-null (nullable outputs stringify differently across
+    engines)."""
+
+    def tag_events(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "plane": np.repeat("events", len(b)),
+            "key": b["user_id"].astype(np.int64).astype(str),
+            "item": b["event_id"].astype(np.int64).astype(str),
+            "n": b["ts"].to_numpy("datetime64[us]").view(np.int64),
+        })
+
+    def tag_kg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "plane": np.repeat("kg", len(b)),
+            "key": b["conv_uri"].astype(str),
+            "item": b["entity"].astype(str),
+            "n": b["n_mentions"].astype(np.int64),
+        })
+
+    ev = events_topk_per_user(sf_dir, k).map_batches(
+        tag_events, batch_format="pandas")
+    kg = kg_top_mentions_per_conversation(sf_dir, k).map_batches(
+        tag_kg, batch_format="pandas")
+    return ev.union(kg)
+
+
+def kg_continuous_ingest(sf_dir):
+    """Day-2 continuous-ingest composition as ONE driver slot
+    (VERDICT r4 item 3): a store is built from the OLD half of the
+    conversations (even user ids), a full new snapshot lands,
+    ``update_kg`` appends only the genuinely new triples (zero-shuffle
+    broadcast hash anti-join), the merged store canonicalizes
+    (union-find over label keys + arrow rewrite), and the statistics
+    listing refreshes — chained end-to-end through real parquet
+    store directories under /tmp, exactly the ``ray job submit``
+    day-2 path.
+
+    Oracle logic: update_kg's contract is EXACT (store ∪ added ==
+    full-corpus build, disjointly), so the SQL mirror is simply the
+    full-corpus canonicalized triple set + its type counts + the
+    merged pre-dedup row count — hash-equality proves the composition
+    reconstructed the full set, added no duplicates, and dropped
+    nothing.  Tagged legs ride the triple schema: stats rows are
+    pseudo-triples (subject=type_uri, predicate=urn:graft:stat:n,
+    object=count, object_kind='stat')."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.canonicalize import canonicalize
+    from ..stages.dedup import dedup_triples
+    from .kg_build import build_kg, update_kg
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/graft_cont_ingest_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    old_dir = os.path.join(base, "transcripts_old")
+    store_dir = os.path.join(base, "store")
+    added_dir = os.path.join(base, "added")
+
+    # day 1: only the conversations of even-numbered users exist
+    def old_half(t: pa.Table) -> pa.Table:
+        uid = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 32),
+                      pa.int64())
+        return t.filter(pc.equal(pc.bit_wise_and(uid, 1), 0))
+
+    _transcripts(sf_dir).map_batches(
+        old_half, batch_format="pyarrow").write_parquet(old_dir)
+    build_kg(sf_dir, transcripts_path=old_dir, final_sort=False,
+             output_path=store_dir)
+    # day 2: the full snapshot lands; append only what is new
+    update_kg(store_dir, sf_dir=sf_dir, output_path=added_dir)
+
+    merged = rd.read_parquet(store_dir).union(rd.read_parquet(added_dir))
+    n_merged = merged.count()
+    canon, _ = canonicalize(merged, use_labels=True)
+    triples = dedup_triples(canon).materialize()
+
+    stat_pred = "urn:graft:stat:n"
+
+    def type_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.equal(t["predicate"], RDF_TYPE)) \
+            .select(["object"])
+
+    stats = triples.map_batches(type_rows, batch_format="pyarrow") \
+        .groupby("object").aggregate(Count(alias_name="n"))
+
+    def stat_to_triple(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": t["object"].cast(pa.string()),
+            "predicate": pa.array([stat_pred] * n, pa.string()),
+            "object": pa.compute.cast(t["n"], pa.string()),
+            "object_kind": pa.array(["stat"] * n, pa.string()),
+            "lang": pa.array([""] * n, pa.string()),
+            "datatype": pa.array([""] * n, pa.string()),
+        })
+
+    stat_leg = stats.map_batches(stat_to_triple, batch_format="pyarrow")
+    metric_leg = rd.from_arrow(pa.table({
+        "subject": ["urn:graft:metric:merged_rows"],
+        "predicate": [stat_pred],
+        "object": [str(n_merged)],
+        "object_kind": ["stat"],
+        "lang": [""],
+        "datatype": [""],
+    }))
+    return triples.union(stat_leg).union(metric_leg)

@@ -289,6 +289,59 @@ def sessionize_events(ds, gap_minutes: int = 30, num_buckets: int = 64):
                                                batch_format="pandas")
 
 
+def sessionize_log(ds, key_col: str, seq_col: str, ts_col: str = "ts",
+                   gap_minutes: int = 30, num_buckets: int = 64):
+    """``sessionize_events`` generalized to ANY ordered log — string
+    or int keys (conv_id on the transcripts plane), arbitrary
+    sequence-tiebreak column.  Same scale shape: ONE key-hash bucket
+    shuffle of the three pruned columns, then one vectorized pass per
+    bucket.  String keys factorize to int codes inside the bucket
+    (grouping only: session numbering is within-key and time-ordered,
+    so code order never affects the result).  Output is one row per
+    (key, session): (key_col, session_id, n, start_ts, end_ts),
+    session_id numbering from 1 in time order within each key —
+    identical semantics to sessionize_events (pinned by test)."""
+    gap_us = np.int64(gap_minutes * 60_000_000)
+    nb = num_buckets
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[[key_col, seq_col, ts_col]].copy()
+        h = pd.util.hash_pandas_object(m[key_col], index=False)
+        m["_bucket"] = (h % nb).astype("int32")
+        return m
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        seq = g[seq_col].to_numpy()
+        codes, uniq = pd.factorize(g[key_col])
+        order = np.lexsort((seq, ts, codes))
+        ts, codes = ts[order], codes[order]
+        n = len(g)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (codes[1:] != codes[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        kcode = codes[starts]
+        ns = len(starts)
+        kbrk = np.ones(ns, dtype=bool)
+        if ns > 1:
+            kbrk[1:] = kcode[1:] != kcode[:-1]
+        idx = np.arange(ns)
+        first_of_key = np.maximum.accumulate(np.where(kbrk, idx, -1))
+        return pd.DataFrame({
+            key_col: np.asarray(uniq)[kcode],
+            "session_id": (idx - first_of_key + 1).astype(np.int64),
+            "n": (ends - starts).astype(np.int64),
+            "start_ts": ts[starts].view("datetime64[us]"),
+            "end_ts": ts[ends - 1].view("datetime64[us]"),
+        })
+
+    tagged = ds.map_batches(bucket, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(sessions,
+                                                batch_format="pandas")
+
+
 def grouped_topk(ds, key_cols, order_cols, k: int,
                  descending: bool = True, num_buckets: int = 64):
     """Top-k rows per group — the missing Ray Data primitive behind

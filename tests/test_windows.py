@@ -284,3 +284,53 @@ def test_sessionize_gap_boundary_exact(ray_session):
         .to_pandas().sort_values("session_id").reset_index(drop=True)
     assert list(out["session_id"]) == [1, 2]
     assert list(out["n_events"]) == [2, 1]
+
+
+def test_sessionize_log_equals_sessionize_events(ray_session):
+    """The generic string-capable sessionize_log must reproduce
+    sessionize_events row-for-row on the events columns (same gap
+    semantics, same numbering), on random data spanning many users,
+    buckets, and gap boundaries."""
+    import numpy as np
+
+    from orionbelt_ontology_builder_ray.stages.windows import (
+        sessionize_events, sessionize_log)
+
+    rng = np.random.RandomState(21)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 40, n).astype(np.int64),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(rng.randint(0, 7 * 24 * 60, n), unit="m")})
+    a = sessionize_events(rd.from_pandas(df).repartition(5)) \
+        .to_pandas().sort_values(["user_id", "session_id"]) \
+        .reset_index(drop=True)
+    b = sessionize_log(rd.from_pandas(df).repartition(5),
+                       "user_id", "event_id", "ts") \
+        .to_pandas().sort_values(["user_id", "session_id"]) \
+        .reset_index(drop=True)
+    b = b.rename(columns={"n": "n_events"})
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_sessionize_log_string_keys(ray_session):
+    """String keys (the transcripts conv_id plane): hand-computed
+    sessions, keys preserved verbatim, numbering per key from 1."""
+    from orionbelt_ontology_builder_ray.stages.windows import sessionize_log
+
+    t0 = pd.Timestamp("2026-02-01 10:00:00")
+    df = pd.DataFrame({
+        "conv_id": ["conv-b", "conv-b", "conv-b", "conv-a", "conv-a"],
+        "turn_idx": [0, 1, 2, 0, 1],
+        "ts": [t0, t0 + pd.Timedelta(minutes=10),
+               t0 + pd.Timedelta(minutes=80),     # >30m -> new session
+               t0, t0 + pd.Timedelta(minutes=31)]})  # >30m -> new
+    out = sessionize_log(rd.from_pandas(df).repartition(3),
+                         "conv_id", "turn_idx", "ts") \
+        .to_pandas().sort_values(["conv_id", "session_id"]) \
+        .reset_index(drop=True)
+    assert out["conv_id"].tolist() == ["conv-a", "conv-a",
+                                       "conv-b", "conv-b"]
+    assert out["session_id"].tolist() == [1, 2, 1, 2]
+    assert out["n"].tolist() == [1, 1, 2, 1]

@@ -240,6 +240,13 @@ def build_kg(sf_dir: Optional[str] = None,
                 triples = triples.union(seed)
             prehashed = not scoped
         else:
+            # fused=False is the A/B REFERENCE path, deliberately kept
+            # on the pandas kernel: it pins the un-fused two-stage
+            # semantics (and the pandas kernel itself) against the
+            # default fused arrow pool — converting it to arrow would
+            # remove the only independent implementation the
+            # byte-identity tests compare against.  Never on the
+            # default (fused=True) path.
             triples = transcripts.map_batches(
                 TripleExtractor,
                 fn_constructor_kwargs=dict(emit_ts=emit_ts),

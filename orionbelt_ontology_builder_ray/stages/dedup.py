@@ -1059,7 +1059,8 @@ def assign_clusters(ds, labels: pd.DataFrame, id_col: str = "doc_id"):
 
 def minhash_dedup_clusters_ds(ds, threshold=0.7, num_perm=64, num_bands=16,
                               shingle_k=3, id_col="doc_id",
-                              text_col="text", hash_mode="fast"):
+                              text_col="text", hash_mode="fast",
+                              broadcast_id_cap=None):
     """Full near-dup pipeline, Dataset -> Dataset: candidates ->
     distributed Jaccard verify (bucket-hash joins; texts/shingle-sets
     travel once per join, no driver materialization of the corpus) ->
@@ -1069,7 +1070,8 @@ def minhash_dedup_clusters_ds(ds, threshold=0.7, num_perm=64, num_bands=16,
     component."""
     edges = verified_near_dup_edges(ds, threshold, num_perm, num_bands,
                                     shingle_k, id_col, text_col,
-                                    hash_mode=hash_mode)
+                                    hash_mode=hash_mode,
+                                    broadcast_id_cap=broadcast_id_cap)
     labels = _propagate_min_labels(edges)
     return assign_clusters(ds, labels, id_col)
 

@@ -733,3 +733,46 @@ def test_canonicalize_distributed_closure_equals_driver(ray_session):
     a = out_drv.to_pandas().sort_values(key).reset_index(drop=True)
     b = out_dst.to_pandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_checkpoint_resume_after_mid_dedup_crash(ray_session, tmp_path):
+    """Fault drill (VERDICT r4 item 8): a run that dies MID-DEDUP
+    leaves extract_link complete and the dedup stage as an orphaned
+    data.tmp with no manifest.  The resumed run must (a) reuse the
+    extract_link snapshot untouched (manifest written_at unchanged —
+    no recompute), (b) redo dedup from the snapshot, (c) produce the
+    identical triple set as an uninterrupted run."""
+    import json
+    import os
+    import shutil
+
+    from orionbelt_ontology_builder_ray.pipelines import checkpoint as ckpt
+    from orionbelt_ontology_builder_ray.pipelines.kg_build import build_kg
+
+    ck = str(tmp_path / "ckpt")
+    full = build_kg(SF, ckpt_dir=ck, final_sort=False).to_pandas()
+
+    # fabricate the post-crash state: dedup died mid-write (its
+    # atomic-rename never happened), extract_link intact
+    dedup_dir = os.path.join(ck, "dedup")
+    data = os.path.join(dedup_dir, "data")
+    os.rename(data, data + ".tmp")           # orphaned partial write
+    os.remove(os.path.join(dedup_dir, "manifest.json"))
+    el_written_at = ckpt.read_manifest(ck, "extract_link")["written_at"]
+
+    resumed = build_kg(SF, ckpt_dir=ck, final_sort=False).to_pandas()
+    assert sorted(map(tuple, full.to_numpy())) \
+        == sorted(map(tuple, resumed.to_numpy()))
+    # extract_link reused, dedup rebuilt with a fresh manifest
+    assert ckpt.read_manifest(ck, "extract_link")["written_at"] \
+        == el_written_at
+    m = ckpt.read_manifest(ck, "dedup")
+    assert m["complete"] and m["rows"] == len(full)
+
+    # a crash that corrupts the manifest itself (half-written JSON)
+    # must also be treated as incomplete, not crash the resume
+    with open(os.path.join(dedup_dir, "manifest.json"), "w") as f:
+        f.write('{"stage": "dedup", "complete": tr')
+    resumed2 = build_kg(SF, ckpt_dir=ck, final_sort=False).to_pandas()
+    assert len(resumed2) == len(full)
+    assert ckpt.read_manifest(ck, "dedup")["complete"]

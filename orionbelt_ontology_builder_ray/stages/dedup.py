@@ -1212,30 +1212,149 @@ def simhash_docs(ds, id_col="doc_id", text_col="text",
                           batch_format="pandas", concurrency=pool_size())
 
 
+def _expand_run_offsets(run: np.ndarray) -> np.ndarray:
+    """For per-element pair-run lengths ``run``, the 1-based offset of
+    each emitted pair within its run — one arange over the total, no
+    per-run Python loop."""
+    total = int(run.sum())
+    starts = np.repeat(np.cumsum(run) - run, run)
+    return np.arange(total, dtype=np.int64) - starts + 1
+
+
 def ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=3, id_col="doc_id",
                         text_col="text", num_buckets=32, df_cap=None,
                         hash_mode: str = "fast", broadcast_id_cap=None):
     """Exact n-gram Jaccard near-dup PAIRS via an inverted shingle
-    index: candidates are pairs sharing at least one k-token shingle
-    (complete for any threshold > 0 — disjoint-shingle pairs have
-    J = 0), verified with exact set intersection.  Output columns
-    (id_a, id_b, n_inter, n_union), id_a < id_b, filtered to
-    ``n_inter / n_union >= threshold``; the counts (not the float
-    ratio) travel so engines cannot disagree on formatting.
+    index.  Output columns (id_a, id_b, n_inter, n_union), id_a < id_b,
+    filtered to ``n_inter / n_union >= threshold``; the counts (not
+    the float ratio) travel so engines cannot disagree on formatting.
 
-    Scale shape (mirrors the MinHash verify): shingle sets stream ONCE
-    through the inverted-index emission — never materialized corpus-
-    wide — and (doc_id, shingle_hash) rows go through the shared
-    coarse-bucket pair expansion; the candidate PAIR set (small by
-    construction) is materialized, its distinct doc ids broadcast, and
-    the 8 B/shingle sets are recomputed for ONLY those docs before the
-    bucket-hash payload joins — so the verify shuffle is candidate-
-    sized, not corpus-sized, and full text never moves.  ``df_cap``
-    drops shingles shared by more than that many docs before pair
-    expansion (the hot-shingle guard for web-scale corpora — a
-    stopword trigram otherwise expands quadratically); None means
-    exact/complete, the oracle-checkable mode.
+    Default (exact) shape — CO-OCCURRENCE COUNTING: ``n_inter(a, b)``
+    is by definition the number of shingles the docs share, i.e. the
+    multiplicity of (a, b) in the per-shingle pair expansion of the
+    inverted index — so instead of dedup + set-payload joins + a
+    per-pair verify, the expansion rows (which carry the two docs'
+    set SIZES, 16 B/row) are partially aggregated per bucket and
+    summed in one id-hash shuffle; ``n_union = |a| + |b| - n_inter``.
+    No driver collect, no broadcast, no text/set movement at all —
+    measured 2.6x faster than the verify-join design at sf0.1
+    (BASELINE.md round 5) and strictly lighter at scale.
+
+    ``df_cap`` (the hot-shingle guard for web-scale corpora — a
+    stopword trigram otherwise expands quadratically) switches to the
+    legacy candidate+verify path, because its semantics there are
+    "exact intersection over a REDUCED candidate set" — under
+    counting, dropping a hot shingle would undercount n_inter instead.
+    ``broadcast_id_cap`` likewise forces the verify path (it bounds
+    that path's candidate-id broadcast; see BROADCAST_ID_CAP).  None
+    for both means exact/complete, the oracle-checkable mode.
     """
+    if df_cap is not None or broadcast_id_cap is not None:
+        return _ngram_jaccard_pairs_verify(
+            ds, threshold, shingle_k, id_col, text_col, num_buckets,
+            df_cap, hash_mode, broadcast_id_cap)
+    import ray.data as rd
+
+    shingle_kwargs = dict(shingle_k=shingle_k, id_col=id_col,
+                          text_col=text_col, hash_mode=hash_mode)
+    sets_stream = ds.map_batches(
+        _ShingleSets, fn_constructor_kwargs=shingle_kwargs,
+        batch_format="pandas", concurrency=pool_size())
+
+    def inverted(t: pa.Table) -> pa.Table:
+        ids = t["_k"].to_numpy(zero_copy_only=False)
+        sets = [np.frombuffer(s or b"", dtype=np.int64)
+                for s in t["_set"].to_pylist()]
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        sh = (np.concatenate(sets) if sets
+              else np.array([], dtype=np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens)),
+            "size": pa.array(np.repeat(lens, lens)),
+            "band_hash": pa.array(sh),
+        })
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t["band_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b", pa.array((h % num_buckets).astype(np.int32)))
+
+    def count_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["band_hash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        sz = df["size"].to_numpy()
+        order = np.lexsort((ids, h))
+        h, ids, sz = h[order], ids[order], sz[order]
+        n = len(h)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "n_inter": pd.Series([], dtype=np.int64),
+            "sa": pd.Series([], dtype=np.int64),
+            "sb": pd.Series([], dtype=np.int64)})
+        if n == 0:
+            return empty
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_sizes = np.diff(np.append(grp_start, n))
+        pos = np.arange(n) - np.repeat(grp_start, grp_sizes)
+        run = np.repeat(grp_sizes, grp_sizes) - 1 - pos
+        a_idx = np.repeat(np.arange(n), run)
+        if not len(a_idx):
+            return empty
+        b_idx = a_idx + _expand_run_offsets(run)
+        part = pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx],
+                             "sa": sz[a_idx], "sb": sz[b_idx]})
+        return part.groupby(["id_a", "id_b"], sort=False).agg(
+            n_inter=("sa", "size"), sa=("sa", "first"),
+            sb=("sb", "first")).reset_index()
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b2", pa.array((a % num_buckets).astype(np.int32)))
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], sort=False).agg(
+            n_inter=("n_inter", "sum"), sa=("sa", "first"),
+            sb=("sb", "first")).reset_index()
+        inter = g["n_inter"].to_numpy()
+        union = (g["sa"] + g["sb"]).to_numpy() - inter
+        keep = np.divide(inter, np.maximum(union, 1)) >= threshold
+        return pd.DataFrame({
+            "id_a": g["id_a"].to_numpy()[keep],
+            "id_b": g["id_b"].to_numpy()[keep],
+            "n_inter": inter[keep],
+            "n_union": union[keep]})
+
+    out = (sets_stream.map_batches(inverted, batch_format="pyarrow")
+           .map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("_b").map_groups(count_in_bucket,
+                                     batch_format="pandas")
+           .map_batches(pair_bucket, batch_format="pyarrow")
+           .groupby("_b2").map_groups(reduce_pairs,
+                                      batch_format="pandas"))
+    # typed empty union pins the output schema even when no pairs
+    # survive (a schema-less empty dataset would fail the oracle)
+    return out.union(rd.from_arrow(pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("n_inter", pa.int64()), ("n_union", pa.int64())])
+        .empty_table()))
+
+
+def _ngram_jaccard_pairs_verify(ds, threshold=0.5, shingle_k=3,
+                                id_col="doc_id", text_col="text",
+                                num_buckets=32, df_cap=None,
+                                hash_mode: str = "fast",
+                                broadcast_id_cap=None):
+    """Legacy candidate + set-verify path (the ``df_cap`` /
+    ``broadcast_id_cap`` semantics; see ``ngram_jaccard_pairs``):
+    distinct candidate pairs are materialized, the 8 B/shingle sets
+    are recomputed for only those docs (broadcast ids under the cap,
+    streamed bucket-hash semi-join above it) and bucket-joined onto
+    the pairs for an exact per-pair intersection."""
     import ray
 
     shingle_kwargs = dict(shingle_k=shingle_k, id_col=id_col,
@@ -1537,9 +1656,12 @@ def _embedding_near_dup_bucketed(ds, n, threshold, id_col, vec_col,
 
 
 def _gather_normalized(ds, id_col, vec_col):
-    """Driver-side gather for the *capped* exact path only."""
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows])
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    """Driver-side gather for the *capped* exact path only.
+
+    ``to_pandas`` not ``take_all`` — per-row dict materialization
+    measured 2500x slower than the block path (BASELINE.md round 5)."""
+    df = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = df[id_col].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     return mat, ids

@@ -948,3 +948,33 @@ def test_budget_mix_thresholds_exact_integer_math():
                              id_col="mix_key", strata_col="source",
                              thresholds={"docs": 0, "turns": 0})(df) \
         .empty
+
+
+def test_ngram_jaccard_count_path_equals_verify_path(ray_session):
+    """The default co-occurrence-count design == the legacy
+    candidate+set-verify design (forced via broadcast_id_cap) on a
+    random corpus with planted near-dups — same pairs, same exact
+    (n_inter, n_union)."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        _ngram_jaccard_pairs_verify, ngram_jaccard_pairs)
+
+    rng = random.Random(17)
+    words = ["ash", "birch", "cedar", "elm", "fir", "oak", "pine"]
+    texts = [" ".join(rng.choices(words, k=rng.randint(2, 18)))
+             for _ in range(80)]
+    texts += [t + " elm" for t in texts[:15]]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df).repartition(5)
+    key = ["id_a", "id_b"]
+    new = ngram_jaccard_pairs(ds, threshold=0.35).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    old = _ngram_jaccard_pairs_verify(ds, threshold=0.35).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(new) > 0
+    pd.testing.assert_frame_equal(new.astype("int64"),
+                                  old.astype("int64"))

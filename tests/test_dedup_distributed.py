@@ -978,3 +978,25 @@ def test_ngram_jaccard_count_path_equals_verify_path(ray_session):
     assert len(new) > 0
     pd.testing.assert_frame_equal(new.astype("int64"),
                                   old.astype("int64"))
+
+
+def test_expand_run_offsets_property():
+    """_expand_run_offsets: for random run-length vectors, the emitted
+    offsets are exactly [1..run[i]] per element, concatenated — the
+    invariant the vectorized pair expansion rests on."""
+    import random
+
+    import numpy as np
+
+    from orionbelt_ontology_builder_ray.stages.dedup import (
+        _expand_run_offsets)
+
+    rng = random.Random(23)
+    for _ in range(25):
+        run = np.array([rng.randint(0, 6)
+                        for _ in range(rng.randint(0, 40))],
+                       dtype=np.int64)
+        got = _expand_run_offsets(run)
+        exp = np.concatenate([np.arange(1, r + 1) for r in run]) \
+            if run.sum() else np.array([], dtype=np.int64)
+        assert np.array_equal(got, exp)

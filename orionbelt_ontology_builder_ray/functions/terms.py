@@ -338,3 +338,16 @@ def pool_size(frac: float = 0.25, cap: int = 8, floor: int = 1) -> int:
     except Exception:
         cpus = 8
     return max(floor, min(cap, int(cpus * frac), max(1, cpus - 2)))
+
+
+def pool_spec(frac: float = 0.25, cap: int = 8) -> tuple:
+    """AUTOSCALING actor-pool spec ``(1, pool_size())`` for stages
+    that run as legs of a multi-pool union DAG.  Fixed pools start
+    every actor up front, so K pools in one DAG pin K*pool_size CPUs
+    and — on a small session (e.g. the 8-CPU correctness harness) —
+    can starve the task operators (ReadParquet, shuffles) of every
+    CPU and deadlock the stream.  An autoscaling pool needs only one
+    CPU to make progress and grows under demand, so the DAG always
+    drains.  Single-pool hot pipelines keep fixed ``pool_size()``
+    (no ramp-up)."""
+    return (1, pool_size(frac=frac, cap=cap))

@@ -1502,26 +1502,69 @@ ORDER BY d.doc_id"""
 def sql_doc_token_stats(vocab_top_m: int = 100) -> str:
     """Tagged-union mirror of queries.doc_token_stats (token counts
     melted + distinct-bigram counts + OOV counts against the corpus's
-    own top-M vocab, one driver slot).  Vocab tie-break: count desc,
-    token asc — the same deterministic ordering as
-    stages/textops.corpus_vocab."""
+    own top-M vocab + bigram-LM avg logp + DSIR target/source
+    logratio, one driver slot).  Vocab tie-break: count desc, token
+    asc — the same deterministic ordering as stages/textops.
+    corpus_vocab.  The lm/tlm CTEs re-train the add-alpha bigram
+    models (source = whole corpus, target = doc_id % 5 = 0) exactly
+    as corpus_bigram_lm does, min_count-pruned via HAVING."""
     return f"""
 WITH tc AS ({sql_doc_token_counts()}), ng AS ({sql_doc_ngram_stats()}),
-toks AS (
-  SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+itoks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS tok,
+         generate_subscripts({_TOK_SQL}, 1) AS i
+  FROM documents),
 vocab AS (
-  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+  SELECT tok, COUNT(*) AS n FROM itoks GROUP BY tok
   ORDER BY n DESC, tok LIMIT {vocab_top_m}),
 oov AS (
-  SELECT doc_id, COUNT(*) AS n FROM toks
-  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id)
+  SELECT doc_id, COUNT(*) AS n FROM itoks
+  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id),
+big AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM itoks a JOIN itoks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+uni AS (SELECT tok AS w1, COUNT(*) AS n FROM itoks GROUP BY tok),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY w1, w2
+  HAVING COUNT(*) >= 2),
+v AS (SELECT COUNT(*) AS nv FROM uni),
+lm AS (
+  SELECT big.doc_id, COUNT(*) AS n_lm,
+         AVG(LN((COALESCE(bi.n, 0) + 0.5) / (uni.n + 0.5 * v.nv)))
+           AS avg_logp
+  FROM big LEFT JOIN bi ON big.w1 = bi.w1 AND big.w2 = bi.w2
+  JOIN uni ON big.w1 = uni.w1 CROSS JOIN v GROUP BY big.doc_id),
+tuni AS (
+  SELECT tok AS w1, COUNT(*) AS n FROM itoks
+  WHERE doc_id % 5 = 0 GROUP BY tok),
+tbi AS (
+  SELECT w1, w2, COUNT(*) AS n FROM big WHERE doc_id % 5 = 0
+  GROUP BY w1, w2 HAVING COUNT(*) >= 2),
+tv AS (SELECT COUNT(*) AS nv FROM tuni),
+dsir AS (
+  SELECT big.doc_id,
+         AVG(LN((COALESCE(tbi.n, 0) + 0.5)
+                / (COALESCE(tuni.n, 0) + 0.5 * GREATEST(tv.nv, 1)))
+             - LN((COALESCE(bi.n, 0) + 0.5) / (uni.n + 0.5 * v.nv)))
+           AS avg_lr
+  FROM big
+  LEFT JOIN tbi ON big.w1 = tbi.w1 AND big.w2 = tbi.w2
+  LEFT JOIN tuni ON big.w1 = tuni.w1
+  LEFT JOIN bi ON big.w1 = bi.w1 AND big.w2 = bi.w2
+  JOIN uni ON big.w1 = uni.w1
+  CROSS JOIN tv CROSS JOIN v GROUP BY big.doc_id)
 SELECT doc_id, 'n_chars' AS metric, n_chars AS n FROM tc
 UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM tc
 UNION ALL SELECT doc_id, 'n_bpe_tokens', n_bpe_tokens FROM tc
 UNION ALL SELECT doc_id, 'n_distinct_bigrams', n_distinct_bigrams FROM ng
 UNION ALL SELECT d.doc_id, 'n_oov', COALESCE(oov.n, 0)
 FROM documents d LEFT JOIN oov USING (doc_id)
-UNION ALL SELECT CAST(-1 AS BIGINT), 'vocab:' || tok, n FROM vocab"""
+UNION ALL SELECT CAST(-1 AS BIGINT), 'vocab:' || tok, n FROM vocab
+UNION ALL SELECT doc_id, 'n_lm_bigrams', n_lm FROM lm
+UNION ALL SELECT doc_id, 'lm_avg_logp_e6',
+  CAST(ROUND(avg_logp * 1e6) AS BIGINT) FROM lm
+UNION ALL SELECT doc_id, 'dsir_logratio_e6',
+  CAST(ROUND(avg_lr * 1e6) AS BIGINT) FROM dsir"""
 
 
 def sql_doc_dedups() -> str:

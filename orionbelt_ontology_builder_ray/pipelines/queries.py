@@ -13,7 +13,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.kg import (KG, KG_MENTIONS, KG_USED_TOOL, LABEL, PREF_LABEL)
-from ..functions.terms import pool_size
+from ..functions.terms import pool_size, pool_spec
 from ..functions.terms import RDF_TYPE
 from ..sources.transcripts import derive_transcripts
 from ..stages.dedup import exact_dedup_docs
@@ -263,12 +263,12 @@ def doc_dedup_exact(sf_dir):
 
 def doc_token_counts(sf_dir):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pyarrow", concurrency=pool_size())
+        TokenCounter, batch_format="pyarrow", concurrency=pool_spec())
 
 
 def doc_ngram_stats(sf_dir):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        BigramStats, batch_format="pandas", concurrency=pool_size())
+        BigramStats, batch_format="pandas", concurrency=pool_spec())
 
 
 def doc_dedups(sf_dir):
@@ -328,13 +328,23 @@ def doc_dedups(sf_dir):
 
 
 def doc_token_stats(sf_dir):
-    """Token counts + distinct-bigram counts + OOV counts in ONE
-    tagged union (one driver slot; all are per-doc integer count
-    surfaces).  The ``n_oov`` leg applies the corpus's own top-100
-    vocabulary (corpus_vocab -> ray.put broadcast -> streaming set
-    lookups): the tokenizer-application step, oracle-mirrored with a
-    NOT IN anti-join over the same deterministically tie-broken
-    vocab."""
+    """Token counts + distinct-bigram counts + OOV counts + bigram-LM
+    perplexity scores in ONE tagged union (one driver slot; all are
+    per-doc integer surfaces).  The ``n_oov`` leg applies the corpus's
+    own top-100 vocabulary (corpus_vocab -> ray.put broadcast ->
+    streaming set lookups): the tokenizer-application step,
+    oracle-mirrored with a NOT IN anti-join over the same
+    deterministically tie-broken vocab.  The LM legs train the
+    add-alpha bigram model on the corpus itself (corpus_bigram_lm ->
+    broadcast -> LmPerplexityScorer) and carry avg_logp as
+    round(x * 1e6) BIGINT — integer parity across engines; like the
+    kmeans ROUND(,6) contract, an avg sitting within a summation-
+    order ulp of a half-microunit boundary could round apart, a
+    measure-zero event on log ratios.  The ``dsir_logratio_e6`` leg
+    is DSIR importance weighting (Xie et al. 2023): a SECOND bigram
+    LM trained on the target-domain split (demo split: doc_id % 5 ==
+    0) and every doc scored by mean(logp_target - logp_source) in one
+    fused pass sharing the source model with the lm leg."""
 
     def melt(t: pa.Table) -> pa.Table:
         parts = [pa.table({
@@ -379,7 +389,49 @@ def doc_token_stats(sf_dir):
         "metric": pa.array(("vocab:" + vdf["token"]).tolist(),
                            pa.string()),
         "n": pa.array(vdf["n"].to_numpy(np.int64))}))
-    return counts.union(grams).union(oov).union(vocab_rows)
+
+    def tag_lm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64())
+        scaled = np.round(
+            t["avg_logp"].to_numpy(zero_copy_only=False) * 1e6) \
+            .astype(np.int64)
+        return pa.concat_tables([
+            pa.table({"doc_id": ids,
+                      "metric": pa.array(["n_lm_bigrams"] * len(t),
+                                         pa.string()),
+                      "n": t["n_lm_bigrams"].cast(pa.int64())}),
+            pa.table({"doc_id": ids,
+                      "metric": pa.array(["lm_avg_logp_e6"] * len(t),
+                                         pa.string()),
+                      "n": pa.array(scaled)})])
+
+    from ..stages.textops import (corpus_bigram_lm, dsir_scores,
+                                  lm_perplexity_scores)
+
+    # ONE source-model training pass shared by the lm and dsir legs
+    model_s = corpus_bigram_lm(docs)
+    lm_rows = lm_perplexity_scores(docs, model=model_s).map_batches(
+        tag_lm, batch_format="pyarrow")
+
+    def tag_dsir(t: pa.Table) -> pa.Table:
+        scaled = np.round(
+            t["avg_logratio"].to_numpy(zero_copy_only=False) * 1e6) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "metric": pa.array(["dsir_logratio_e6"] * len(t),
+                               pa.string()),
+            "n": pa.array(scaled)})
+
+    def target_split(t: pa.Table) -> pa.Table:
+        mask = (t["doc_id"].to_numpy(zero_copy_only=False) % 5) == 0
+        return t.filter(pa.array(mask))
+
+    target = docs.map_batches(target_split, batch_format="pyarrow")
+    dsir_rows = dsir_scores(docs, target, source_model=model_s) \
+        .map_batches(tag_dsir, batch_format="pyarrow")
+    return counts.union(grams).union(oov).union(vocab_rows) \
+        .union(lm_rows).union(dsir_rows)
 
 
 def doc_repetition(sf_dir):

@@ -549,7 +549,7 @@ def oov_counts(ds, vocab_top_m: int = 100, id_col="doc_id",
     the build pass is not repeated (ADVICE r4)."""
     import ray
 
-    from ..functions.terms import pool_size
+    from ..functions.terms import pool_spec
 
     if vocab is None:
         vocab = corpus_vocab(ds, text_col=text_col, top_m=vocab_top_m)
@@ -557,7 +557,7 @@ def oov_counts(ds, vocab_top_m: int = 100, id_col="doc_id",
     return ds.map_batches(
         OovCounter, fn_constructor_kwargs=dict(
             vocab_ref=vref, id_col=id_col, text_col=text_col),
-        batch_format="pandas", concurrency=pool_size())
+        batch_format="pandas", concurrency=pool_spec())
 
 
 class GopherRepetitionFilter:
@@ -590,3 +590,248 @@ class GopherRepetitionFilter:
         return pd.DataFrame({
             self.id_col: kept[self.id_col].to_numpy(np.int64),
             "n_tokens": n_tokens})
+
+
+def corpus_bigram_lm(ds, text_col="text", min_count=2,
+                     num_buckets: int = 64):
+    """Corpus-trained add-alpha bigram language model — the model half
+    of CCNet-style LM quality filtering (score docs by how "corpus-
+    typical" their token transitions are; reference has no analog,
+    engine-native training-data functionality).
+
+    Scale shape (same as corpus_vocab): each batch emits its LOCAL
+    (w1, w2, n) partial counts — unigrams ride the same stream as
+    (kind=0, w1, '') rows — one w1-hash bucket shuffle co-locates each
+    head token's unigram with its bigrams, buckets sum vectorized,
+    and only the MODEL reaches the driver: the unigram table is
+    vocabulary-sized and the bigram table is pruned to ``n >=
+    min_count`` (the model-size bound — the singleton bigram long
+    tail, the bulk of the distinct-bigram mass on natural text, never
+    leaves the bucket).  The raw token stream never shuffles.
+
+    Returns ``(uni, bi, n_vocab)``: uni = DataFrame (w1, n) over ALL
+    corpus tokens, bi = DataFrame (w1, w2, n) with n >= min_count,
+    n_vocab = len(uni) (the smoothing denominator's V).
+    """
+    from collections import Counter
+
+    split = re.compile(f"[{_WS}]+").split  # ASCII ws, RE2 contract
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in b[text_col]:
+            toks = [w for w in split(str(t)) if w]
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        n_u, n_b = len(uni), len(bi)
+        w1 = np.empty(n_u + n_b, dtype=object)
+        w2 = np.empty(n_u + n_b, dtype=object)
+        n = np.empty(n_u + n_b, dtype=np.int64)
+        kind = np.empty(n_u + n_b, dtype=np.int8)
+        w1[:n_u] = list(uni.keys())
+        w2[:n_u] = ""
+        n[:n_u] = list(uni.values())
+        kind[:n_u] = 0
+        w1[n_u:] = [a for a, _ in bi.keys()]
+        w2[n_u:] = [b2 for _, b2 in bi.keys()]
+        n[n_u:] = list(bi.values())
+        kind[n_u:] = 1
+        h = pd.util.hash_pandas_object(pd.Series(w1, dtype=object),
+                                       index=False)
+        return pd.DataFrame({
+            "kind": kind, "w1": w1, "w2": w2, "n": n,
+            "_b": (h % num_buckets).astype(np.int32)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["kind", "w1", "w2"], sort=False)["n"] \
+            .sum().reset_index()
+        keep = (s["kind"] == 0) | (s["n"] >= min_count)
+        return s[keep]
+
+    model = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if "kind" not in model.columns:  # empty corpus
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        return empty[["w1", "n"]], empty, 0
+    uni = model[model["kind"] == 0][["w1", "n"]].reset_index(drop=True)
+    bi = model[model["kind"] == 1][["w1", "w2", "n"]] \
+        .reset_index(drop=True)
+    return uni, bi, len(uni)
+
+
+def _unwrap_model(model_ref):
+    """ObjectRef-or-value -> (uni_merge_tbl, bi_merge_tbl, V) with the
+    count columns pre-renamed for collision-free merges."""
+    try:
+        import ray
+
+        if isinstance(model_ref, ray.ObjectRef):
+            model_ref = ray.get(model_ref)
+    except ImportError:
+        pass
+    uni, bi, n_vocab = model_ref
+    return (uni.rename(columns={"n": "_n_uni"}),
+            bi.rename(columns={"n": "_n_bi"}), int(n_vocab))
+
+
+def _bigram_pair_frame(batch, id_col, text_col, split):
+    """Flatten a batch of docs into one (doc_id, w1, w2) bigram frame
+    (docs with < 2 tokens contribute no rows); None if empty."""
+    docs, w1s, w2s = [], [], []
+    for doc_id, t in zip(batch[id_col], batch[text_col]):
+        toks = [w for w in split(str(t)) if w]
+        if len(toks) < 2:
+            continue
+        docs.extend([doc_id] * (len(toks) - 1))
+        w1s.extend(toks[:-1])
+        w2s.extend(toks[1:])
+    if not docs:
+        return None
+    return pd.DataFrame({id_col: np.asarray(docs, dtype=np.int64),
+                         "w1": w1s, "w2": w2s})
+
+
+def _pair_logp(df, uni, bi, v, alpha):
+    """Vectorized add-alpha bigram log-likelihood per pair row:
+    ln((c(w1,w2) + a) / (c(w1) + a*V)).  Two C hash-joins, no
+    per-token Python.  fillna(0) keeps cross-corpus application
+    well-defined (a w1/pair unseen by THIS model counts 0)."""
+    m = df.merge(bi, on=["w1", "w2"], how="left") \
+        .merge(uni, on="w1", how="left")
+    c_bi = m["_n_bi"].fillna(0).to_numpy(np.float64)
+    c_uni = m["_n_uni"].fillna(0).to_numpy(np.float64)
+    return np.log((c_bi + alpha) / (c_uni + alpha * max(v, 1)))
+
+
+class LmPerplexityScorer:
+    """doc -> (doc_id, n_lm_bigrams, avg_logp): mean add-alpha bigram
+    log-likelihood under the broadcast ``corpus_bigram_lm`` model —
+    logp(w1 w2) = ln((c(w1,w2) + a) / (c(w1) + a·V)).  Low scores
+    flag corpus-atypical docs (the LM leg of a CCNet-style quality
+    gate).  Docs with < 2 tokens emit no row (no bigrams to score).
+
+    The model rides ``ray.put`` once and lands in each actor as two
+    pandas merge tables built in ``__init__``; per-batch scoring is
+    two C hash-joins + one groupby — no per-token Python."""
+
+    def __init__(self, model_ref, alpha: float = 0.5,
+                 id_col="doc_id", text_col="text"):
+        self.uni, self.bi, self.v = _unwrap_model(model_ref)
+        self.alpha = float(alpha)
+        self.id_col, self.text_col = id_col, text_col
+        self._split = re.compile(f"[{_WS}]+").split
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        df = _bigram_pair_frame(batch, self.id_col, self.text_col,
+                                self._split)
+        if df is None:
+            return pd.DataFrame({
+                self.id_col: pd.Series([], dtype=np.int64),
+                "n_lm_bigrams": pd.Series([], dtype=np.int64),
+                "avg_logp": pd.Series([], dtype=np.float64)})
+        logp = _pair_logp(df, self.uni, self.bi, self.v, self.alpha)
+        out = pd.DataFrame({self.id_col: df[self.id_col], "_lp": logp}) \
+            .groupby(self.id_col, sort=False)["_lp"] \
+            .agg(["size", "mean"]).reset_index()
+        return pd.DataFrame({
+            self.id_col: out[self.id_col].to_numpy(np.int64),
+            "n_lm_bigrams": out["size"].to_numpy(np.int64),
+            "avg_logp": out["mean"].to_numpy(np.float64)})
+
+
+def lm_perplexity_scores(ds, alpha: float = 0.5, min_count: int = 2,
+                         id_col="doc_id", text_col="text", model=None):
+    """Two-phase LM quality scoring: train ``corpus_bigram_lm`` on the
+    corpus (one counting pass, one model-sized shuffle), broadcast the
+    model once, then stream every doc through ``LmPerplexityScorer``
+    — the corpus scans exactly twice and only model-sized state ever
+    reaches the driver or the actors."""
+    import ray
+
+    from ..functions.terms import pool_spec
+
+    if model is None:
+        model = corpus_bigram_lm(ds, text_col=text_col,
+                                 min_count=min_count)
+    mref = ray.put(model)
+    return ds.map_batches(
+        LmPerplexityScorer, fn_constructor_kwargs=dict(
+            model_ref=mref, alpha=alpha, id_col=id_col,
+            text_col=text_col),
+        batch_format="pandas", concurrency=pool_spec())
+
+
+class DsirScorer:
+    """doc -> (doc_id, n_lm_bigrams, avg_logratio): DSIR-style data
+    selection via importance resampling (Xie et al. 2023) adapted to
+    the add-alpha bigram LM — the per-doc importance weight is the
+    mean over the doc's bigrams of log p_target(w2|w1) -
+    log p_source(w1 w2 under the same formula), i.e. how much more
+    target-domain-typical than corpus-typical the doc reads.  Docs
+    with high avg_logratio are the ones importance resampling keeps
+    when curating a corpus toward the target domain.
+
+    Both models ride ``ray.put`` once; a batch is flattened into ONE
+    bigram pair frame and scored under both models with four C
+    hash-joins total — the fused pass avoids the per-doc join of two
+    separate score Datasets (an exchange at corpus doc counts)."""
+
+    def __init__(self, target_ref, source_ref, alpha: float = 0.5,
+                 id_col="doc_id", text_col="text"):
+        self.t_uni, self.t_bi, self.t_v = _unwrap_model(target_ref)
+        self.s_uni, self.s_bi, self.s_v = _unwrap_model(source_ref)
+        self.alpha = float(alpha)
+        self.id_col, self.text_col = id_col, text_col
+        self._split = re.compile(f"[{_WS}]+").split
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        df = _bigram_pair_frame(batch, self.id_col, self.text_col,
+                                self._split)
+        if df is None:
+            return pd.DataFrame({
+                self.id_col: pd.Series([], dtype=np.int64),
+                "n_lm_bigrams": pd.Series([], dtype=np.int64),
+                "avg_logratio": pd.Series([], dtype=np.float64)})
+        lt = _pair_logp(df, self.t_uni, self.t_bi, self.t_v, self.alpha)
+        ls = _pair_logp(df, self.s_uni, self.s_bi, self.s_v, self.alpha)
+        out = pd.DataFrame({self.id_col: df[self.id_col],
+                            "_lr": lt - ls}) \
+            .groupby(self.id_col, sort=False)["_lr"] \
+            .agg(["size", "mean"]).reset_index()
+        return pd.DataFrame({
+            self.id_col: out[self.id_col].to_numpy(np.int64),
+            "n_lm_bigrams": out["size"].to_numpy(np.int64),
+            "avg_logratio": out["mean"].to_numpy(np.float64)})
+
+
+def dsir_scores(ds, target_ds, alpha: float = 0.5, min_count: int = 2,
+                id_col="doc_id", text_col="text", source_model=None,
+                target_model=None):
+    """DSIR importance weights for every doc in ``ds`` toward the
+    domain exemplified by ``target_ds``: train ``corpus_bigram_lm``
+    on both (each one counting pass + one model-sized shuffle, and
+    the source model can be SHARED with ``lm_perplexity_scores`` via
+    ``source_model=``), broadcast both models once, then stream the
+    corpus through the fused ``DsirScorer``.  Only model-sized state
+    ever reaches the driver or the actors; the corpus itself scans
+    once for scoring."""
+    import ray
+
+    from ..functions.terms import pool_spec
+
+    if source_model is None:
+        source_model = corpus_bigram_lm(ds, text_col=text_col,
+                                        min_count=min_count)
+    if target_model is None:
+        target_model = corpus_bigram_lm(target_ds, text_col=text_col,
+                                        min_count=min_count)
+    tref, sref = ray.put(target_model), ray.put(source_model)
+    return ds.map_batches(
+        DsirScorer, fn_constructor_kwargs=dict(
+            target_ref=tref, source_ref=sref, alpha=alpha,
+            id_col=id_col, text_col=text_col),
+        batch_format="pandas", concurrency=pool_spec())

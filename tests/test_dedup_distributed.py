@@ -1000,3 +1000,135 @@ def test_expand_run_offsets_property():
         exp = np.concatenate([np.arange(1, r + 1) for r in run]) \
             if run.sum() else np.array([], dtype=np.int64)
         assert np.array_equal(got, exp)
+
+
+def test_bigram_lm_brute_force_parity(ray_session):
+    """corpus_bigram_lm + LmPerplexityScorer == a hand-rolled
+    add-alpha bigram model on the same corpus: exact counts,
+    min_count pruning treated as c=0, identical avg logp; partition-
+    invariant; short docs emit no row."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.textops import (
+        corpus_bigram_lm, lm_perplexity_scores)
+
+    rng = np.random.RandomState(21)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(2, 25)))
+             for _ in range(40)]
+    texts += ["solo", "", "  \t \n "]  # <2 tokens: no LM row
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    split = re.compile(r"[ \t\n\r\f\v]+").split
+    uni, bi, toks_by = Counter(), Counter(), {}
+    for i, t in zip(df["doc_id"], df["text"]):
+        toks = [w for w in split(t) if w]
+        toks_by[i] = toks
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    v = len(uni)
+    alpha, min_count = 0.5, 2
+    expect = {}
+    for i, toks in toks_by.items():
+        if len(toks) < 2:
+            continue
+        lps = [math.log(((bi[p] if bi[p] >= min_count else 0) + alpha)
+                        / (uni[p[0]] + alpha * v))
+               for p in zip(toks, toks[1:])]
+        expect[i] = (len(lps), sum(lps) / len(lps))
+
+    for nparts in (1, 5):
+        ds = rd.from_pandas(df).repartition(nparts)
+        out = lm_perplexity_scores(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert set(out["doc_id"]) == set(expect)
+        for _, r in out.iterrows():
+            n, lp = expect[r["doc_id"]]
+            assert r["n_lm_bigrams"] == n
+            assert abs(r["avg_logp"] - lp) < 1e-12
+
+    # model shape: unigrams complete, bigrams pruned to >= min_count
+    mu, mb, nv = corpus_bigram_lm(rd.from_pandas(df).repartition(3))
+    assert nv == v and len(mu) == v
+    assert dict(zip(mu["w1"], mu["n"])) == dict(uni)
+    kept = {k: n for k, n in bi.items() if n >= min_count}
+    assert dict(zip(zip(mb["w1"], mb["w2"]), mb["n"])) == kept
+
+
+def test_dsir_scores_brute_force_parity(ray_session):
+    """dsir_scores == hand-rolled mean(logp_target - logp_source) per
+    doc under two independently trained add-alpha bigram models;
+    source model shared with the lm leg; target-OOV heads fall back
+    to c=0 under the target model."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.textops import (
+        corpus_bigram_lm, dsir_scores)
+
+    rng = np.random.RandomState(33)
+    # target-flavored docs use a disjoint sub-vocabulary so the two
+    # models genuinely disagree
+    voc_t = [f"t{i}" for i in range(8)]
+    voc_s = [f"s{i}" for i in range(8)]
+    texts = []
+    for i in range(36):
+        voc = voc_t if i % 5 == 0 else voc_s
+        texts.append(" ".join(rng.choice(voc, rng.randint(2, 20))))
+    texts.append("solo")  # no bigrams -> no row
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    split = re.compile(r"[ \t\n\r\f\v]+").split
+
+    def train(sub):
+        uni, bi = Counter(), Counter()
+        for t in sub:
+            toks = [w for w in split(t) if w]
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        return uni, {k: n for k, n in bi.items() if n >= 2}, len(uni)
+
+    s_uni, s_bi, s_v = train(df["text"])
+    t_uni, t_bi, t_v = train(df[df["doc_id"] % 5 == 0]["text"])
+    a = 0.5
+
+    def logp(p, uni, bi, v):
+        return math.log((bi.get(p, 0) + a)
+                        / (uni.get(p[0], 0) + a * max(v, 1)))
+
+    expect = {}
+    for i, t in zip(df["doc_id"], df["text"]):
+        toks = [w for w in split(t) if w]
+        if len(toks) < 2:
+            continue
+        lrs = [logp(p, t_uni, t_bi, t_v) - logp(p, s_uni, s_bi, s_v)
+               for p in zip(toks, toks[1:])]
+        expect[i] = sum(lrs) / len(lrs)
+
+    ds = rd.from_pandas(df).repartition(4)
+    target = rd.from_pandas(
+        df[df["doc_id"] % 5 == 0].reset_index(drop=True)).repartition(2)
+    out = dsir_scores(ds, target).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert set(out["doc_id"]) == set(expect)
+    for _, r in out.iterrows():
+        assert abs(r["avg_logratio"] - expect[r["doc_id"]]) < 1e-12
+    # target docs read target-typical: every i % 5 == 0 doc scores
+    # above every off-target doc on this disjoint-vocab corpus
+    on = out[out["doc_id"] % 5 == 0]["avg_logratio"].min()
+    off = out[out["doc_id"] % 5 != 0]["avg_logratio"].max()
+    assert on > off
+    # sharing a pre-trained source model is identical
+    m_s = corpus_bigram_lm(ds)
+    out2 = dsir_scores(ds, target, source_model=m_s).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)

@@ -1499,6 +1499,53 @@ LEFT JOIN lgc USING (doc_id)
 ORDER BY d.doc_id"""
 
 
+def _sql_bpe_ctes(num_merges: int = 4) -> tuple:
+    """Unrolled BPE merge iterations as DuckDB CTEs (mirrors
+    stages/bpe.bpe_train; the kmeans-style unrolled-iteration oracle
+    pattern).  Words are symbol STRINGS — base chars plus one
+    private-use sentinel chr(57344+k) per merge — so DuckDB
+    ``replace()`` IS the greedy left-to-right BPE merge step,
+    byte-identical to the Ray side's str.replace.  Tie-break matches
+    bpe_train: n desc, EXPANDED left asc, expanded right asc, raw
+    pair asc (expansion = chain of sentinel->expansion replaces; a
+    symbol is one char, so replace order is immaterial).  Returns
+    (ctes_sql, union_legs_sql)."""
+    chars = ("unnest(regexp_extract_all(word, '.')) AS ch, "
+             "generate_subscripts(regexp_extract_all(word, '.'), 1) AS i")
+    ctes = ["""
+bwf AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM itoks GROUP BY tok)""",
+            "\nbw0 AS (SELECT word, freq FROM bwf)"]
+    legs = []
+    for k in range(1, num_merges + 1):
+        def expand(col, upto=k):
+            e = col
+            for j in range(1, upto):
+                e = (f"replace({e}, chr({57343 + j}), "
+                     f"(SELECT e1 || e2 FROM bm{j}))")
+            return e
+
+        ctes.append(f"""
+bc{k} AS (SELECT word, freq, {chars} FROM bw{k - 1}),
+bp{k} AS (SELECT a.ch AS w1, b.ch AS w2,
+                 CAST(SUM(a.freq) AS BIGINT) AS n
+          FROM bc{k} a JOIN bc{k} b
+            ON a.word = b.word AND b.i = a.i + 1
+          GROUP BY a.ch, b.ch),
+bm{k} AS (SELECT w1, w2, n, {expand('w1')} AS e1, {expand('w2')} AS e2
+          FROM bp{k}
+          ORDER BY n DESC, {expand('w1')}, {expand('w2')}, w1, w2
+          LIMIT 1),
+bw{k} AS (SELECT replace(word,
+                         COALESCE((SELECT w1 || w2 FROM bm{k}), chr(1)),
+                         chr({57343 + k})) AS word, freq
+          FROM bw{k - 1})""")
+        legs.append(f"""
+UNION ALL SELECT CAST(-1 AS BIGINT),
+  'bpe{k}:' || e1 || chr(31) || e2, n FROM bm{k}""")
+    return ",".join(ctes), "".join(legs)
+
+
 def sql_doc_token_stats(vocab_top_m: int = 100) -> str:
     """Tagged-union mirror of queries.doc_token_stats (token counts
     melted + distinct-bigram counts + OOV counts against the corpus's
@@ -1507,7 +1554,9 @@ def sql_doc_token_stats(vocab_top_m: int = 100) -> str:
     asc — the same deterministic ordering as stages/textops.
     corpus_vocab.  The lm/tlm CTEs re-train the add-alpha bigram
     models (source = whole corpus, target = doc_id % 5 = 0) exactly
-    as corpus_bigram_lm does, min_count-pruned via HAVING."""
+    as corpus_bigram_lm does, min_count-pruned via HAVING.  The bpe
+    legs re-run 4 unrolled BPE merge iterations (_sql_bpe_ctes)."""
+    bpe_ctes, bpe_legs = _sql_bpe_ctes(4)
     return f"""
 WITH tc AS ({sql_doc_token_counts()}), ng AS ({sql_doc_ngram_stats()}),
 itoks AS (
@@ -1552,7 +1601,7 @@ dsir AS (
   LEFT JOIN tuni ON big.w1 = tuni.w1
   LEFT JOIN bi ON big.w1 = bi.w1 AND big.w2 = bi.w2
   JOIN uni ON big.w1 = uni.w1
-  CROSS JOIN tv CROSS JOIN v GROUP BY big.doc_id)
+  CROSS JOIN tv CROSS JOIN v GROUP BY big.doc_id),{bpe_ctes}
 SELECT doc_id, 'n_chars' AS metric, n_chars AS n FROM tc
 UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM tc
 UNION ALL SELECT doc_id, 'n_bpe_tokens', n_bpe_tokens FROM tc
@@ -1564,7 +1613,7 @@ UNION ALL SELECT doc_id, 'n_lm_bigrams', n_lm FROM lm
 UNION ALL SELECT doc_id, 'lm_avg_logp_e6',
   CAST(ROUND(avg_logp * 1e6) AS BIGINT) FROM lm
 UNION ALL SELECT doc_id, 'dsir_logratio_e6',
-  CAST(ROUND(avg_lr * 1e6) AS BIGINT) FROM dsir"""
+  CAST(ROUND(avg_lr * 1e6) AS BIGINT) FROM dsir{bpe_legs}"""
 
 
 def sql_doc_dedups() -> str:

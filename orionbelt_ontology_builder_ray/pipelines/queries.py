@@ -344,7 +344,10 @@ def doc_token_stats(sf_dir):
     is DSIR importance weighting (Xie et al. 2023): a SECOND bigram
     LM trained on the target-domain split (demo split: doc_id % 5 ==
     0) and every doc scored by mean(logp_target - logp_source) in one
-    fused pass sharing the source model with the lm leg."""
+    fused pass sharing the source model with the lm leg.  The
+    ``bpe<k>:`` legs are distributed BPE tokenizer training
+    (stages/bpe.bpe_train, 4 merges) mirrored by 4 unrolled DuckDB
+    iterations."""
 
     def melt(t: pa.Table) -> pa.Table:
         parts = [pa.table({
@@ -430,8 +433,20 @@ def doc_token_stats(sf_dir):
     target = docs.map_batches(target_split, batch_format="pyarrow")
     dsir_rows = dsir_scores(docs, target, source_model=model_s) \
         .map_batches(tag_dsir, batch_format="pyarrow")
+
+    # distributed BPE tokenizer training: 4 merges, corpus-grain rows
+    # (doc_id = -1) carrying the fully expanded pair in the metric tag
+    # so rank order, symbols AND winning counts are all driver-hashed
+    from ..stages.bpe import bpe_train
+    merges = bpe_train(docs, num_merges=4)
+    bpe_rows = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.full(len(merges), -1, np.int64)),
+        "metric": pa.array(
+            [f"bpe{r.rank}:{r.left}\x1f{r.right}"
+             for r in merges.itertuples(index=False)], pa.string()),
+        "n": pa.array(merges["n"].to_numpy(np.int64))}))
     return counts.union(grams).union(oov).union(vocab_rows) \
-        .union(lm_rows).union(dsir_rows)
+        .union(lm_rows).union(dsir_rows).union(bpe_rows)
 
 
 def doc_repetition(sf_dir):

@@ -1132,3 +1132,71 @@ def test_dsir_scores_brute_force_parity(ray_session):
     out2 = dsir_scores(ds, target, source_model=m_s).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def _ref_bpe(texts, num_merges):
+    """Pure list-of-symbols BPE (Sennrich): freq-weighted adjacent
+    pair counts (overlaps included), greedy left-to-right merge,
+    tie-break (n desc, left asc, right asc) on expanded symbols."""
+    import re
+    from collections import Counter
+
+    split = re.compile(r"[ \t\n\r\f\v]+").split
+    wf = Counter()
+    for t in texts:
+        wf.update(w for w in split(t) if w)
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for k in range(num_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            syms = vocab[w]
+            for p in zip(syms, syms[1:]):
+                pc[p] += f
+        if not pc:
+            break
+        (a, b), n = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((k + 1, a, b, n))
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_random(ray_session):
+    """Distributed BPE (sentinel-string symbols, bucket-argmax pair
+    counting) == the classic list-of-symbols algorithm on random
+    corpora — including overlap counting ('aaaa'), tie-breaks and
+    merge-of-merged-symbol cases; partition-invariant."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.bpe import bpe_train
+
+    base_words = ["lower", "lowest", "newer", "wider", "low", "new",
+                  "news", "abcabc", "aaaa", "banana", "bandana"]
+    for seed, nparts in ((7, 4), (11, 1), (13, 7)):
+        rng = np.random.RandomState(seed)
+        texts = [" ".join(rng.choice(base_words, rng.randint(1, 12)))
+                 for _ in range(50)]
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts})
+        exp = _ref_bpe(texts, 6)
+        got = bpe_train(rd.from_pandas(df).repartition(nparts),
+                        num_merges=6)
+        assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    # fewer distinct pairs than merges: stops early, no crash
+    tiny = pd.DataFrame({"doc_id": np.array([0], dtype=np.int64),
+                         "text": ["ab ab ab"]})
+    got = bpe_train(rd.from_pandas(tiny), num_merges=5)
+    assert [tuple(r) for r in got.itertuples(index=False)] \
+        == _ref_bpe(["ab ab ab"], 5)

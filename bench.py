@@ -279,6 +279,38 @@ def run_bench() -> dict:
     corpus_vocab(_read(SF_DIR, "documents", columns=["text"]))
     queries["corpus_vocab"] = round(time.time() - t0, 3)
 
+    # bigram-LM quality scoring: train on the corpus, score every doc
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.textops import (
+        corpus_bigram_lm, dsir_scores, lm_perplexity_scores)
+
+    _docs_lm = _read(SF_DIR, "documents", columns=["doc_id", "text"])
+    _model_s = corpus_bigram_lm(_docs_lm)
+    lm_perplexity_scores(_docs_lm, model=_model_s).count()
+    queries["doc_lm_scores"] = round(time.time() - t0, 3)
+
+    # DSIR importance weights (target = doc_id % 5 == 0), source
+    # model shared with the lm entry above
+    t0 = time.time()
+
+    def _tmask(t):
+        import pyarrow as _pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(_pa.array(ids % 5 == 0))
+
+    dsir_scores(_docs_lm,
+                _docs_lm.map_batches(_tmask, batch_format="pyarrow"),
+                source_model=_model_s).count()
+    queries["doc_dsir_scores"] = round(time.time() - t0, 3)
+
+    # distributed BPE: 8 merges (double the oracle depth)
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.bpe import bpe_train
+
+    bpe_train(_docs_lm, num_merges=8)
+    queries["bpe_train8"] = round(time.time() - t0, 3)
+
     # incremental corpus dedup: new snapshot (doc_id % 5 == 0) vs the
     # existing-store split via the broadcast hash-pair anti-join
     t0 = time.time()

@@ -1613,7 +1613,14 @@ UNION ALL SELECT doc_id, 'n_lm_bigrams', n_lm FROM lm
 UNION ALL SELECT doc_id, 'lm_avg_logp_e6',
   CAST(ROUND(avg_logp * 1e6) AS BIGINT) FROM lm
 UNION ALL SELECT doc_id, 'dsir_logratio_e6',
-  CAST(ROUND(avg_lr * 1e6) AS BIGINT) FROM dsir{bpe_legs}"""
+  CAST(ROUND(avg_lr * 1e6) AS BIGINT) FROM dsir{bpe_legs}
+UNION ALL SELECT doc_id, 'ccnet_bucket', (r * 3) // ntot FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(avg_logp * 1e6) AS BIGINT), doc_id)
+           - 1 AS r,
+         COUNT(*) OVER () AS ntot
+  FROM lm)"""
 
 
 def sql_doc_dedups() -> str:

@@ -347,7 +347,10 @@ def doc_token_stats(sf_dir):
     fused pass sharing the source model with the lm leg.  The
     ``bpe<k>:`` legs are distributed BPE tokenizer training
     (stages/bpe.bpe_train, 4 merges) mirrored by 4 unrolled DuckDB
-    iterations."""
+    iterations.  ``ccnet_bucket`` is the CCNet head/middle/tail
+    assignment: exact global terciles of the e6 LM score via the
+    two-phase distributed rank (pack.global_rank_buckets), mirrored
+    by ROW_NUMBER()."""
 
     def melt(t: pa.Table) -> pa.Table:
         parts = [pa.table({
@@ -411,10 +414,35 @@ def doc_token_stats(sf_dir):
     from ..stages.textops import (corpus_bigram_lm, dsir_scores,
                                   lm_perplexity_scores)
 
-    # ONE source-model training pass shared by the lm and dsir legs
+    # ONE source-model training pass shared by the lm and dsir legs;
+    # the scores are materialized (doc-count-sized, 3 cols) because
+    # both the lm rows and the ccnet bucketing consume them
     model_s = corpus_bigram_lm(docs)
-    lm_rows = lm_perplexity_scores(docs, model=model_s).map_batches(
-        tag_lm, batch_format="pyarrow")
+    lm = lm_perplexity_scores(docs, model=model_s).materialize()
+    lm_rows = lm.map_batches(tag_lm, batch_format="pyarrow")
+
+    # CCNet head/middle/tail: exact global terciles of the e6-scaled
+    # LM score via the two-phase distributed rank (bucket 0 = lowest
+    # logp = most corpus-atypical = CCNet "tail")
+    from ..stages.pack import global_rank_buckets
+
+    def to_score(t: pa.Table) -> pa.Table:
+        scaled = np.round(
+            t["avg_logp"].to_numpy(zero_copy_only=False) * 1e6) \
+            .astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score_e6": pa.array(scaled)})
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "metric": pa.array(["ccnet_bucket"] * len(t), pa.string()),
+            "n": t["bucket"].cast(pa.int64())})
+
+    ccnet_rows = global_rank_buckets(
+        lm.map_batches(to_score, batch_format="pyarrow"),
+        score_col="score_e6", n_buckets=3) \
+        .map_batches(tag_bucket, batch_format="pyarrow")
 
     def tag_dsir(t: pa.Table) -> pa.Table:
         scaled = np.round(
@@ -446,7 +474,8 @@ def doc_token_stats(sf_dir):
              for r in merges.itertuples(index=False)], pa.string()),
         "n": pa.array(merges["n"].to_numpy(np.int64))}))
     return counts.union(grams).union(oov).union(vocab_rows) \
-        .union(lm_rows).union(dsir_rows).union(bpe_rows)
+        .union(lm_rows).union(dsir_rows).union(bpe_rows) \
+        .union(ccnet_rows)
 
 
 def doc_repetition(sf_dir):

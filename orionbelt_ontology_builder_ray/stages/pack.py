@@ -151,3 +151,87 @@ def pack_sequences(ds, seq_len: int = 2048, id_col: str = "doc_id",
         Assign, fn_constructor_kwargs=dict(
             offsets_ref=offsets_ref, seq_len=seq_len, id_col=id_col),
         batch_format="pyarrow", batch_size=None, concurrency=pool_size())
+
+
+def global_rank_buckets(ds, score_col: str, id_col: str = "doc_id",
+                        n_buckets: int = 3):
+    """(id, score) -> (id, score, rank, bucket): every row's exact
+    0-based GLOBAL rank in ascending (score, id) order and its
+    equal-count quantile bucket ``rank * n_buckets // total`` — the
+    CCNet head/middle/tail assignment when score is an LM
+    perplexity/logp surface (and a general exact-quantile primitive).
+
+    Same two-phase distributed prefix scan as ``pack_sequences``,
+    generalized from SUM to COUNT: ``ds.sort((score, id))`` range-
+    partitions into globally ordered blocks; pass A collects one
+    (first_score, first_id, n_rows) partial per block (block-count-
+    sized, thousands of rows at 100 TB); the driver computes
+    exclusive rank offsets; pass B assigns rank = block offset +
+    local position.  Ties on score are broken by id on both engines,
+    so the assignment is fully deterministic — with an integer score
+    (e.g. the e6-scaled LM logp already driver-hash-pinned) the
+    bucket surface is integer math end to end, no float parity risk.
+
+    Oracle shape: ``ROW_NUMBER() OVER (ORDER BY score, id) - 1`` and
+    ``(rank * n_buckets) // COUNT(*)``."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    s = ds.select_columns([id_col, score_col]) \
+        .sort([score_col, id_col]).materialize()
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k_score": pa.array([], pa.int64()),
+                             "k_id": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "k_score": pa.array([t[score_col][0].as_py()], pa.int64()),
+            "k_id": pa.array([t[id_col][0].as_py()], pa.int64()),
+            "cnt": pa.array([t.num_rows], pa.int64())})
+
+    partials = s.map_batches(block_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas() \
+        .sort_values(["k_score", "k_id"])
+    total = int(partials["cnt"].sum())
+    offs = np.concatenate([[0], partials["cnt"].to_numpy()[:-1]]) \
+        .cumsum()
+    offsets = {(int(sc), int(i)): int(o) for sc, i, o in zip(
+        partials["k_score"], partials["k_id"], offs)}
+
+    import ray
+
+    offsets_ref = ray.put(offsets)
+
+    class Rank:
+        def __init__(self, offsets_ref, total, n_buckets, score_col,
+                     id_col):
+            self.offsets = (ray.get(offsets_ref)
+                            if isinstance(offsets_ref, ray.ObjectRef)
+                            else offsets_ref)
+            self.total = total
+            self.n_buckets, self.score_col = n_buckets, score_col
+            self.id_col = id_col
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    self.id_col: pa.array([], pa.int64()),
+                    self.score_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+            scores = t[self.score_col].to_numpy()
+            ids = t[self.id_col].to_numpy()
+            base = self.offsets[(int(scores[0]), int(ids[0]))]
+            rank = base + np.arange(t.num_rows, dtype=np.int64)
+            return pa.table({
+                self.id_col: pa.array(ids, pa.int64()),
+                self.score_col: pa.array(scores, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+                "bucket": pa.array(rank * self.n_buckets // self.total,
+                                   pa.int64())})
+
+    return s.map_batches(
+        Rank, fn_constructor_kwargs=dict(
+            offsets_ref=offsets_ref, total=total, n_buckets=n_buckets,
+            score_col=score_col, id_col=id_col),
+        batch_format="pyarrow", batch_size=None, concurrency=pool_size())

@@ -274,3 +274,34 @@ def test_pack_precounted_equals_tokenized(ray_session):
                          precounted=True) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, full)
+
+
+def test_global_rank_buckets_brute_force(ray_session):
+    """Exact global ranks/buckets == a driver sort, with heavy score
+    TIES (broken by id), partition-invariant, uneven bucket edges."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.pack import (
+        global_rank_buckets)
+
+    rng = np.random.RandomState(5)
+    n = 257  # not divisible by 3: exercises the floor-division edges
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(np.arange(n)).astype(np.int64),
+        "score_e6": rng.randint(-4, 4, n).astype(np.int64)})  # ties
+    exp = df.sort_values(["score_e6", "doc_id"]).reset_index(drop=True)
+    exp["rank"] = np.arange(n, dtype=np.int64)
+    exp["bucket"] = exp["rank"] * 3 // n
+    for nparts in (1, 6):
+        got = global_rank_buckets(
+            rd.from_pandas(df).repartition(nparts),
+            score_col="score_e6", n_buckets=3).to_pandas() \
+            .sort_values("rank").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "score_e6", "rank", "bucket"]],
+            exp[["doc_id", "score_e6", "rank", "bucket"]])
+    # bucket sizes differ by at most one
+    sizes = got.groupby("bucket").size()
+    assert sizes.max() - sizes.min() <= 1 and len(sizes) == 3

@@ -1543,6 +1543,18 @@ bw{k} AS (SELECT replace(word,
         legs.append(f"""
 UNION ALL SELECT CAST(-1 AS BIGINT),
   'bpe{k}:' || e1 || chr(31) || e2, n FROM bm{k}""")
+    # tokenizer application: chain the trained merges over the raw
+    # text (symbols never contain whitespace, so whole-text replace
+    # == per-word replace) and count the surviving non-ws chars
+    enc = "text"
+    for k in range(1, num_merges + 1):
+        enc = (f"replace({enc}, COALESCE((SELECT w1 || w2 FROM bm{k}),"
+               f" chr(1)), chr({57343 + k}))")
+    legs.append(f"""
+UNION ALL SELECT doc_id, 'n_bpe{num_merges}_tokens',
+  CAST(length(regexp_replace({enc}, '[ \\t\\n\\r\\f\\v]', '', 'g'))
+       AS BIGINT)
+FROM documents""")
     return ",".join(ctes), "".join(legs)
 
 

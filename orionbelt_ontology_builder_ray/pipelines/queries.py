@@ -465,17 +465,28 @@ def doc_token_stats(sf_dir):
     # distributed BPE tokenizer training: 4 merges, corpus-grain rows
     # (doc_id = -1) carrying the fully expanded pair in the metric tag
     # so rank order, symbols AND winning counts are all driver-hashed
-    from ..stages.bpe import bpe_train
-    merges = bpe_train(docs, num_merges=4)
+    from ..stages.bpe import bpe_encode, bpe_train
+    merges, ops = bpe_train(docs, num_merges=4, with_ops=True)
     bpe_rows = rd.from_arrow(pa.table({
         "doc_id": pa.array(np.full(len(merges), -1, np.int64)),
         "metric": pa.array(
             [f"bpe{r.rank}:{r.left}\x1f{r.right}"
              for r in merges.itertuples(index=False)], pa.string()),
         "n": pa.array(merges["n"].to_numpy(np.int64))}))
+
+    # tokenizer APPLICATION: encode the corpus with the 4 trained
+    # merges and count each doc's resulting symbols
+    def tag_enc(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy(np.int64)),
+            "metric": pa.array(["n_bpe4_tokens"] * len(b), pa.string()),
+            "n": pa.array(b["n_bpe_tokens"].to_numpy(np.int64))})
+
+    enc_rows = bpe_encode(docs, ops).map_batches(
+        tag_enc, batch_format="pandas")
     return counts.union(grams).union(oov).union(vocab_rows) \
         .union(lm_rows).union(dsir_rows).union(bpe_rows) \
-        .union(ccnet_rows)
+        .union(ccnet_rows).union(enc_rows)
 
 
 def doc_repetition(sf_dir):

@@ -112,18 +112,21 @@ def _bucket_argmax(expand: dict):
 
 
 def bpe_train(ds=None, num_merges: int = 4, text_col: str = "text",
-              num_buckets: int = 64, words=None) -> pd.DataFrame:
+              num_buckets: int = 64, words=None, with_ops: bool = False):
     """Train ``num_merges`` BPE merges; returns a DataFrame
     (rank, left, right, n) with left/right fully EXPANDED (human-
     readable symbol strings) and n the freq-weighted adjacency count
     that won that iteration.  Pass ``words`` (a (word, freq) Dataset,
-    e.g. from ``word_freqs``) to skip the corpus pass."""
+    e.g. from ``word_freqs``) to skip the corpus pass.  With
+    ``with_ops=True`` additionally returns the raw replace program
+    ``[(pattern, sentinel), ...]`` that ``bpe_encode`` applies."""
     if words is None:
         words = word_freqs(ds, text_col=text_col,
                            num_buckets=num_buckets)
     words = words.materialize()
     expand: dict = {}
     out = []
+    ops = []
     partial = _pair_partials(num_buckets)
     for k in range(num_merges):
         winners = words.map_batches(partial, batch_format="pandas") \
@@ -144,6 +147,7 @@ def bpe_train(ds=None, num_merges: int = 4, text_col: str = "text",
         out.append({"rank": k + 1,
                     "left": expand.get(w1, w1),
                     "right": expand.get(w2, w2), "n": n})
+        ops.append((pat, sent))
         expand[sent] = expand.get(w1, w1) + expand.get(w2, w2)
 
         def apply(b: pd.DataFrame, pat=pat, sent=sent) -> pd.DataFrame:
@@ -159,5 +163,36 @@ def bpe_train(ds=None, num_merges: int = 4, text_col: str = "text",
         # VOCAB table (never the corpus)
         words = words.map_batches(apply,
                                   batch_format="pandas").materialize()
-    return pd.DataFrame(out, columns=["rank", "left", "right", "n"]) \
+    merges = pd.DataFrame(out, columns=["rank", "left", "right", "n"]) \
         .astype({"rank": np.int64, "n": np.int64})
+    return (merges, ops) if with_ops else merges
+
+
+def bpe_encode(ds, ops, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Apply a trained BPE merge program to the CORPUS and count each
+    doc's resulting symbols -> (doc_id, n_bpe_tokens) — the
+    tokenizer-application step (the actual 100-TB workload the
+    trainer exists for).
+
+    ``ops`` is ``bpe_train(with_ops=True)``'s replace program: merges
+    are applied IN RANK ORDER as plain non-overlapping str.replace
+    over the raw text (merge symbols never contain whitespace, so a
+    pattern can only match inside one whitespace-delimited word —
+    applying to the full text is identical to applying per word).
+    After all replaces every symbol is exactly one char, so the
+    token count is the number of non-whitespace chars.  The program
+    is a handful of strings broadcast in the task closure; the pass
+    is pandas-vectorized str.replace chains, one corpus scan."""
+    ws_re = f"[{_WS}]"
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[text_col].astype(str)
+        for pat, sent in ops:
+            s = s.str.replace(pat, sent, regex=False)
+        n = s.str.replace(ws_re, "", regex=True).str.len()
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            "n_bpe_tokens": n.to_numpy(np.int64)})
+
+    return ds.map_batches(encode, batch_format="pandas")

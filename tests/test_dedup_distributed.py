@@ -1200,3 +1200,57 @@ def test_bpe_train_matches_reference_random(ray_session):
     got = bpe_train(rd.from_pandas(tiny), num_merges=5)
     assert [tuple(r) for r in got.itertuples(index=False)] \
         == _ref_bpe(["ab ab ab"], 5)
+
+
+def test_bpe_encode_matches_reference_symbol_counts(ray_session):
+    """bpe_encode (rank-ordered str.replace over raw text) == the sum
+    of per-word symbol counts from the classic list-of-symbols BPE —
+    including tab/newline-delimited words and docs with no tokens."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.bpe import (
+        bpe_encode, bpe_train)
+
+    rng = np.random.RandomState(17)
+    base_words = ["lower", "lowest", "newer", "low", "aaaa", "banana"]
+    texts = ["\t".join(rng.choice(base_words, rng.randint(1, 10)))
+             if i % 3 else " ".join(rng.choice(base_words,
+                                               rng.randint(1, 10)))
+             for i in range(40)]
+    texts.append("   ")  # 0 tokens -> 0 symbols
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    # reference: replay the merges on list-of-symbols vocab
+    split = re.compile(r"[ \t\n\r\f\v]+").split
+    wf = Counter()
+    for t in texts:
+        wf.update(w for w in split(t) if w)
+    vocab = {w: list(w) for w in wf}
+    merges = _ref_bpe(texts, 5)
+    for _, a, b, _n in merges:
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    expect = {i: sum(len(vocab[w]) for w in split(t) if w)
+              for i, t in zip(df["doc_id"], df["text"])}
+
+    ds = rd.from_pandas(df).repartition(3)
+    got_merges, ops = bpe_train(ds, num_merges=5, with_ops=True)
+    assert [tuple(r) for r in got_merges.itertuples(index=False)] \
+        == merges
+    out = bpe_encode(ds, ops).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert {i: n for i, n in zip(out["doc_id"], out["n_bpe_tokens"])} \
+        == expect

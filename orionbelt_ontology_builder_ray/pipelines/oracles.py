@@ -1405,8 +1405,34 @@ overlap AS (
 dup AS (
   SELECT doc_id, 'dup_grams' AS metric, CAST(COUNT(*) AS BIGINT) AS n
   FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS c FROM grams)
-  WHERE c > 1 GROUP BY doc_id)
+  WHERE c > 1 GROUP BY doc_id),
+occ AS (
+  SELECT doc_id, i, array_to_string(w[i+1:i+{k}], ' ') AS g FROM (
+    SELECT doc_id, w, unnest(range(len(w) - {k - 1})) AS i
+    FROM toks WHERE len(w) >= {k})),
+dupocc AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT occ.doc_id, unnest(range(occ.i, occ.i + {k})) AS j
+    FROM occ JOIN dupocc USING (g))),
+itokp AS (
+  SELECT doc_id, tok, si - 1 AS j FROM (
+    SELECT doc_id, unnest(w) AS tok,
+           generate_subscripts(w, 1) AS si FROM toks)),
+kept AS (
+  SELECT itokp.doc_id, itokp.tok, itokp.j FROM itokp
+  LEFT JOIN cov ON itokp.doc_id = cov.doc_id AND itokp.j = cov.j
+  WHERE cov.doc_id IS NULL),
+stripped AS (
+  SELECT d.doc_id,
+         'strip:' || substr(md5(COALESCE(
+            string_agg(kept.tok, ' ' ORDER BY kept.j), '')), 1, 16)
+           AS metric,
+         CAST(COUNT(kept.tok) AS BIGINT) AS n
+  FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+  GROUP BY d.doc_id)
 SELECT * FROM overlap UNION ALL SELECT * FROM dup
+UNION ALL SELECT * FROM stripped
 ORDER BY metric, doc_id"""
 
 

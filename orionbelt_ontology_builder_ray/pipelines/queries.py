@@ -729,13 +729,18 @@ def doc_pii_redact(sf_dir):
 
 
 def doc_ngram_contamination(sf_dir, k=3, hash_mode="md5"):
-    """Two n-gram contamination signals in one tagged union:
+    """Three n-gram dup/contamination surfaces in one tagged union:
     ``eval_overlap`` = per-doc count of distinct word k-grams shared
     with the (deterministically carved) eval split, via a broadcast
     gram set — zero shuffles over the corpus; ``dup_grams`` = per-doc
     count of distinct k-grams appearing in >= 1 other doc, via one
-    int-bucket shuffle of (hash, doc_id) pairs."""
-    from ..stages.scrub import decontaminate, dup_ngram_counts
+    int-bucket shuffle of (hash, doc_id) pairs; ``strip:<md5_16>`` =
+    exact-substring dedup REMOVAL (stages/scrub.strip_dup_spans) —
+    one row per doc whose metric tag carries the 16-hex-char md5 of
+    the REWRITTEN text (so the rewrite itself is driver-hashed, not
+    just a count) and whose n is the surviving token count."""
+    from ..stages.scrub import (decontaminate, dup_ngram_counts,
+                                strip_dup_spans)
 
     def tag(metric):
         def f(t: pa.Table) -> pa.Table:
@@ -753,7 +758,22 @@ def doc_ngram_contamination(sf_dir, k=3, hash_mode="md5"):
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
         k=k, hash_mode=hash_mode).map_batches(
             tag("dup_grams"), batch_format="pyarrow")
-    return decon.union(dup)
+
+    def tag_strip(b: pd.DataFrame) -> pa.Table:
+        import hashlib
+
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy(np.int64)),
+            "metric": pa.array(
+                ["strip:" + hashlib.md5(t.encode()).hexdigest()[:16]
+                 for t in b["text_clean"]], pa.string()),
+            "n": pa.array(b["n_tokens_kept"].to_numpy(np.int64))})
+
+    strip = strip_dup_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=k, hash_mode=hash_mode).map_batches(
+            tag_strip, batch_format="pandas")
+    return decon.union(dup).union(strip)
 
 
 def doc_simhash(sf_dir):

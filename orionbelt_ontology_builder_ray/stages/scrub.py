@@ -325,3 +325,120 @@ def dup_ngram_counts(ds, id_col="doc_id", text_col="text", k=3,
 
     return partials.groupby(id_col).sum("n") \
         .map_batches(finalize, batch_format="pyarrow")
+
+
+class _GramOccurrences:
+    """doc batch -> ALL (gram-hash, doc_id, start) occurrence rows in
+    position order (multiplicity preserved — within-doc repeats emit
+    one row each), bucketed by gram hash.  The occurrence plane is
+    what exact-substring REMOVAL needs; _GramPairs' distinct plane is
+    what counting needs."""
+
+    def __init__(self, id_col="doc_id", text_col="text", k=3,
+                 hash_mode="fast", num_buckets=64):
+        self.id_col, self.text_col = id_col, text_col
+        self.k, self.hash_mode = k, hash_mode
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _hash_strings, _hash_strings_md5
+
+        hasher = (_hash_strings_md5 if self.hash_mode == "md5"
+                  else _hash_strings)
+        ids, hs, starts = [], [], []
+        for doc_id, text in zip(batch[self.id_col],
+                                batch[self.text_col]):
+            toks = ascii_tokens(str(text))
+            if len(toks) < self.k:
+                continue
+            grams = [" ".join(toks[i:i + self.k])
+                     for i in range(len(toks) - self.k + 1)]
+            hs.append(hasher(grams))
+            ids.append(np.full(len(grams), doc_id, dtype=np.int64))
+            starts.append(np.arange(len(grams), dtype=np.int64))
+        if not hs:
+            return pd.DataFrame({"h": np.empty(0, np.uint64),
+                                 self.id_col: np.empty(0, np.int64),
+                                 "i": np.empty(0, np.int64),
+                                 "_b": np.empty(0, np.int32)})
+        h = np.concatenate(hs)
+        return pd.DataFrame({
+            "h": h, self.id_col: np.concatenate(ids),
+            "i": np.concatenate(starts),
+            "_b": (h % np.uint64(self.num_buckets)).astype(np.int32)})
+
+
+def strip_dup_spans(ds, id_col="doc_id", text_col="text", k=3,
+                    num_buckets=64, hash_mode="fast", min_count=2):
+    """Exact-substring dedup REMOVAL (the consumption side of the Lee
+    et al. 2022 duplicated-substring signal, word-k-gram granularity):
+    a token is DROPPED when any k-gram occurrence covering it appears
+    >= ``min_count`` times corpus-wide (occurrence multiplicity —
+    within-doc repeats count, like the suffix-array formulation).
+    Emits (doc_id, text_clean, n_tokens_kept) for EVERY doc (docs
+    shorter than k tokens pass through unchanged).
+
+    Scale shape: pass A streams ALL (gram-hash, doc_id, start) rows
+    through ONE gram-hash bucket shuffle; each bucket marks hashes
+    whose total multiplicity reaches min_count and emits only the
+    covered START rows (dup-occurrence-sized, no text).  Pass B
+    co-locates those starts with the doc payload by ONE doc-id bucket
+    shuffle and rebuilds each doc from its uncovered tokens
+    (vectorized interval marking via a diff array).  The corpus text
+    moves exactly once; nothing is all-pairs; no driver collect.
+    """
+    occ = ds.map_batches(
+        _GramOccurrences, fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, k=k, hash_mode=hash_mode,
+            num_buckets=num_buckets),
+        batch_format="pandas", concurrency=pool_size())
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("h")["h"].transform("size")
+        dup = g[sizes >= min_count]
+        out = dup[[id_col, "i"]].copy()
+        out["_db"] = (out[id_col] % num_buckets).astype(np.int32)
+        out["text"] = ""
+        out["_src"] = np.int8(1)
+        return out[[id_col, "i", "text", "_src", "_db"]]
+
+    starts = occ.groupby("_b").map_groups(mark, batch_format="pandas")
+
+    def payload(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            "i": np.full(len(b), -1, np.int64),
+            "text": b[text_col].astype(str),
+            "_src": np.zeros(len(b), np.int8),
+            "_db": (b[id_col].to_numpy(np.int64)
+                    % num_buckets).astype(np.int32)})
+
+    docs = ds.map_batches(payload, batch_format="pandas")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        texts = g[g["_src"] == 0]
+        st = g[g["_src"] == 1]
+        sby = ({int(d): v["i"].to_numpy(np.int64)
+                for d, v in st.groupby(id_col)} if len(st) else {})
+        out_id = texts[id_col].to_numpy(np.int64)
+        out_text, out_n = [], np.empty(len(texts), np.int64)
+        for row, (doc_id, text) in enumerate(
+                zip(out_id, texts["text"])):
+            toks = ascii_tokens(str(text))
+            starts_d = sby.get(int(doc_id))
+            if starts_d is None or not len(toks):
+                kept = toks
+            else:
+                n = len(toks)
+                d = np.zeros(n + 1, np.int64)
+                np.add.at(d, starts_d, 1)
+                np.add.at(d, np.minimum(starts_d + k, n), -1)
+                cov = np.cumsum(d[:n]) > 0
+                kept = [t for t, c in zip(toks, cov) if not c]
+            out_text.append(" ".join(kept))
+            out_n[row] = len(kept)
+        return pd.DataFrame({id_col: out_id, "text_clean": out_text,
+                             "n_tokens_kept": out_n})
+
+    return docs.union(starts).groupby("_db").map_groups(
+        rebuild, batch_format="pandas")

@@ -388,3 +388,61 @@ def test_tokenize_edge_whitespace_matches_duckdb():
     bg = BigramStats()(docs).reset_index(drop=True)
     sql_bg = con.sql(sql_doc_ngram_stats()).df()
     pd.testing.assert_frame_equal(bg, sql_bg, check_exact=True)
+
+
+def test_strip_dup_spans_brute_force(ray_session):
+    """strip_dup_spans == a pure-Python occurrence-multiplicity
+    reference: cross-doc duplicated spans stripped, WITHIN-doc
+    repeats stripped (multiplicity semantics), short docs pass
+    through, fully-covered docs become empty; partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.scrub import (
+        ascii_tokens, strip_dup_spans)
+
+    k = 3
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # 0: shares
+        "a quick brown fox runs fast today ok",          # 1: shares
+        "totally unique sentence with fresh words here",  # 2: clean
+        "spam spam spam spam spam",                      # 3: self-dup
+        "one two",                                       # 4: < k toks
+        "the quick brown fox jumps",                     # 5: subset of 0
+        "",                                              # 6: empty
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    # reference: count every k-gram occurrence corpus-wide
+    from collections import Counter
+    occ = Counter()
+    for t in texts:
+        toks = ascii_tokens(t)
+        for i in range(len(toks) - k + 1):
+            occ[" ".join(toks[i:i + k])] += 1
+    expect = {}
+    for d, t in zip(df["doc_id"], df["text"]):
+        toks = ascii_tokens(t)
+        cov = [False] * len(toks)
+        for i in range(len(toks) - k + 1):
+            if occ[" ".join(toks[i:i + k])] >= 2:
+                for j in range(i, i + k):
+                    cov[j] = True
+        kept = [w for w, c in zip(toks, cov) if not c]
+        expect[int(d)] = (" ".join(kept), len(kept))
+
+    # sanity on the fixture itself: doc 3 self-dups away entirely,
+    # doc 2 survives whole, doc 4 passes through
+    assert expect[3] == ("", 0)
+    assert expect[2][1] == 7 and expect[4] == ("one two", 2)
+    assert expect[0][1] < 9  # shared prefix with doc 5 stripped
+
+    for nparts in (1, 4):
+        out = strip_dup_spans(rd.from_pandas(df).repartition(nparts),
+                              k=k).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        got = {int(d): (t, int(n)) for d, t, n in zip(
+            out["doc_id"], out["text_clean"], out["n_tokens_kept"])}
+        assert got == expect

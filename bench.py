@@ -311,6 +311,14 @@ def run_bench() -> dict:
     bpe_train(_docs_lm, num_merges=8)
     queries["bpe_train8"] = round(time.time() - t0, 3)
 
+    # exact-substring dedup removal (production fast-hash mode)
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.scrub import (
+        strip_dup_spans)
+
+    strip_dup_spans(_docs_lm, k=3).count()
+    queries["doc_strip_spans"] = round(time.time() - t0, 3)
+
     # incremental corpus dedup: new snapshot (doc_id % 5 == 0) vs the
     # existing-store split via the broadcast hash-pair anti-join
     t0 = time.time()

@@ -1430,9 +1430,28 @@ stripped AS (
            AS metric,
          CAST(COUNT(kept.tok) AS BIGINT) AS n
   FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+  GROUP BY d.doc_id),
+ecov AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT occ.doc_id, unnest(range(occ.i, occ.i + {k})) AS j
+    FROM occ JOIN eval_grams USING (g)
+    WHERE occ.doc_id % {eval_mod} <> 0)),
+ekept AS (
+  SELECT itokp.doc_id, itokp.tok, itokp.j FROM itokp
+  LEFT JOIN ecov ON itokp.doc_id = ecov.doc_id AND itokp.j = ecov.j
+  WHERE ecov.doc_id IS NULL AND itokp.doc_id % {eval_mod} <> 0),
+dstripped AS (
+  SELECT d.doc_id,
+         'dstrip:' || substr(md5(COALESCE(
+            string_agg(ekept.tok, ' ' ORDER BY ekept.j), '')), 1, 16)
+           AS metric,
+         CAST(COUNT(ekept.tok) AS BIGINT) AS n
+  FROM documents d LEFT JOIN ekept ON d.doc_id = ekept.doc_id
+  WHERE d.doc_id % {eval_mod} <> 0
   GROUP BY d.doc_id)
 SELECT * FROM overlap UNION ALL SELECT * FROM dup
 UNION ALL SELECT * FROM stripped
+UNION ALL SELECT * FROM dstripped
 ORDER BY metric, doc_id"""
 
 
@@ -1730,16 +1749,41 @@ SELECT x.vec_id, cid AS cluster FROM (
     return "WITH " + ",".join(parts) + final
 
 
-def sql_embedding_clusters() -> str:
+def sql_embedding_clusters(threshold: float = 0.45) -> str:
     """Tagged-union mirror of queries.embedding_clusters: cosine-pair
-    connected components + iterative k-means, one driver slot."""
+    connected components + iterative k-means + the SemDeDup
+    composition (within-kmeans-bucket cosine pairs closed with the
+    same recursive transitive closure, representative = min id;
+    singletons keep their own id), one driver slot."""
     return f"""
-WITH cc AS ({sql_embedding_dedup_clusters()}),
-km AS ({sql_embedding_kmeans()})
+WITH RECURSIVE cc AS ({sql_embedding_dedup_clusters()}),
+km AS ({sql_embedding_kmeans()}),
+sd_pairs AS (
+  SELECT ka.vec_id AS id_a, kb.vec_id AS id_b
+  FROM km ka JOIN km kb
+    ON ka.cluster = kb.cluster AND ka.vec_id < kb.vec_id
+  JOIN embeddings ea ON ea.vec_id = ka.vec_id
+  JOIN embeddings eb ON eb.vec_id = kb.vec_id
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[]))
+        >= {threshold}),
+sd_sym(a, b) AS (
+  SELECT id_a, id_b FROM sd_pairs
+  UNION SELECT id_b, id_a FROM sd_pairs),
+sd_reach(a, b) AS (
+  SELECT a, b FROM sd_sym
+  UNION
+  SELECT r.a, s.b FROM sd_reach r JOIN sd_sym s ON r.b = s.a),
+sd_labels AS (
+  SELECT a AS node, least(a, min(b)) AS label FROM sd_reach GROUP BY a)
 SELECT CAST(vec_id AS BIGINT) AS vec_id, 'cc' AS method,
        CAST(cluster AS BIGINT) AS cluster FROM cc
 UNION ALL
-SELECT CAST(vec_id AS BIGINT), 'kmeans', CAST(cluster AS BIGINT) FROM km"""
+SELECT CAST(vec_id AS BIGINT), 'kmeans', CAST(cluster AS BIGINT) FROM km
+UNION ALL
+SELECT CAST(e.vec_id AS BIGINT), 'semdedup',
+       CAST(COALESCE(l.label, e.vec_id) AS BIGINT)
+FROM embeddings e LEFT JOIN sd_labels l ON e.vec_id = l.node"""
 
 
 def sql_doc_samples(topn: int = 25) -> str:

@@ -738,8 +738,12 @@ def doc_ngram_contamination(sf_dir, k=3, hash_mode="md5"):
     exact-substring dedup REMOVAL (stages/scrub.strip_dup_spans) —
     one row per doc whose metric tag carries the 16-hex-char md5 of
     the REWRITTEN text (so the rewrite itself is driver-hashed, not
-    just a count) and whose n is the surviving token count."""
+    just a count) and whose n is the surviving token count;
+    ``dstrip:<md5_16>`` = benchmark decontamination REMOVAL
+    (strip_contaminated_spans) — the same rewrite contract but the
+    bad-gram set is the eval split and only training docs emit."""
     from ..stages.scrub import (decontaminate, dup_ngram_counts,
+                                strip_contaminated_spans,
                                 strip_dup_spans)
 
     def tag(metric):
@@ -759,21 +763,27 @@ def doc_ngram_contamination(sf_dir, k=3, hash_mode="md5"):
         k=k, hash_mode=hash_mode).map_batches(
             tag("dup_grams"), batch_format="pyarrow")
 
-    def tag_strip(b: pd.DataFrame) -> pa.Table:
-        import hashlib
+    def tag_rewrite(prefix):
+        def f(b: pd.DataFrame) -> pa.Table:
+            import hashlib
 
-        return pa.table({
-            "doc_id": pa.array(b["doc_id"].to_numpy(np.int64)),
-            "metric": pa.array(
-                ["strip:" + hashlib.md5(t.encode()).hexdigest()[:16]
-                 for t in b["text_clean"]], pa.string()),
-            "n": pa.array(b["n_tokens_kept"].to_numpy(np.int64))})
+            return pa.table({
+                "doc_id": pa.array(b["doc_id"].to_numpy(np.int64)),
+                "metric": pa.array(
+                    [prefix + hashlib.md5(t.encode()).hexdigest()[:16]
+                     for t in b["text_clean"]], pa.string()),
+                "n": pa.array(b["n_tokens_kept"].to_numpy(np.int64))})
+        return f
 
     strip = strip_dup_spans(
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
         k=k, hash_mode=hash_mode).map_batches(
-            tag_strip, batch_format="pandas")
-    return decon.union(dup).union(strip)
+            tag_rewrite("strip:"), batch_format="pandas")
+    dstrip = strip_contaminated_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=k, hash_mode=hash_mode).map_batches(
+            tag_rewrite("dstrip:"), batch_format="pandas")
+    return decon.union(dup).union(strip).union(dstrip)
 
 
 def doc_simhash(sf_dir):
@@ -901,13 +911,15 @@ def embedding_dedup_clusters(sf_dir, threshold=0.45):
 
 
 def embedding_clusters(sf_dir):
-    """Both semantic-clustering surfaces in one tagged union (one
+    """Three semantic-clustering surfaces in one tagged union (one
     driver slot): ``cc`` = cosine near-dup pairs closed into connected
     components (embedding_dedup_clusters); ``kmeans`` = distributed
     Lloyd's k-means assignments (stages/similarity.kmeans_embeddings
-    — the SemDeDup-style bucket/domain-discovery primitive, oracle-
-    checked through 4 unrolled iterations)."""
-    from ..stages.similarity import kmeans_embeddings
+    — oracle-checked through 4 unrolled iterations); ``semdedup`` =
+    the full SemDeDup composition (Abbas et al. 2023): within-kmeans-
+    bucket cosine near-dup connected components, representative = min
+    id — the kmeans CTEs feed the pair join in BOTH engines."""
+    from ..stages.similarity import kmeans_embeddings, semdedup_embeddings
 
     def tag(method):
         def f(t: pa.Table) -> pa.Table:
@@ -921,7 +933,9 @@ def embedding_clusters(sf_dir):
         tag("cc"), batch_format="pyarrow")
     km, _ = kmeans_embeddings(_read(sf_dir, "embeddings"))
     km = km.map_batches(tag("kmeans"), batch_format="pyarrow")
-    return cc.union(km)
+    sd = semdedup_embeddings(_read(sf_dir, "embeddings")).map_batches(
+        tag("semdedup"), batch_format="pyarrow")
+    return cc.union(km).union(sd)
 
 
 def events_hourly(sf_dir):

@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.terms import pool_size
+from ..functions.terms import pool_spec
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -255,7 +255,7 @@ def decontaminate(ds, id_col="doc_id", text_col="text", k=3,
         _GramPairs, fn_constructor_kwargs=dict(
             id_col=id_col, text_col=text_col, k=k, hash_mode=hash_mode,
             id_filter_mod=eval_mod),
-        batch_format="pandas", concurrency=pool_size())
+        batch_format="pandas", concurrency=pool_spec())
     # streamed driver collect: per-batch unique first, budget enforced
     # DURING accumulation (not after a potentially huge concat)
     parts, total = [], 0
@@ -281,7 +281,7 @@ def decontaminate(ds, id_col="doc_id", text_col="text", k=3,
         _EvalOverlapCounter, fn_constructor_kwargs=dict(
             eval_ref=ref, id_col=id_col, text_col=text_col, k=k,
             hash_mode=hash_mode, eval_mod=eval_mod),
-        batch_format="pandas", concurrency=pool_size())
+        batch_format="pandas", concurrency=pool_spec())
 
 
 def dup_ngram_counts(ds, id_col="doc_id", text_col="text", k=3,
@@ -302,7 +302,7 @@ def dup_ngram_counts(ds, id_col="doc_id", text_col="text", k=3,
         _GramPairs, fn_constructor_kwargs=dict(
             id_col=id_col, text_col=text_col, k=k, hash_mode=hash_mode,
             num_buckets=num_buckets),
-        batch_format="pandas", concurrency=pool_size())
+        batch_format="pandas", concurrency=pool_spec())
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # pairs are distinct per doc, so a hash's row count IS its
@@ -391,7 +391,7 @@ def strip_dup_spans(ds, id_col="doc_id", text_col="text", k=3,
         _GramOccurrences, fn_constructor_kwargs=dict(
             id_col=id_col, text_col=text_col, k=k, hash_mode=hash_mode,
             num_buckets=num_buckets),
-        batch_format="pandas", concurrency=pool_size())
+        batch_format="pandas", concurrency=pool_spec())
 
     def mark(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby("h")["h"].transform("size")
@@ -442,3 +442,97 @@ def strip_dup_spans(ds, id_col="doc_id", text_col="text", k=3,
 
     return docs.union(starts).groupby("_db").map_groups(
         rebuild, batch_format="pandas")
+
+
+class _EvalStripRebuild:
+    """doc batch -> (doc_id, text_clean, n_tokens_kept) with every
+    token covered by an eval-split k-gram stripped: the broadcast
+    sorted eval-gram hashes land once per actor; per doc, occurrence
+    hashes are membership-tested with one vectorized searchsorted and
+    the covered intervals stripped via the diff-array marking."""
+
+    def __init__(self, eval_ref, id_col="doc_id", text_col="text",
+                 k=3, hash_mode="fast", eval_mod=97):
+        import ray
+
+        self.grams = (ray.get(eval_ref)
+                      if isinstance(eval_ref, ray.ObjectRef)
+                      else eval_ref)
+        self.id_col, self.text_col = id_col, text_col
+        self.k, self.hash_mode, self.eval_mod = k, hash_mode, eval_mod
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _hash_strings, _hash_strings_md5
+
+        hasher = (_hash_strings_md5 if self.hash_mode == "md5"
+                  else _hash_strings)
+        out_id, out_text, out_n = [], [], []
+        for doc_id, text in zip(batch[self.id_col],
+                                batch[self.text_col]):
+            if int(doc_id) % self.eval_mod == 0:
+                continue  # eval docs are not decontamination targets
+            toks = ascii_tokens(str(text))
+            kept = toks
+            if len(toks) >= self.k and len(self.grams):
+                grams = [" ".join(toks[i:i + self.k])
+                         for i in range(len(toks) - self.k + 1)]
+                h = hasher(grams)
+                idx = np.searchsorted(self.grams, h)
+                idx[idx == len(self.grams)] = 0
+                starts = np.nonzero(self.grams[idx] == h)[0]
+                if len(starts):
+                    n = len(toks)
+                    d = np.zeros(n + 1, np.int64)
+                    np.add.at(d, starts, 1)
+                    np.add.at(d, np.minimum(starts + self.k, n), -1)
+                    cov = np.cumsum(d[:n]) > 0
+                    kept = [t for t, c in zip(toks, cov) if not c]
+            out_id.append(int(doc_id))
+            out_text.append(" ".join(kept))
+            out_n.append(len(kept))
+        return pd.DataFrame({
+            self.id_col: np.array(out_id, np.int64),
+            "text_clean": np.array(out_text, dtype=object),
+            "n_tokens_kept": np.array(out_n, np.int64)})
+
+
+def strip_contaminated_spans(ds, id_col="doc_id", text_col="text",
+                             k=3, eval_mod=97, hash_mode="fast"):
+    """Benchmark decontamination REMOVAL: rewrite every TRAINING doc
+    (``doc_id % eval_mod != 0``) with all tokens covered by an
+    eval-split k-gram stripped — the action counterpart of
+    ``decontaminate``'s counting.  Same broadcast shape: the eval
+    side's distinct gram hashes are collected once under the
+    MAX_EVAL_GRAMS budget and ``ray.put`` once; the corpus then
+    streams through ONE zero-shuffle rewrite pass.  Eval docs emit no
+    row (the output IS the decontaminated training corpus)."""
+    import ray
+
+    eval_pairs = ds.map_batches(
+        _GramPairs, fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, k=k, hash_mode=hash_mode,
+            id_filter_mod=eval_mod),
+        batch_format="pandas", concurrency=pool_spec())
+    parts, total = [], 0
+    for b in eval_pairs.select_columns(["h"]).iter_batches(
+            batch_size=1 << 20, batch_format="numpy"):
+        u = np.unique(b["h"])
+        parts.append(u)
+        total += len(u)
+        if total > 2 * MAX_EVAL_GRAMS:
+            raise ValueError(
+                f"eval split exceeds the {MAX_EVAL_GRAMS}-gram "
+                "broadcast budget; use the bucket-shuffle shape "
+                "(strip_dup_spans machinery) instead")
+    grams = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+    if len(grams) > MAX_EVAL_GRAMS:
+        raise ValueError(
+            f"eval split has {len(grams)} distinct grams "
+            f"(> {MAX_EVAL_GRAMS}); use the bucket-shuffle shape")
+    ref = ray.put(grams)
+    return ds.map_batches(
+        _EvalStripRebuild, fn_constructor_kwargs=dict(
+            eval_ref=ref, id_col=id_col, text_col=text_col, k=k,
+            hash_mode=hash_mode, eval_mod=eval_mod),
+        batch_format="pandas", concurrency=pool_spec())

@@ -197,6 +197,13 @@ class _AssignPartial:
             return pd.DataFrame({
                 self.id_col: batch[self.id_col].to_numpy(np.int64),
                 "cluster": a.astype(np.int64)})
+        if self.emit == "assign_keep":
+            # assignment + the vector itself, so downstream
+            # within-cluster stages (semdedup) need no payload join
+            return pd.DataFrame({
+                self.id_col: batch[self.id_col].to_numpy(np.int64),
+                "cluster": a.astype(np.int64),
+                self.vec_col: list(batch[self.vec_col])})
         cids, counts, sums = [], [], []
         for cid in np.unique(a):
             m = a == cid
@@ -291,3 +298,58 @@ def kmeans_embeddings(ds, k: int = 8, n_iter: int = 4,
     cref = ray.put(cents)
     assign = work.map_batches(_stage(cref, "assign"), batch_format="pandas")
     return assign, cents
+
+
+def semdedup_embeddings(ds, k: int = 8, n_iter: int = 4,
+                        threshold: float = 0.45, id_col: str = "vec_id",
+                        vec_col: str = "embedding", init: str = "ids"):
+    """SemDeDup (Abbas et al. 2023) end to end: k-means buckets ->
+    WITHIN-bucket cosine near-dup pairs -> connected components ->
+    (vec_id, cluster = min id in component; singletons keep their own
+    id).  Downstream dedup keeps one representative per cluster.
+
+    Scale shape: the whole point of SemDeDup is that the quadratic
+    cosine comparison runs inside k-means buckets of ~n/k vectors
+    (production k is large, e.g. 100k), never corpus-wide.  Here:
+    kmeans trains with centroid-only traffic (stages above), ONE
+    streaming pass re-assigns while KEEPING the vector (emit=
+    "assign_keep" — no payload join), one cluster-key groupby
+    co-locates each bucket, and the per-bucket kernel is a
+    normalize + matmul.  Pairs can only form within a bucket, so the
+    CC closure input is bucket-local; the closure itself reuses the
+    distributed min-label machinery.  The cosine-threshold float
+    contract is the embedding_near_dups one (pair set stable; the
+    value never compared)."""
+    import ray
+
+    from .dedup import _propagate_min_labels, assign_clusters
+
+    _, cents = kmeans_embeddings(ds, k=k, n_iter=n_iter, id_col=id_col,
+                                 vec_col=vec_col, init=init)
+    cref = ray.put(cents)
+
+    def assign_keep(b: pd.DataFrame) -> pd.DataFrame:
+        return _AssignPartial(cref, id_col, vec_col,
+                              emit="assign_keep")(b)
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        assign_keep, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                          1e-12)
+        sims = mat @ mat.T
+        ia, ib = np.nonzero(sims >= threshold)
+        ids = g[id_col].to_numpy(np.int64)
+        a, b = ids[ia], ids[ib]
+        keep = a < b
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    pairs = assigned.groupby("cluster").map_groups(
+        bucket_pairs, batch_format="pandas")
+    labels = _propagate_min_labels(pairs)
+    return assign_clusters(ds, labels, id_col=id_col)

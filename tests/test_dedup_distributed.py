@@ -1254,3 +1254,65 @@ def test_bpe_encode_matches_reference_symbol_counts(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert {i: n for i, n in zip(out["doc_id"], out["n_bpe_tokens"])} \
         == expect
+
+
+def test_semdedup_embeddings_brute_force(ray_session):
+    """semdedup_embeddings == an independent numpy replay: ids-init
+    kmeans (4 Lloyd iterations, 6-decimal rounding, first-min
+    tie-break), within-cluster cosine pairs, union-find min-label;
+    pairs across different kmeans buckets must NOT merge."""
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.similarity import (
+        semdedup_embeddings)
+
+    rng = np.random.RandomState(3)
+    n, dim, k, n_iter, thr = 120, 8, 4, 4, 0.9
+    base = rng.randn(k, dim) * 3
+    vecs = base[rng.randint(0, k, n)] + rng.randn(n, dim) * 0.6
+    # plant tight near-dup pairs inside clumps
+    for i in range(0, 30, 3):
+        vecs[i + 1] = vecs[i] + rng.randn(dim) * 0.01
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.astype(np.float64) for v in vecs]})
+
+    # --- reference kmeans (mirrors the documented contract)
+    cents = np.stack(df["embedding"].to_numpy()[:k]).astype(np.float64)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    for _ in range(n_iter):
+        d = (cents * cents).sum(1) - 2.0 * X @ cents.T
+        a = d.argmin(1)
+        new = cents.copy()
+        for c in range(k):
+            if (a == c).any():
+                new[c] = X[a == c].mean(0)
+        cents = np.round(new, 6)
+    a = ((cents * cents).sum(1) - 2.0 * X @ cents.T).argmin(1)
+
+    # --- reference within-cluster pairs + union-find
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_pairs = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if a[i] == a[j] and Xn[i] @ Xn[j] >= thr:
+                n_pairs += 1
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    assert n_pairs >= 10  # the fixture really exercises merging
+    expect = {i: find(i) for i in range(n)}
+
+    out = semdedup_embeddings(
+        rd.from_pandas(df).repartition(5), k=k, n_iter=n_iter,
+        threshold=thr).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    got = dict(zip(out["vec_id"].astype(int), out["cluster"].astype(int)))
+    assert got == expect

@@ -446,3 +446,58 @@ def test_strip_dup_spans_brute_force(ray_session):
         got = {int(d): (t, int(n)) for d, t, n in zip(
             out["doc_id"], out["text_clean"], out["n_tokens_kept"])}
         assert got == expect
+
+
+def test_strip_contaminated_spans_brute_force(ray_session):
+    """strip_contaminated_spans == pure reference: tokens covered by
+    any eval-split k-gram stripped from training docs, eval docs
+    emit no row, gram-free docs pass through."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.scrub import (
+        ascii_tokens, strip_contaminated_spans)
+
+    k, eval_mod = 3, 5
+    texts = [
+        "the secret eval answer is forty two exactly",  # 0: eval
+        "model output said the secret eval answer is forty two",  # 1
+        "a completely clean training document here",    # 2
+        "is forty two exactly what the oracle said",    # 3: tail hit
+        "tiny doc",                                     # 4: < k, eval? 4%5!=0 -> training
+        "another eval probe question text",             # 5: eval
+        "another eval probe appears here in training",  # 6
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    eval_grams = set()
+    for d, t in zip(df["doc_id"], df["text"]):
+        if d % eval_mod == 0:
+            toks = ascii_tokens(t)
+            for i in range(len(toks) - k + 1):
+                eval_grams.add(" ".join(toks[i:i + k]))
+    expect = {}
+    for d, t in zip(df["doc_id"], df["text"]):
+        if d % eval_mod == 0:
+            continue
+        toks = ascii_tokens(t)
+        cov = [False] * len(toks)
+        for i in range(len(toks) - k + 1):
+            if " ".join(toks[i:i + k]) in eval_grams:
+                for j in range(i, i + k):
+                    cov[j] = True
+        kept = [w for w, c in zip(toks, cov) if not c]
+        expect[int(d)] = (" ".join(kept), len(kept))
+    assert expect[2][1] == 6 and expect[4] == ("tiny doc", 2)
+    assert expect[1][1] < 10 and expect[6][1] < 7  # real strips
+
+    for nparts in (1, 4):
+        out = strip_contaminated_spans(
+            rd.from_pandas(df).repartition(nparts), k=k,
+            eval_mod=eval_mod).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        got = {int(d): (t, int(n)) for d, t, n in zip(
+            out["doc_id"], out["text_clean"], out["n_tokens_kept"])}
+        assert got == expect

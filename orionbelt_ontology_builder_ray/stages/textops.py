@@ -613,30 +613,41 @@ def corpus_bigram_lm(ds, text_col="text", min_count=2,
     corpus tokens, bi = DataFrame (w1, w2, n) with n >= min_count,
     n_vocab = len(uni) (the smoothing denominator's V).
     """
-    from collections import Counter
-
     split = re.compile(f"[{_WS}]+").split  # ASCII ws, RE2 contract
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        uni: Counter = Counter()
-        bi: Counter = Counter()
-        for t in b[text_col]:
-            toks = [w for w in split(str(t)) if w]
-            uni.update(toks)
-            bi.update(zip(toks, toks[1:]))
+        flat, lens = _flat_tokens(b[text_col], split)
+        if flat is None:
+            return pd.DataFrame({
+                "kind": pd.Series([], dtype=np.int8),
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "_b": pd.Series([], dtype=np.int32)})
+        # one flat-batch pass: unigram counts over all tokens, bigram
+        # counts over within-doc adjacencies (doc-boundary positions
+        # masked) — C groupbys, no per-doc Python Counter churn
+        uni = pd.Series(flat, dtype=object).value_counts(sort=False)
+        w1v, w2v = _adjacent_pairs(flat, lens)
+        if len(w1v):
+            bi = pd.DataFrame({"w1": w1v, "w2": w2v}) \
+                .groupby(["w1", "w2"], sort=False).size()
+        else:
+            bi = pd.Series([], dtype=np.int64)
         n_u, n_b = len(uni), len(bi)
         w1 = np.empty(n_u + n_b, dtype=object)
         w2 = np.empty(n_u + n_b, dtype=object)
         n = np.empty(n_u + n_b, dtype=np.int64)
         kind = np.empty(n_u + n_b, dtype=np.int8)
-        w1[:n_u] = list(uni.keys())
+        w1[:n_u] = uni.index.to_numpy(dtype=object)
         w2[:n_u] = ""
-        n[:n_u] = list(uni.values())
+        n[:n_u] = uni.to_numpy(np.int64)
         kind[:n_u] = 0
-        w1[n_u:] = [a for a, _ in bi.keys()]
-        w2[n_u:] = [b2 for _, b2 in bi.keys()]
-        n[n_u:] = list(bi.values())
-        kind[n_u:] = 1
+        if n_b:
+            w1[n_u:] = bi.index.get_level_values(0).to_numpy(dtype=object)
+            w2[n_u:] = bi.index.get_level_values(1).to_numpy(dtype=object)
+            n[n_u:] = bi.to_numpy(np.int64)
+            kind[n_u:] = 1
         h = pd.util.hash_pandas_object(pd.Series(w1, dtype=object),
                                        index=False)
         return pd.DataFrame({
@@ -678,21 +689,53 @@ def _unwrap_model(model_ref):
             bi.rename(columns={"n": "_n_bi"}), int(n_vocab))
 
 
+def _flat_tokens(texts, split):
+    """Batch of texts -> (flat token object array, per-doc lengths) —
+    empty docs dropped (their length would make the boundary mask
+    degenerate and they contribute no tokens anyway).  Returns
+    (None, None) for an all-empty batch."""
+    from itertools import chain
+
+    per_doc = [[w for w in split(str(t)) if w] for t in texts]
+    lens = np.fromiter((len(x) for x in per_doc), np.int64,
+                       len(per_doc))
+    if not lens.sum():
+        return None, None
+    flat = np.array(list(chain.from_iterable(per_doc)), dtype=object)
+    return flat, lens
+
+
+def _adjacent_pairs(flat, lens):
+    """Within-doc adjacent (w1, w2) arrays from a flat token array:
+    w1 = every token that is not its doc's last, w2 = every token
+    that is not its doc's first — doc boundaries masked via the
+    cumulative-length positions, no per-doc Python."""
+    lens = lens[lens > 0]
+    ends = np.cumsum(lens)
+    n = int(ends[-1])
+    is_last = np.zeros(n, bool)
+    is_last[ends - 1] = True
+    is_first = np.zeros(n, bool)
+    is_first[ends[:-1]] = True
+    is_first[0] = True
+    return flat[~is_last], flat[~is_first]
+
+
 def _bigram_pair_frame(batch, id_col, text_col, split):
     """Flatten a batch of docs into one (doc_id, w1, w2) bigram frame
-    (docs with < 2 tokens contribute no rows); None if empty."""
-    docs, w1s, w2s = [], [], []
-    for doc_id, t in zip(batch[id_col], batch[text_col]):
-        toks = [w for w in split(str(t)) if w]
-        if len(toks) < 2:
-            continue
-        docs.extend([doc_id] * (len(toks) - 1))
-        w1s.extend(toks[:-1])
-        w2s.extend(toks[1:])
-    if not docs:
+    (docs with < 2 tokens contribute no rows); None if empty.
+    Flat-batch vectorized: one boundary-masked slice pair instead of
+    per-doc list churn (measured on the 100k-doc probe)."""
+    flat, lens = _flat_tokens(batch[text_col], split)
+    if flat is None:
         return None
-    return pd.DataFrame({id_col: np.asarray(docs, dtype=np.int64),
-                         "w1": w1s, "w2": w2s})
+    ids = np.asarray(batch[id_col], dtype=np.int64)[lens > 0]
+    lens = lens[lens > 0]
+    w1, w2 = _adjacent_pairs(flat, lens)
+    if not len(w1):
+        return None
+    return pd.DataFrame({id_col: np.repeat(ids, lens - 1),
+                         "w1": w1, "w2": w2})
 
 
 def _pair_logp(df, uni, bi, v, alpha):

@@ -55,14 +55,21 @@ def word_freqs(ds, text_col: str = "text", num_buckets: int = 64):
     split = re.compile(f"[{_WS}]+").split
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for t in b[text_col]:
-            c.update(w for w in split(str(t)) if w)
-        words = np.array(list(c.keys()), dtype=object)
-        n = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        from itertools import chain
+
+        flat = list(chain.from_iterable(
+            (w for w in split(str(t)) if w) for t in b[text_col]))
+        if not flat:
+            return pd.DataFrame({
+                "word": pd.Series([], dtype=object),
+                "freq": pd.Series([], dtype=np.int64),
+                "_b": pd.Series([], dtype=np.int32)})
+        c = pd.Series(flat, dtype=object).value_counts(sort=False)
+        words = c.index.to_numpy(dtype=object)
         h = pd.util.hash_pandas_object(pd.Series(words, dtype=object),
                                        index=False)
-        return pd.DataFrame({"word": words, "freq": n,
+        return pd.DataFrame({"word": words,
+                             "freq": c.to_numpy(np.int64),
                              "_b": (h % num_buckets).astype(np.int32)})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:

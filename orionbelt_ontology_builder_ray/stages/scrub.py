@@ -341,30 +341,47 @@ class _GramOccurrences:
         self.num_buckets = num_buckets
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
         from .dedup import _hash_strings, _hash_strings_md5
 
         hasher = (_hash_strings_md5 if self.hash_mode == "md5"
                   else _hash_strings)
-        ids, hs, starts = [], [], []
-        for doc_id, text in zip(batch[self.id_col],
-                                batch[self.text_col]):
-            toks = ascii_tokens(str(text))
-            if len(toks) < self.k:
-                continue
-            grams = [" ".join(toks[i:i + self.k])
-                     for i in range(len(toks) - self.k + 1)]
-            hs.append(hasher(grams))
-            ids.append(np.full(len(grams), doc_id, dtype=np.int64))
-            starts.append(np.arange(len(grams), dtype=np.int64))
-        if not hs:
-            return pd.DataFrame({"h": np.empty(0, np.uint64),
-                                 self.id_col: np.empty(0, np.int64),
-                                 "i": np.empty(0, np.int64),
-                                 "_b": np.empty(0, np.int32)})
-        h = np.concatenate(hs)
+        k = self.k
+        per_doc = [ascii_tokens(str(t)) for t in batch[self.text_col]]
+        lens = np.fromiter((len(x) for x in per_doc), np.int64,
+                           len(per_doc))
+        ids = np.asarray(batch[self.id_col], dtype=np.int64)
+        keep = lens >= k
+        empty = pd.DataFrame({"h": np.empty(0, np.uint64),
+                              self.id_col: np.empty(0, np.int64),
+                              "i": np.empty(0, np.int64),
+                              "_b": np.empty(0, np.int32)})
+        if not keep.any():
+            return empty
+        ids, lens = ids[keep], lens[keep]
+        flat = np.array(list(chain.from_iterable(
+            t for t, kp in zip(per_doc, keep) if kp)), dtype=object)
+        # flat-batch k-gram construction: a gram starts at every flat
+        # position whose local index is <= doc_len - k; the gram
+        # string is the str.cat of k boundary-safe shifted slices —
+        # no per-doc Python join loop
+        n = len(flat)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        li = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        valid = li <= np.repeat(lens, lens) - k
+        pos = np.nonzero(valid)[0]
+        if not len(pos):
+            return empty
+        g0 = pd.Series(flat[pos], dtype=object)
+        grams = g0.str.cat(
+            [pd.Series(flat[pos + j], dtype=object) for j in range(1, k)],
+            sep=" ")
+        h = hasher(grams.tolist())
         return pd.DataFrame({
-            "h": h, self.id_col: np.concatenate(ids),
-            "i": np.concatenate(starts),
+            "h": h,
+            self.id_col: np.repeat(ids, lens - k + 1),
+            "i": li[pos],
             "_b": (h % np.uint64(self.num_buckets)).astype(np.int32)})
 
 

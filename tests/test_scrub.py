@@ -501,3 +501,52 @@ def test_strip_contaminated_spans_brute_force(ray_session):
         got = {int(d): (t, int(n)) for d, t, n in zip(
             out["doc_id"], out["text_clean"], out["n_tokens_kept"])}
         assert got == expect
+
+
+def test_quality_classifier_lr_brute_force(ray_session):
+    """Distributed full-batch logistic regression == a pure-numpy GD
+    replay (same featurization, same iteration count) to float
+    tolerance; the trained classifier separates the planted
+    good/bad vocabularies; partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.classifier import (
+        _featurize_batch, _sigmoid, quality_scores_lr,
+        train_quality_classifier)
+
+    rng = np.random.RandomState(8)
+    good_v = [f"fine{i}" for i in range(30)]
+    bad_v = [f"junk{i}" for i in range(30)]
+    texts, labels = [], []
+    for i in range(200):
+        y = i % 2
+        voc = good_v if y else bad_v
+        texts.append(" ".join(rng.choice(voc, rng.randint(5, 30))))
+        labels.append(y)
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": texts,
+                       "label": np.array(labels, np.int64)})
+
+    dim, n_iter, lr = 64, 20, 2.0
+    # pure reference
+    X = _featurize_batch(texts, dim)
+    y = np.array(labels, np.float64)
+    w_ref = np.zeros(dim + 1)
+    for _ in range(n_iter):
+        w_ref = w_ref - lr * ((_sigmoid(X @ w_ref) - y) @ X) / len(y)
+
+    for nparts in (1, 6):
+        w = train_quality_classifier(
+            rd.from_pandas(df).repartition(nparts), n_iter=n_iter,
+            lr=lr, dim=dim)
+        # partial sums accumulate in a different order than one big
+        # matmul; agreement is to float tolerance, not bit-exact
+        np.testing.assert_allclose(w, w_ref, rtol=1e-9, atol=1e-12)
+
+    scores = quality_scores_lr(rd.from_pandas(df), w, dim=dim) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    p = scores["quality_prob"].to_numpy()
+    assert (p[1::2] > 0.5).mean() > 0.95  # good docs score high
+    assert (p[0::2] < 0.5).mean() > 0.95  # bad docs score low

@@ -104,6 +104,25 @@ def main():
         score_col="score_e6", n_buckets=3).count()
     out["rank_buckets_sec"] = round(time.time() - t0, 2)
 
+    from orionbelt_ontology_builder_ray.stages.classifier import (
+        quality_scores_lr, train_quality_classifier)
+
+    t0 = time.time()
+
+    def lab(t):
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("label",
+                               pa.array((ids % 2).astype("int64")))
+
+    labeled = ds.map_batches(lab, batch_format="pyarrow")
+    w = train_quality_classifier(labeled, n_iter=10)
+    out["lr_train10_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    quality_scores_lr(ds, w).count()
+    out["lr_score_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
     ray.shutdown()
 

@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedups": q.doc_dedups,
         "doc_token_stats": q.doc_token_stats,
         "doc_repetition": q.doc_repetition,
+        # r5: the distributed quality classifier (unrolled-GD oracle,
+        # kmeans ROUND contract) rides doc_token_stats'
+        # quality_prob_e6 leg — the 50-slot harness cap holds
         "doc_text_profile": q.doc_text_profile,
         "doc_pii_redact": q.doc_pii_redact,
         "doc_samples": q.doc_samples,

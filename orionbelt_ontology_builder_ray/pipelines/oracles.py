@@ -1612,7 +1612,10 @@ def sql_doc_token_stats(vocab_top_m: int = 100) -> str:
     corpus_vocab.  The lm/tlm CTEs re-train the add-alpha bigram
     models (source = whole corpus, target = doc_id % 5 = 0) exactly
     as corpus_bigram_lm does, min_count-pruned via HAVING.  The bpe
-    legs re-run 4 unrolled BPE merge iterations (_sql_bpe_ctes)."""
+    legs re-run 4 unrolled BPE merge iterations (_sql_bpe_ctes).
+    The quality_prob_e6 leg re-trains the logistic-regression quality
+    classifier (sql_doc_quality_classifier: 20 GD iterations unrolled
+    as MATERIALIZED CTEs) and carries the per-doc scores."""
     bpe_ctes, bpe_legs = _sql_bpe_ctes(4)
     return f"""
 WITH tc AS ({sql_doc_token_counts()}), ng AS ({sql_doc_ngram_stats()}),
@@ -1677,7 +1680,9 @@ UNION ALL SELECT doc_id, 'ccnet_bucket', (r * 3) // ntot FROM (
            ORDER BY CAST(ROUND(avg_logp * 1e6) AS BIGINT), doc_id)
            - 1 AS r,
          COUNT(*) OVER () AS ntot
-  FROM lm)"""
+  FROM lm)
+UNION ALL SELECT doc_id, 'quality_prob_e6', quality_prob_e6
+FROM ({sql_doc_quality_classifier()})"""
 
 
 def sql_doc_dedups() -> str:
@@ -1890,3 +1895,72 @@ FROM canon_triples WHERE predicate = {t} GROUP BY object
 UNION ALL
 SELECT 'urn:graft:metric:merged_rows', 'urn:graft:stat:n',
        CAST((SELECT COUNT(*) FROM triples) AS VARCHAR), 'stat', '', ''""")
+
+
+def sql_doc_quality_classifier(dim: int = 64, n_iter: int = 20,
+                               lr: float = 0.5,
+                               feat_mode: str = "binary") -> str:
+    """DuckDB mirror of queries.doc_quality_classifier — full-batch
+    logistic regression UNROLLED as CTE pairs (the kmeans precedent,
+    sql_embedding_kmeans): features are the sparse (doc_id, bucket,
+    v = count/len) relation over md5-low64 % dim token buckets plus a
+    bias row (bucket = dim, v = 1.0) for EVERY doc (so zero-token
+    docs still score sigmoid(w_bias)); each iteration computes
+    logits by a feature/weight join, the mean gradient by a
+    feature/error join, and re-synchronizes on the shared ROUND(w, 6)
+    grid exactly like the Ray side's np.round(w, 6).  Final
+    probabilities are CAST(ROUND(1e6 * sigmoid(z)) AS BIGINT) — the
+    e6-integer parity contract (a prob within a summation-order ulp
+    of a half-microunit boundary could round apart; measure-zero, the
+    dsir/lm caveat)."""
+    v_expr = ("1.0" if feat_mode == "binary"
+              else "CAST(c.c AS DOUBLE) / t.n_tok")
+    parts = [f"""
+cdocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN regexp_matches(text, '\\bdata\\b')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+ctok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_filter(
+             string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+             t -> t <> '')) AS tok
+  FROM documents),
+cfeat AS MATERIALIZED (
+  SELECT c.doc_id, c.bucket, {v_expr} AS v
+  FROM (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)
+                    % {dim} AS BIGINT) AS bucket,
+               COUNT(*) AS c
+        FROM ctok GROUP BY 1, 2) c
+  JOIN (SELECT doc_id, COUNT(*) AS n_tok FROM ctok GROUP BY 1) t
+    USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {dim} AS bucket, 1.0 AS v FROM cdocs),
+cn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM cdocs),
+cw0 AS (SELECT CAST(r.range AS BIGINT) AS bucket, 0.0 AS w
+        FROM range({dim + 1}) r)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+cz{t} AS MATERIALIZED (SELECT f.doc_id, SUM(f.v * w.w) AS z
+          FROM cfeat f JOIN cw{t - 1} w USING (bucket) GROUP BY 1),
+cg{t} AS MATERIALIZED (SELECT f.bucket,
+                 SUM((1.0 / (1.0 + exp(-z.z)) - d.y) * f.v) AS g
+          FROM cfeat f
+          JOIN cz{t} z USING (doc_id)
+          JOIN cdocs d ON d.doc_id = f.doc_id
+          GROUP BY 1),
+cw{t} AS MATERIALIZED (SELECT w.bucket,
+                 ROUND(w.w - {lr} * COALESCE(g.g, 0.0)
+                       / (SELECT n FROM cn), 6) AS w
+          FROM cw{t - 1} w LEFT JOIN cg{t} g USING (bucket))""")
+    final = f"""
+SELECT d.doc_id,
+       CAST(ROUND(1e6 * (1.0 / (1.0 + exp(-z.z)))) AS BIGINT)
+           AS quality_prob_e6
+FROM cdocs d
+JOIN (SELECT f.doc_id, SUM(f.v * w.w) AS z
+      FROM cfeat f JOIN cw{n_iter} w USING (bucket)
+      GROUP BY 1) z USING (doc_id)"""
+    return "WITH " + ",".join(parts) + final

@@ -484,9 +484,23 @@ def doc_token_stats(sf_dir):
 
     enc_rows = bpe_encode(docs, ops).map_batches(
         tag_enc, batch_format="pandas")
+
+    # r5: the quality-classifier leg — 20 distributed GD iterations
+    # (md5 binary features, ROUND(w,6) resync) + the broadcast
+    # scoring pass; probs ride the union as e6 ints so the ITERATIVE
+    # training is driver-hash-checked like kmeans
+    def tag_clf(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy(np.int64)),
+            "metric": pa.array(["quality_prob_e6"] * len(b),
+                               pa.string()),
+            "n": pa.array(b["quality_prob_e6"].to_numpy(np.int64))})
+
+    clf_rows = doc_quality_classifier(sf_dir).map_batches(
+        tag_clf, batch_format="pandas")
     return counts.union(grams).union(oov).union(vocab_rows) \
         .union(lm_rows).union(dsir_rows).union(bpe_rows) \
-        .union(ccnet_rows).union(enc_rows)
+        .union(ccnet_rows).union(enc_rows).union(clf_rows)
 
 
 def doc_repetition(sf_dir):
@@ -1760,3 +1774,53 @@ def kg_continuous_ingest(sf_dir):
         "datatype": [""],
     }))
     return triples.union(stat_leg).union(metric_leg)
+
+
+def doc_quality_classifier(sf_dir, dim=64, n_iter=20, lr=0.5):
+    """Quality-classifier train + score as ONE driver slot: the
+    fastText-style linear filter of the GPT-3/LLaMA curation recipe
+    (stages/classifier.py), trained distributedly (per-block gradient
+    partials, kmeans traffic shape) on a deterministic
+    SQL-expressible label (doc contains a digit — a real, learnable
+    text signal) and applied to the corpus in one broadcast-weights
+    streaming pass.  The demo label is "doc mentions the token
+    'data'" (a 79/21 split on the test corpora) — present as a
+    whole word, RE2 ``\\bdata\\b`` on both engines — so the trained
+    weights genuinely separate (the bucket 'data' hashes into gets a
+    positive weight) rather than fitting a constant.
+
+    Cross-engine contracts: md5 feature hashing (the stages/ner.py
+    contract), ROUND(w, 6) after EVERY gradient step (the kmeans
+    re-synchronization — per-engine summation-order ulps never
+    compound across iterations), probabilities carried as
+    round(p * 1e6) BIGINT.  The SQL mirror unrolls the ``n_iter``
+    GD iterations as CTE pairs over a sparse (doc_id, bucket, v)
+    feature relation."""
+    import pyarrow.compute as pc
+
+    from ..stages.classifier import (quality_scores_lr,
+                                     train_quality_classifier)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def label(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.match_substring_regex(
+            t["text"].cast(pa.string()), r"\bdata\b"), pa.float64())
+        return pa.table({"text": t["text"].cast(pa.string()),
+                         "label": y})
+
+    labeled = docs.map_batches(label, batch_format="pyarrow")
+    w = train_quality_classifier(
+        labeled, dim=dim, n_iter=n_iter, lr=lr, hash_mode="md5",
+        feat_mode="binary", round_decimals=6)
+    scores = quality_scores_lr(docs, w, dim=dim, hash_mode="md5",
+                               feat_mode="binary")
+
+    def to_e6(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "quality_prob_e6": np.round(
+                b["quality_prob"].to_numpy(np.float64) * 1e6)
+            .astype(np.int64)})
+
+    return scores.map_batches(to_e6, batch_format="pandas")

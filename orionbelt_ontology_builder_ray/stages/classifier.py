@@ -35,15 +35,20 @@ from ..functions.terms import pool_spec
 _FEAT_DIM = 64
 
 
-def _featurize_batch(texts, dim: int,
-                     hash_mode: str = "fast") -> np.ndarray:
+def _featurize_batch(texts, dim: int, hash_mode: str = "fast",
+                     feat_mode: str = "tf") -> np.ndarray:
     """Hashed bag-of-tokens features, one row per doc: token-hash %
     dim bucket counts, normalized by the doc's token count (empty doc
     -> zero row); a constant 1.0 bias column is appended.  Flat-batch
     vectorized: ONE hashing call over the batch's flattened tokens and
     one np.add.at scatter — no per-doc loop.  ``fast`` (default) uses
     the pandas production hash; ``md5`` keeps the stages/ner.py
-    feature-hash contract for cross-engine mirrors."""
+    feature-hash contract for cross-engine mirrors.  ``feat_mode``:
+    ``tf`` = token-frequency (count / doc length, the fastText-mean
+    shape); ``binary`` = 1.0 per present bucket (the sklearn
+    HashingVectorizer(binary=True) shape — stronger per-token signals
+    on short docs, and exactly representable floats so the scatter
+    order can never cost an ulp)."""
     from itertools import chain
 
     from .dedup import _hash_strings, _hash_strings_md5
@@ -60,8 +65,11 @@ def _featurize_batch(texts, dim: int,
                   else _hash_strings)
         idx = (hasher(flat) % np.uint64(dim)).astype(np.int64)
         rows = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
-        wts = np.repeat(1.0 / np.maximum(lens, 1), lens)
-        np.add.at(out, (rows, idx), wts)
+        if feat_mode == "binary":
+            out[rows, idx] = 1.0
+        else:
+            wts = np.repeat(1.0 / np.maximum(lens, 1), lens)
+            np.add.at(out, (rows, idx), wts)
     return out
 
 
@@ -80,15 +88,19 @@ class _GradPartial:
     sum((sigmoid(Xw) - y) * X) and the row count — (dim+2) floats
     leave each batch."""
 
-    def __init__(self, w_ref, dim, text_col, label_col):
+    def __init__(self, w_ref, dim, text_col, label_col,
+                 hash_mode="fast", feat_mode="tf"):
         import ray
 
         self.w = (ray.get(w_ref) if isinstance(w_ref, ray.ObjectRef)
                   else w_ref)
         self.dim, self.text_col, self.label_col = dim, text_col, label_col
+        self.hash_mode, self.feat_mode = hash_mode, feat_mode
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        X = _featurize_batch(b[self.text_col].tolist(), self.dim)
+        X = _featurize_batch(b[self.text_col].tolist(), self.dim,
+                             hash_mode=self.hash_mode,
+                             feat_mode=self.feat_mode)
         y = b[self.label_col].to_numpy(np.float64)
         err = _sigmoid(X @ self.w) - y
         g = err @ X
@@ -97,10 +109,20 @@ class _GradPartial:
 
 def train_quality_classifier(ds, label_col: str = "label",
                              text_col: str = "text", dim: int = _FEAT_DIM,
-                             n_iter: int = 20, lr: float = 2.0):
+                             n_iter: int = 20, lr: float = 2.0,
+                             hash_mode: str = "fast",
+                             feat_mode: str = "tf",
+                             round_decimals=None):
     """Full-batch logistic regression on (text, label in {0,1}) ->
     weight vector np.ndarray of dim+1 (bias last).  Deterministic:
-    zero init, fixed iteration count, mean-gradient steps."""
+    zero init, fixed iteration count, mean-gradient steps.
+
+    ``hash_mode="md5"`` keeps the DuckDB-mirrorable feature hashing;
+    ``round_decimals=6`` rounds the weight vector after EVERY step —
+    the kmeans ROUND(,6) determinism contract (similarity.py:238):
+    both engines land on the same decimal grid each iteration, so the
+    per-engine summation-order ulps never compound and an ITERATIVE
+    algorithm hash-matches exactly."""
     import ray
 
     w = np.zeros(dim + 1, dtype=np.float64)
@@ -112,7 +134,9 @@ def train_quality_classifier(ds, label_col: str = "label",
     # (dim+1)-float vector
     def _stage(wref):
         def f(b: pd.DataFrame) -> pd.DataFrame:
-            return _GradPartial(wref, dim, text_col, label_col)(b)
+            return _GradPartial(wref, dim, text_col, label_col,
+                                hash_mode=hash_mode,
+                                feat_mode=feat_mode)(b)
         return f
 
     for _ in range(n_iter):
@@ -124,6 +148,8 @@ def train_quality_classifier(ds, label_col: str = "label",
             break
         grad = np.sum(np.stack(parts["g"].to_numpy()), axis=0) / n
         w = w - lr * grad
+        if round_decimals is not None:
+            w = np.round(w, round_decimals)
     return w
 
 
@@ -132,22 +158,26 @@ class QualityScorerLR:
     weights applied in one streaming sigmoid pass."""
 
     def __init__(self, w_ref, dim=_FEAT_DIM, id_col="doc_id",
-                 text_col="text"):
+                 text_col="text", hash_mode="fast", feat_mode="tf"):
         import ray
 
         self.w = (ray.get(w_ref) if isinstance(w_ref, ray.ObjectRef)
                   else np.asarray(w_ref, dtype=np.float64))
         self.dim, self.id_col, self.text_col = dim, id_col, text_col
+        self.hash_mode, self.feat_mode = hash_mode, feat_mode
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        X = _featurize_batch(b[self.text_col].tolist(), self.dim)
+        X = _featurize_batch(b[self.text_col].tolist(), self.dim,
+                             hash_mode=self.hash_mode,
+                             feat_mode=self.feat_mode)
         return pd.DataFrame({
             self.id_col: b[self.id_col].to_numpy(np.int64),
             "quality_prob": _sigmoid(X @ self.w)})
 
 
 def quality_scores_lr(ds, weights, dim: int = _FEAT_DIM,
-                      id_col: str = "doc_id", text_col: str = "text"):
+                      id_col: str = "doc_id", text_col: str = "text",
+                      hash_mode: str = "fast", feat_mode: str = "tf"):
     """Score every doc under a trained classifier: one broadcast, one
     streaming pass."""
     import ray
@@ -155,5 +185,6 @@ def quality_scores_lr(ds, weights, dim: int = _FEAT_DIM,
     wref = ray.put(np.asarray(weights, dtype=np.float64))
     return ds.map_batches(
         QualityScorerLR, fn_constructor_kwargs=dict(
-            w_ref=wref, dim=dim, id_col=id_col, text_col=text_col),
+            w_ref=wref, dim=dim, id_col=id_col, text_col=text_col,
+            hash_mode=hash_mode, feat_mode=feat_mode),
         batch_format="pandas", concurrency=pool_spec())

@@ -550,3 +550,46 @@ def test_quality_classifier_lr_brute_force(ray_session):
     p = scores["quality_prob"].to_numpy()
     assert (p[1::2] > 0.5).mean() > 0.95  # good docs score high
     assert (p[0::2] < 0.5).mean() > 0.95  # bad docs score low
+
+
+def test_quality_classifier_oracle_parity_random_corpus(
+        ray_session, tmp_path):
+    """queries.doc_quality_classifier == its unrolled-GD DuckDB
+    mirror e6-exactly on a random corpus (md5 feature hashing,
+    binary features, ROUND(w, 6) resync after every step) — the
+    kmeans-style iterative-algorithm parity, pinned off the driver
+    harness too."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from orionbelt_ontology_builder_ray.pipelines.oracles import (
+        sql_doc_quality_classifier)
+    from orionbelt_ontology_builder_ray.pipelines.queries import (
+        doc_quality_classifier)
+
+    rng = np.random.RandomState(17)
+    voc = ["data", "table", "the", "fast", "slow", "row", "scan",
+           "merge", "spark", "key"]
+    texts = [" ".join(rng.choice(voc, rng.randint(0, 12)))
+             for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "text": texts})
+    df.to_parquet(tmp_path / "documents.parquet")
+
+    ours = doc_quality_classifier(str(tmp_path), dim=16, n_iter=5,
+                                  lr=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    sql = sql_doc_quality_classifier(dim=16, n_iter=5, lr=0.5,
+                                     feat_mode="binary")
+    want = con.execute(sql).df().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    assert len(ours) == 120 == len(want)
+    pd.testing.assert_frame_equal(
+        ours.astype({"quality_prob_e6": np.int64}),
+        want.astype({"quality_prob_e6": np.int64}))

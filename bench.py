@@ -370,6 +370,24 @@ def run_bench() -> dict:
     q.events_sliding_counts(SF_DIR).count()
     queries["events_sliding_counts"] = round(time.time() - t0, 3)
 
+    # TF-IDF per-doc top-3 keywords (df shuffle + broadcast-idf
+    # scoring pass)
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.relevance import tfidf_topk
+
+    tfidf_topk(_docs_lm, k=3).count()
+    queries["doc_tfidf_topk"] = round(time.time() - t0, 3)
+
+    # graph analytics: e6 fixed-point PageRank over the entity graph
+    # of the headline KG output (4 integer Lloyd-style iterations;
+    # broadcast rank vector, only N int64s move per iteration)
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.pagerank import (
+        pagerank_fixed_point)
+
+    pagerank_fixed_point(rd.read_parquet(out_dir)).count()
+    queries["kg_pagerank"] = round(time.time() - t0, 3)
+
     # incremental ingest (update_kg): the 16 B/row anti-join claim gets
     # a recorded number.  zero-addition: existing store == headline
     # output, new == the same transcripts -> re-extract + anti-join,

@@ -185,13 +185,56 @@ FROM (SELECT DISTINCT subject FROM triples
 ORDER BY entity""")
 
 
-def sql_kg_statistics() -> str:
-    """Type counts over rdf:type rows (get_statistics analog,
-    om:2868-2901 / groupby(object).count())."""
-    return (kg_triples_cte()
-            + f"\nSELECT object AS type_uri, COUNT(*) AS n FROM triples "
-              f"WHERE predicate = {_sql_str(RDF_TYPE)} "
-              "GROUP BY object ORDER BY type_uri")
+def sql_kg_statistics(n_iter: int = 4) -> str:
+    """Tagged union: type counts over rdf:type rows (get_statistics
+    analog, om:2868-2901 / groupby(object).count()) plus
+    ``pagerank::<uri>`` rows = e6 fixed-point PageRank over the
+    entity graph, unrolled through ``n_iter`` integer iterations
+    (stages/pagerank.py data contract: r0 = 1e6 mass units/node,
+    contrib = (85*r)//(100*outdeg), dangling redistributed
+    (85*D)//(100*N), teleport 150000).  Pure BIGINT arithmetic —
+    bit-identical to the numpy engine by construction.  CTEs are
+    MATERIALIZED: chained iteration CTEs otherwise re-evaluate
+    exponentially in DuckDB."""
+    parts = [f"""
+pr_edges AS MATERIALIZED (
+  SELECT DISTINCT subject AS src, object AS dst FROM triples
+  WHERE object_kind = 'uri' AND predicate <> {_sql_str(RDF_TYPE)}
+    AND subject <> object),
+pr_nodes AS MATERIALIZED (
+  SELECT uri FROM (SELECT src AS uri FROM pr_edges
+                   UNION SELECT dst FROM pr_edges)),
+pr_deg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS d FROM pr_edges GROUP BY src),
+pr_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM pr_nodes),
+pr_r0 AS MATERIALIZED (
+  SELECT uri, CAST(1000000 AS BIGINT) AS r FROM pr_nodes)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+pr_dang{i} AS MATERIALIZED (
+  SELECT (85 * COALESCE(SUM(p.r), 0)) // (100 * (SELECT n FROM pr_n)) AS ds
+  FROM pr_r{p} p LEFT JOIN pr_deg g ON g.src = p.uri
+  WHERE g.src IS NULL),
+pr_r{i} AS MATERIALIZED (
+  SELECT n.uri,
+         CAST(150000 + (SELECT ds FROM pr_dang{i}) + COALESCE(c.s, 0)
+              AS BIGINT) AS r
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.dst AS uri, SUM((85 * p.r) // (100 * g.d)) AS s
+    FROM pr_edges e
+    JOIN pr_r{p} p ON p.uri = e.src
+    JOIN pr_deg g ON g.src = e.src
+    GROUP BY e.dst) c ON c.uri = n.uri)""")
+    pr_ctes = ",".join(parts)
+    return (kg_triples_cte() + "," + pr_ctes
+            + f"""
+SELECT type_uri, n FROM (
+  SELECT object AS type_uri, COUNT(*) AS n FROM triples
+  WHERE predicate = {_sql_str(RDF_TYPE)} GROUP BY object
+  UNION ALL
+  SELECT 'pagerank::' || uri AS type_uri, r AS n FROM pr_r{n_iter})
+ORDER BY type_uri""")
 
 
 def sql_kg_conversation_lengths() -> str:
@@ -1661,7 +1704,22 @@ dsir AS (
   LEFT JOIN tuni ON big.w1 = tuni.w1
   LEFT JOIN bi ON big.w1 = bi.w1 AND big.w2 = bi.w2
   JOIN uni ON big.w1 = uni.w1
-  CROSS JOIN tv CROSS JOIN v GROUP BY big.doc_id),{bpe_ctes}
+  CROSS JOIN tv CROSS JOIN v GROUP BY big.doc_id),
+tfidf_tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM itoks
+             GROUP BY doc_id, tok),
+tfidf_df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM itoks
+             GROUP BY tok),
+tfidf_nd AS (SELECT COUNT(*) AS n FROM documents),
+tfidf_s AS (
+  SELECT f.doc_id, f.tok,
+         f.tf * CAST(ROUND(LN(CAST(nd.n AS DOUBLE) / d.df) * 1e6)
+                     AS BIGINT) AS s
+  FROM tfidf_tf f JOIN tfidf_df d USING (tok) CROSS JOIN tfidf_nd nd),
+tfidf_r AS (
+  SELECT doc_id, tok, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, tok) AS rk
+  FROM tfidf_s),{bpe_ctes}
 SELECT doc_id, 'n_chars' AS metric, n_chars AS n FROM tc
 UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM tc
 UNION ALL SELECT doc_id, 'n_bpe_tokens', n_bpe_tokens FROM tc
@@ -1682,7 +1740,9 @@ UNION ALL SELECT doc_id, 'ccnet_bucket', (r * 3) // ntot FROM (
          COUNT(*) OVER () AS ntot
   FROM lm)
 UNION ALL SELECT doc_id, 'quality_prob_e6', quality_prob_e6
-FROM ({sql_doc_quality_classifier()})"""
+FROM ({sql_doc_quality_classifier()})
+UNION ALL SELECT doc_id, 'tfidf' || rk || ':' || tok, s
+FROM tfidf_r WHERE rk <= 3"""
 
 
 def sql_doc_dedups() -> str:

@@ -92,9 +92,16 @@ def kg_triples(sf_dir):
 
 
 def kg_statistics(sf_dir):
-    """Type counts (get_statistics analog): groupby(object).count on
-    rdf:type rows."""
+    """Two KG-analytics surfaces in one tagged union (one driver
+    slot): the plain type counts (get_statistics analog:
+    groupby(object).count on rdf:type rows) plus ``pagerank::<uri>``
+    rows carrying e6 fixed-point PageRank mass over the entity graph
+    (stages/pagerank.py — an ITERATIVE algorithm oracle-checked
+    through 4 unrolled integer iterations; both engines bit-identical
+    by construction, no float anywhere)."""
     from ray.data.aggregate import Count
+
+    from ..stages.pagerank import pagerank_fixed_point
 
     ds = _triples(sf_dir)
     typed = ds.map_batches(
@@ -102,8 +109,19 @@ def kg_statistics(sf_dir):
         .select(["object"]),
         batch_format="pyarrow")
     out = typed.groupby("object").aggregate(Count(alias_name="n"))
-    return out.map_batches(
+    stats = out.map_batches(
         lambda t: t.rename_columns(["type_uri", "n"]), batch_format="pyarrow")
+
+    def tag_pr(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "type_uri": pc.binary_join_element_wise(
+                pa.array(["pagerank::"] * len(t), pa.string()),
+                t["uri"].cast(pa.string()), ""),
+            "n": t["r"].cast(pa.int64())})
+
+    pr = pagerank_fixed_point(ds).map_batches(tag_pr, batch_format="pyarrow")
+    return stats.union(pr)
 
 
 def kg_conversation_lengths(sf_dir):
@@ -498,9 +516,27 @@ def doc_token_stats(sf_dir):
 
     clf_rows = doc_quality_classifier(sf_dir).map_batches(
         tag_clf, batch_format="pandas")
+
+    # r5: per-doc top-3 TF-IDF keywords (stages/relevance.py) — the
+    # term rides the metric tag so rank, term AND the e6 integer
+    # score are all driver-hashed (idf_e6 = ROUND(ln(N/df)*1e6), then
+    # score = tf * idf_e6 is pure int64 on both engines)
+    from ..stages.relevance import tfidf_topk
+
+    def tag_tfidf(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy(np.int64)),
+            "metric": pa.array(
+                [f"tfidf{r}:{t}" for r, t in zip(b["rank"], b["token"])],
+                pa.string()),
+            "n": pa.array(b["score_e6"].to_numpy(np.int64))})
+
+    tfidf_rows = tfidf_topk(docs, k=3).map_batches(
+        tag_tfidf, batch_format="pandas")
     return counts.union(grams).union(oov).union(vocab_rows) \
         .union(lm_rows).union(dsir_rows).union(bpe_rows) \
-        .union(ccnet_rows).union(enc_rows).union(clf_rows)
+        .union(ccnet_rows).union(enc_rows).union(clf_rows) \
+        .union(tfidf_rows)
 
 
 def doc_repetition(sf_dir):

@@ -1,0 +1,301 @@
+"""Distributed PageRank over the KG entity graph.
+
+The missing graph-analytics family: entity centrality over the
+knowledge graph the engine itself builds (reference analog: the
+importance ordering behind get_visualization_data's node selection,
+app.py's graph views — re-expressed as a first-class distributed
+operator).  Like k-means (stages/similarity.py) it is ITERATIVE, and
+like k-means it is driver-checkable against an unrolled DuckDB oracle
+— but where k-means re-syncs float means via ROUND(x, 6) each
+iteration, PageRank here is defined as **e6 fixed-point integer
+PageRank**: every rank is an int64 count of 1e-6 "rank mass" units
+and every operation is integer arithmetic (multiply, floor-divide,
+sum), so both engines are bit-identical BY CONSTRUCTION — no
+summation-order ulps exist at all.
+
+The data contract (documented, deterministic, engine-independent):
+
+- graph: distinct (src, dst) pairs from URI-object triples,
+  ``predicate != rdf:type``, self-loops dropped;
+- ``r0(v) = 1_000_000`` for every node (total mass = N * 1e6);
+- per iteration, with ``d = 85/100`` damping::
+
+      contrib(u -> v) = (85 * r(u)) // (100 * outdeg(u))
+      dangling_share  = (85 * sum(r(u) for outdeg(u) == 0)) // (100 * N)
+      r'(v)           = 150_000 + dangling_share + sum(contrib(* -> v))
+
+  Floor division loses < 1 mass unit (1e-6) per edge per iteration —
+  negligible bias, and identical in numpy int64 and DuckDB BIGINT
+  (both floor on non-negative operands; verified).  Overflow bound:
+  ``85 * r`` stays inside int64 while total mass N * 1e6 < ~1e17,
+  i.e. N < ~1e11 nodes — document-and-monitor territory at 100 TB.
+
+Two execution paths, auto-selected by edge count (the dedup
+BROADCAST_ID_CAP precedent), pytest-pinned equal:
+
+- **broadcast** (default, edges <= ``PAGERANK_BROADCAST_EDGE_CAP``):
+  node vocabulary + out-degrees fold once on the driver; per
+  iteration only the N-sized int64 rank array moves (``ray.put``
+  once, zero-copy plasma read per task), each task emits per-batch
+  (dst, partial-sum) rows combined locally with ``np.add.at`` —
+  the k-means shape with N instead of k x dim.
+- **shuffle fallback** (above the cap): ranks stay a Dataset; per
+  iteration one groupby(src) co-groups each node's rank row with its
+  out-edges (out-degree = the group's edge count — never
+  materialized globally), emits integer contributions, and one
+  groupby(dst) sums them; dangling mass is a scalar aggregate.
+  Nothing driver-sized anywhere; two shuffles per iteration is the
+  honest price of an N > 10^10 graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.terms import RDF_TYPE
+
+# Above this many (distinct) edges the driver no longer folds the
+# node vocabulary / rank vector; the shuffle fallback takes over.
+# 20M edges -> <= 40M nodes -> <= ~2.4 GB of driver string+int state,
+# the same comfort bound as dedup._INCR_BROADCAST_MAX.
+PAGERANK_BROADCAST_EDGE_CAP = 20_000_000
+
+_TELEPORT = 150_000        # (1 - 0.85) * 1e6, exact
+_R0 = 1_000_000            # initial mass per node, exact
+_DANGLING_KEY = "\x00dangling\x00"  # out-of-band dst tag (never a URI)
+
+
+def entity_edges(triples_ds):
+    """Distinct entity->entity edges: URI-object triples minus
+    rdf:type rows and self-loops.  One projection pass + one
+    distinct groupby (key-only rows move, never payload)."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["object_kind"], "uri"),
+            pc.and_(pc.not_equal(t["predicate"], RDF_TYPE),
+                    pc.not_equal(t["subject"], t["object"])))
+        out = t.filter(keep).select(["subject", "object"])
+        return out.rename_columns(["src", "dst"])
+
+    pairs = triples_ds.map_batches(proj, batch_format="pyarrow")
+    return pairs.groupby(["src", "dst"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# broadcast path
+# ---------------------------------------------------------------------------
+
+
+class _ContribPartial:
+    """Per-batch integer contribution partials: for each edge batch,
+    contrib = (85 * r[src]) // (100 * deg[src]), locally combined by
+    dst (np.add.at on a compacted array — exact int64, unlike
+    bincount's float weights)."""
+
+    def __init__(self, ranks_ref, deg_ref):
+        import ray
+        self._r = ray.get(ranks_ref)
+        self._d = ray.get(deg_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        contrib = (85 * self._r[src]) // (100 * self._d[src])
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, contrib)
+        return pa.table({"dst": pa.array(uniq, pa.int64()),
+                         "s": pa.array(sums, pa.int64())})
+
+
+def _pagerank_broadcast(edges, n_iter: int):
+    import ray
+    import ray.data as rd
+
+    # fold the node vocabulary: per-block uniques -> driver np.unique
+    def block_nodes(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t["src"].combine_chunks().cast(pa.string()),
+                                 t["dst"].combine_chunks().cast(pa.string())])
+        return pa.table({"uri": pc.unique(vals)})
+
+    parts = edges.map_batches(block_nodes, batch_format="pyarrow") \
+        .to_pandas()
+    nodes = np.unique(parts["uri"].to_numpy())
+    n = len(nodes)
+    if n == 0:
+        return rd.from_arrow(pa.table(
+            {"uri": pa.array([], pa.string()), "r": pa.array([], pa.int64())}))
+
+    # integer-ize edges ONCE (broadcast sorted vocab, searchsorted)
+    nref = ray.put(nodes)
+
+    class _ToIds:
+        def __init__(self):
+            self._nodes = ray.get(nref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            src = np.searchsorted(
+                self._nodes, t["src"].to_numpy(zero_copy_only=False))
+            dst = np.searchsorted(
+                self._nodes, t["dst"].to_numpy(zero_copy_only=False))
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64())})
+
+    int_edges = edges.map_batches(_ToIds, concurrency=(1, 8),
+                                  batch_format="pyarrow").materialize()
+
+    # out-degrees: per-block partials -> driver fold (N-sized, in-cap)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(t["src"].to_numpy(zero_copy_only=False),
+                              return_counts=True)
+        return pa.table({"src": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    dparts = int_edges.map_batches(deg_partial,
+                                   batch_format="pyarrow").to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, dparts["src"].to_numpy(),
+              dparts["c"].to_numpy().astype(np.int64))
+    dangling_mask = deg == 0
+    deg_safe = np.where(dangling_mask, 1, deg)  # never read where deg==0
+    dref = ray.put(deg_safe)
+
+    ranks = np.full(n, _R0, dtype=np.int64)
+    for _ in range(n_iter):
+        rref = ray.put(ranks)
+
+        def stage(t: pa.Table, rref=rref) -> pa.Table:
+            return _ContribPartial(rref, dref)(t)
+
+        parts = int_edges.map_batches(
+            stage, batch_format="pyarrow").to_pandas()
+        contribs = np.zeros(n, dtype=np.int64)
+        np.add.at(contribs, parts["dst"].to_numpy(),
+                  parts["s"].to_numpy().astype(np.int64))
+        # python ints on the driver: no overflow on the global sums
+        dangling = int(ranks[dangling_mask].sum())
+        share = (85 * dangling) // (100 * n)
+        ranks = _TELEPORT + share + contribs
+
+    return rd.from_arrow(pa.table({"uri": pa.array(nodes, pa.string()),
+                                   "r": pa.array(ranks, pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# shuffle fallback (nothing driver-sized)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_shuffle(edges, n_iter: int):
+    """Per iteration: groupby(node) co-groups the node's rank row with
+    its out-edges (kind 0 = rank, kind 1 = edge), emits integer
+    contributions (out-degree = the group's own edge count); dangling
+    rank rows emit under _DANGLING_KEY; one groupby(dst) + node
+    re-join completes the step."""
+    from ray.data.aggregate import Sum
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "uri": t["uri"],
+            "r": pa.array(np.full(len(t), _R0, np.int64), pa.int64())})
+
+    def node_proj(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t["src"].combine_chunks().cast(pa.string()),
+                                 t["dst"].combine_chunks().cast(pa.string())])
+        return pa.table({"uri": pc.unique(vals)})
+
+    nodes = (edges.map_batches(node_proj, batch_format="pyarrow")
+             .groupby("uri").map_groups(lambda t: t.slice(0, 1),
+                                        batch_format="pyarrow")
+             .materialize())
+    n = nodes.count()
+    if n == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table(
+            {"uri": pa.array([], pa.string()), "r": pa.array([], pa.int64())}))
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow")
+
+    def tag_rank(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(t), np.int8), pa.int8())
+        return pa.table({"key": t["uri"], "kind": z,
+                         "dst": pa.nulls(len(t), pa.string()), "r": t["r"]})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        o = pa.array(np.ones(len(t), np.int8), pa.int8())
+        return pa.table({"key": t["src"], "kind": o, "dst": t["dst"],
+                         "r": pa.array(np.zeros(len(t), np.int64),
+                                       pa.int64())})
+
+    def emit_contribs(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        r = int(g["r"].to_numpy(zero_copy_only=False)[kind == 0][0])
+        d = int((kind == 1).sum())
+        if d == 0:  # dangling: hand the full rank to the collector row
+            return pa.table({"dst": pa.array([_DANGLING_KEY], pa.string()),
+                             "s": pa.array([r], pa.int64())})
+        dsts = g.filter(pa.array(kind == 1))["dst"]
+        c = (85 * r) // (100 * d)
+        return pa.table({"dst": dsts,
+                         "s": pa.array(np.full(d, c, np.int64), pa.int64())})
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow")
+    for _ in range(n_iter):
+        both = ranks.map_batches(tag_rank,
+                                 batch_format="pyarrow").union(tagged_edges)
+        contribs = (both.groupby("key")
+                    .map_groups(emit_contribs, batch_format="pyarrow")
+                    .groupby("dst").aggregate(Sum(on="s", alias_name="s"))
+                    .materialize())
+        # the dangling total is ONE scalar row — oracle-sized collect
+        dang = contribs.map_batches(
+            lambda t: t.filter(pc.equal(t["dst"], _DANGLING_KEY)),
+            batch_format="pyarrow").to_pandas()
+        dang_total = int(dang["s"].sum()) if len(dang) else 0
+        share = (85 * dang_total) // (100 * n)
+
+        def tag_contrib(t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.not_equal(t["dst"], _DANGLING_KEY))
+            return pa.table({"key": keep["dst"], "kind": pa.array(
+                np.ones(len(keep), np.int8), pa.int8()), "s": keep["s"]})
+
+        def tag_node(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t["uri"], "kind": pa.array(
+                np.zeros(len(t), np.int8), pa.int8()),
+                "s": pa.array(np.zeros(len(t), np.int64), pa.int64())})
+
+        def finalize(g: pa.Table, share=share) -> pa.Table:
+            s = int(g["s"].to_numpy(zero_copy_only=False).sum())
+            uri = g["key"][0].as_py()
+            return pa.table({"uri": pa.array([uri], pa.string()),
+                             "r": pa.array([_TELEPORT + share + s],
+                                           pa.int64())})
+
+        ranks = (nodes.map_batches(tag_node, batch_format="pyarrow")
+                 .union(contribs.map_batches(tag_contrib,
+                                             batch_format="pyarrow"))
+                 .groupby("key").map_groups(finalize, batch_format="pyarrow")
+                 .materialize())
+    return ranks
+
+
+def pagerank_fixed_point(triples_ds, n_iter: int = 4,
+                         edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP):
+    """e6 fixed-point PageRank over ``entity_edges(triples_ds)``.
+    Returns a Dataset of (uri: string, r: int64 e6 rank mass).
+    Path auto-selected by distinct-edge count vs ``edge_cap``."""
+    import ray.data as rd
+
+    edges = entity_edges(triples_ds).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table(
+            {"uri": pa.array([], pa.string()), "r": pa.array([], pa.int64())}))
+    if n_edges <= edge_cap:
+        return _pagerank_broadcast(edges, n_iter)
+    return _pagerank_shuffle(edges, n_iter)

@@ -1,0 +1,101 @@
+"""Fixed-point PageRank: both distributed paths vs a brute-force
+reference of the documented integer contract (stages/pagerank.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orionbelt_ontology_builder_ray.stages.pagerank import (
+    _R0, _TELEPORT, entity_edges, pagerank_fixed_point)
+
+
+def _triples_ds(pairs):
+    import ray.data as rd
+
+    src = [s for s, _ in pairs]
+    dst = [d for _, d in pairs]
+    n = len(pairs)
+    return rd.from_arrow(pa.table({
+        "subject": src, "predicate": ["p"] * n, "object": dst,
+        "object_kind": ["uri"] * n, "lang": [""] * n,
+        "datatype": [""] * n}))
+
+
+def _brute(pairs, n_iter=4):
+    edges = sorted({(s, d) for s, d in pairs if s != d})
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg = {u: 0 for u in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    r = {u: _R0 for u in nodes}
+    for _ in range(n_iter):
+        dang = sum(r[u] for u in nodes if deg[u] == 0)
+        share = (85 * dang) // (100 * n)
+        new = {u: _TELEPORT + share for u in nodes}
+        for s, d in edges:
+            new[d] += (85 * r[s]) // (100 * deg[s])
+        r = new
+    return r
+
+
+def _random_pairs(seed, n_nodes, n_edges):
+    rng = np.random.RandomState(seed)
+    # only-dst nodes above n_nodes-10 become dangling
+    src = rng.randint(0, n_nodes - 10, n_edges)
+    dst = rng.randint(0, n_nodes, n_edges)
+    return [(f"u{int(s)}", f"u{int(d)}") for s, d in zip(src, dst)]
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_broadcast_matches_brute(ray_session, seed):
+    pairs = _random_pairs(seed, 50, 220)
+    got = pagerank_fixed_point(_triples_ds(pairs)).to_pandas()
+    got = {u: int(r) for u, r in zip(got["uri"], got["r"])}
+    assert got == _brute(pairs)
+
+
+def test_shuffle_fallback_matches_broadcast(ray_session):
+    pairs = _random_pairs(7, 40, 150)
+    ds = _triples_ds(pairs)
+    broad = pagerank_fixed_point(ds).to_pandas()
+    # edge_cap=0 forces the shuffle path (the dedup cap=0 idiom)
+    shuf = pagerank_fixed_point(ds, edge_cap=0).to_pandas()
+    b = dict(zip(broad["uri"], broad["r"].astype(int)))
+    s = dict(zip(shuf["uri"], shuf["r"].astype(int)))
+    assert b == s == _brute(pairs)
+
+
+def test_dangling_mass_redistributed(ray_session):
+    # a -> b, b dangles: b's mass must flow back via the dangling share
+    pairs = [("a", "b")]
+    got = pagerank_fixed_point(_triples_ds(pairs)).to_pandas()
+    got = {u: int(r) for u, r in zip(got["uri"], got["r"])}
+    assert got == _brute(pairs)
+    assert got["b"] > got["a"] > 0
+
+
+def test_entity_edges_contract(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.functions.terms import RDF_TYPE
+
+    t = pa.table({
+        "subject": ["a", "a", "a", "a"],
+        "predicate": ["p", RDF_TYPE, "p", "p"],
+        "object": ["b", "c", "a", "lit"],
+        "object_kind": ["uri", "uri", "uri", "literal"],
+        "lang": [""] * 4, "datatype": [""] * 4})
+    edges = entity_edges(rd.from_arrow(t)).to_pandas()
+    # rdf:type, self-loop and literal-object rows are all excluded
+    assert list(zip(edges["src"], edges["dst"])) == [("a", "b")]
+
+
+def test_empty_graph(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"subject": ["a"], "predicate": ["p"], "object": ["x"],
+                  "object_kind": ["literal"], "lang": [""],
+                  "datatype": [""]})
+    out = pagerank_fixed_point(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 0

@@ -378,6 +378,15 @@ def run_bench() -> dict:
     tfidf_topk(_docs_lm, k=3).count()
     queries["doc_tfidf_topk"] = round(time.time() - t0, 3)
 
+    # HLL distinct-token sketch (production fast hash; one corpus
+    # scan, per-batch register partials, zero shuffles)
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.sketch import hll_registers
+
+    hll_registers(_read(SF_DIR, "documents", columns=["text"]),
+                  hash_mode="fast")
+    queries["doc_hll_sketch"] = round(time.time() - t0, 3)
+
     # graph analytics: e6 fixed-point PageRank over the entity graph
     # of the headline KG output (4 integer Lloyd-style iterations;
     # broadcast rank vector, only N int64s move per iteration)

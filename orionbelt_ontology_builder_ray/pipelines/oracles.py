@@ -1719,7 +1719,25 @@ tfidf_r AS (
   SELECT doc_id, tok, s,
          ROW_NUMBER() OVER (PARTITION BY doc_id
                             ORDER BY s DESC, tok) AS rk
-  FROM tfidf_s),{bpe_ctes}
+  FROM tfidf_s),
+hll_h AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)
+         AS h FROM itoks),
+hll_br AS (
+  SELECT h // 72057594037927936 AS b,
+         CASE WHEN h % 72057594037927936 = 0 THEN 57
+              ELSE 57 - length(bin(h % 72057594037927936)) END AS rho
+  FROM hll_h),
+hll_regs AS MATERIALIZED (
+  SELECT CAST(t.j AS BIGINT) AS j, COALESCE(mx, 0) AS r
+  FROM range(256) t(j)
+  LEFT JOIN (SELECT CAST(b AS BIGINT) AS b, MAX(rho) AS mx
+             FROM hll_br GROUP BY b) q ON q.b = t.j),
+hll_mm AS (SELECT MAX(r) AS mmax FROM hll_regs),
+hll_den AS (
+  SELECT SUM(CAST(1 AS HUGEINT) << (mmax - r)) AS d
+  FROM hll_regs CROSS JOIN hll_mm),
+hll_vz AS (SELECT COUNT(*) AS v FROM hll_regs WHERE r = 0),{bpe_ctes}
 SELECT doc_id, 'n_chars' AS metric, n_chars AS n FROM tc
 UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM tc
 UNION ALL SELECT doc_id, 'n_bpe_tokens', n_bpe_tokens FROM tc
@@ -1742,7 +1760,17 @@ UNION ALL SELECT doc_id, 'ccnet_bucket', (r * 3) // ntot FROM (
 UNION ALL SELECT doc_id, 'quality_prob_e6', quality_prob_e6
 FROM ({sql_doc_quality_classifier()})
 UNION ALL SELECT doc_id, 'tfidf' || rk || ':' || tok, s
-FROM tfidf_r WHERE rk <= 3"""
+FROM tfidf_r WHERE rk <= 3
+UNION ALL SELECT CAST(-1 AS BIGINT), 'hll_reg:' || lpad(CAST(j AS VARCHAR), 3, '0'), r
+FROM hll_regs
+UNION ALL SELECT CAST(-1 AS BIGINT), 'hll_est_raw_e6',
+  CAST(ROUND((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+             * power(2.0, (SELECT mmax FROM hll_mm))
+             / CAST((SELECT d FROM hll_den) AS DOUBLE) * 1e6) AS BIGINT)
+UNION ALL SELECT CAST(-1 AS BIGINT), 'hll_est_lin_e6',
+  CASE WHEN (SELECT v FROM hll_vz) = 0 THEN CAST(-1 AS BIGINT)
+       ELSE CAST(ROUND(256 * ln(256.0 / (SELECT v FROM hll_vz)) * 1e6)
+                 AS BIGINT) END"""
 
 
 def sql_doc_dedups() -> str:

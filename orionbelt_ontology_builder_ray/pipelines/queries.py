@@ -533,10 +533,27 @@ def doc_token_stats(sf_dir):
 
     tfidf_rows = tfidf_topk(docs, k=3).map_batches(
         tag_tfidf, batch_format="pandas")
+
+    # r5: HyperLogLog distinct-token sketch (stages/sketch.py) — the
+    # 256 registers AND both e6 estimates ride as corpus-grain rows
+    # (doc_id = -1), so the whole mergeable sketch state is
+    # driver-hashed, not just a summary
+    from ..stages.sketch import hll_estimates, hll_registers
+
+    regs = hll_registers(docs)
+    est = hll_estimates(regs)
+    hll_rows = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.full(len(regs) + 2, -1, np.int64)),
+        "metric": pa.array(
+            [f"hll_reg:{j:03d}" for j in range(len(regs))]
+            + ["hll_est_raw_e6", "hll_est_lin_e6"], pa.string()),
+        "n": pa.array(np.concatenate([
+            regs, [est["est_raw_e6"], est["est_lin_e6"]]]).astype(
+                np.int64))}))
     return counts.union(grams).union(oov).union(vocab_rows) \
         .union(lm_rows).union(dsir_rows).union(bpe_rows) \
         .union(ccnet_rows).union(enc_rows).union(clf_rows) \
-        .union(tfidf_rows)
+        .union(tfidf_rows).union(hll_rows)
 
 
 def doc_repetition(sf_dir):

@@ -1,0 +1,81 @@
+"""HyperLogLog sketch: register parity vs a pure-python reference,
+mergeability, partition invariance, estimate sanity."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orionbelt_ontology_builder_ray.stages.sketch import (
+    hll_estimates, hll_registers)
+
+
+def _docs_ds(texts, blocks=4):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    return ds.repartition(blocks)
+
+
+def _ref_regs(texts, p=8):
+    toks = set()
+    for t in texts:
+        toks.update(w for w in str(t).split() if w)
+    regs = [0] * (1 << p)
+    width = 64 - p
+    for w in toks:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        j = h >> width
+        rest = h & ((1 << width) - 1)
+        rho = width - rest.bit_length() + 1
+        regs[j] = max(regs[j], rho)
+    return np.array(regs, dtype=np.int64)
+
+
+def _texts(seed, n_docs, vocab):
+    rng = np.random.RandomState(seed)
+    words = [f"tok{i}" for i in range(vocab)]
+    return [" ".join(rng.choice(words, rng.randint(2, 40)))
+            for _ in range(n_docs)]
+
+
+def test_registers_match_reference(ray_session):
+    texts = _texts(3, 80, 600)
+    got = hll_registers(_docs_ds(texts))
+    assert np.array_equal(got, _ref_regs(texts))
+
+
+def test_partition_invariance(ray_session):
+    texts = _texts(5, 60, 400)
+    a = hll_registers(_docs_ds(texts, blocks=1))
+    b = hll_registers(_docs_ds(texts, blocks=7))
+    assert np.array_equal(a, b)
+
+
+def test_merge_is_elementwise_max(ray_session):
+    ta, tb = _texts(7, 40, 300), _texts(8, 40, 350)
+    ra = hll_registers(_docs_ds(ta))
+    rb = hll_registers(_docs_ds(tb))
+    rab = hll_registers(_docs_ds(ta + tb))
+    assert np.array_equal(rab, np.maximum(ra, rb))
+
+
+def test_estimate_sanity(ray_session):
+    vocab = 3000
+    texts = [" ".join(f"tok{i}" for i in range(j, min(j + 50, vocab)))
+             for j in range(0, vocab, 50)]
+    regs = hll_registers(_docs_ds(texts))
+    est = hll_estimates(regs)
+    raw = est["est_raw_e6"] / 1e6
+    # HLL at m=256 has ~6.5% std error; 20% is a safe determinism-free bound
+    assert abs(raw - vocab) / vocab < 0.20
+    assert est["n_zero_regs"] == int((regs == 0).sum())
+
+
+def test_fast_mode_shape(ray_session):
+    texts = _texts(11, 30, 200)
+    regs = hll_registers(_docs_ds(texts), hash_mode="fast")
+    assert regs.shape == (256,) and regs.max() >= 1
+    est = hll_estimates(regs)
+    assert est["est_raw_e6"] > 0

@@ -378,6 +378,13 @@ def run_bench() -> dict:
     tfidf_topk(_docs_lm, k=3).count()
     queries["doc_tfidf_topk"] = round(time.time() - t0, 3)
 
+    # BM25 demo-query top-10 (two streaming passes, zero shuffles)
+    t0 = time.time()
+    from orionbelt_ontology_builder_ray.stages.relevance import bm25_topk
+
+    bm25_topk(_docs_lm, ["hash", "join", "window"], k=10)
+    queries["doc_bm25_topk"] = round(time.time() - t0, 3)
+
     # HLL distinct-token sketch (production fast hash; one corpus
     # scan, per-batch register partials, zero shuffles)
     t0 = time.time()

@@ -1646,6 +1646,11 @@ FROM documents""")
     return ",".join(ctes), "".join(legs)
 
 
+def _bm25_terms_sql() -> str:
+    from .queries import BM25_DEMO_QUERY
+    return "[" + ", ".join(_sql_str(t) for t in BM25_DEMO_QUERY) + "]"
+
+
 def sql_doc_token_stats(vocab_top_m: int = 100) -> str:
     """Tagged-union mirror of queries.doc_token_stats (token counts
     melted + distinct-bigram counts + OOV counts against the corpus's
@@ -1737,7 +1742,36 @@ hll_mm AS (SELECT MAX(r) AS mmax FROM hll_regs),
 hll_den AS (
   SELECT SUM(CAST(1 AS HUGEINT) << (mmax - r)) AS d
   FROM hll_regs CROSS JOIN hll_mm),
-hll_vz AS (SELECT COUNT(*) AS v FROM hll_regs WHERE r = 0),{bpe_ctes}
+hll_vz AS (SELECT COUNT(*) AS v FROM hll_regs WHERE r = 0),
+bm_qt AS (SELECT unnest({_bm25_terms_sql()}) AS term),
+bm_stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM itoks) AS n_tokens),
+bm_df AS (
+  SELECT term, (SELECT COUNT(DISTINCT doc_id) FROM itoks
+                WHERE tok = term) AS df FROM bm_qt),
+bm_idf AS (
+  SELECT term, CAST(ROUND(LN((s.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                          * 1e6) AS BIGINT) AS idf_e6
+  FROM bm_df CROSS JOIN bm_stats s),
+bm_dl AS (SELECT doc_id, COUNT(*) AS dl FROM itoks GROUP BY doc_id),
+bm_tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf FROM itoks
+  WHERE tok IN (SELECT term FROM bm_qt) GROUP BY doc_id, tok),
+bm_terms AS (
+  SELECT f.doc_id,
+         CAST(ROUND(i.idf_e6 * ((f.tf * 2.2) / (f.tf + 1.2 * (0.25
+              + 0.75 * (d.dl / (CAST(s.n_tokens AS DOUBLE)
+                                / s.n_docs)))))) AS BIGINT) AS t_e6
+  FROM bm_tf f JOIN bm_idf i USING (term) JOIN bm_dl d USING (doc_id)
+  CROSS JOIN bm_stats s),
+bm_sc AS (
+  SELECT doc_id, SUM(t_e6) AS score_e6 FROM bm_terms GROUP BY doc_id
+  HAVING SUM(t_e6) > 0),
+bm_rank AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS rk,
+         doc_id, score_e6
+  FROM bm_sc),{bpe_ctes}
 SELECT doc_id, 'n_chars' AS metric, n_chars AS n FROM tc
 UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM tc
 UNION ALL SELECT doc_id, 'n_bpe_tokens', n_bpe_tokens FROM tc
@@ -1770,7 +1804,9 @@ UNION ALL SELECT CAST(-1 AS BIGINT), 'hll_est_raw_e6',
 UNION ALL SELECT CAST(-1 AS BIGINT), 'hll_est_lin_e6',
   CASE WHEN (SELECT v FROM hll_vz) = 0 THEN CAST(-1 AS BIGINT)
        ELSE CAST(ROUND(256 * ln(256.0 / (SELECT v FROM hll_vz)) * 1e6)
-                 AS BIGINT) END"""
+                 AS BIGINT) END
+UNION ALL SELECT doc_id, 'bm25_r' || rk, CAST(score_e6 AS BIGINT)
+FROM bm_rank WHERE rk <= 10"""
 
 
 def sql_doc_dedups() -> str:

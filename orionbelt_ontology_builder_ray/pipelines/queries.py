@@ -345,6 +345,10 @@ def doc_dedups(sf_dir):
     return full.union(norm).union(incr)
 
 
+# fixed demo query for the BM25 leg — shared verbatim by the oracle
+BM25_DEMO_QUERY = ("hash", "join", "window")
+
+
 def doc_token_stats(sf_dir):
     """Token counts + distinct-bigram counts + OOV counts + bigram-LM
     perplexity scores in ONE tagged union (one driver slot; all are
@@ -550,10 +554,21 @@ def doc_token_stats(sf_dir):
         "n": pa.array(np.concatenate([
             regs, [est["est_raw_e6"], est["est_lin_e6"]]]).astype(
                 np.int64))}))
+    # r5: BM25 query scoring (Lucene k1=1.2/b=0.75, e6 per-term
+    # rounding -> integer score sum, stages/relevance.bm25_topk):
+    # top-10 docs for the fixed demo query; rank rides the tag
+    from ..stages.relevance import bm25_topk
+
+    bm = bm25_topk(docs, BM25_DEMO_QUERY, k=10)
+    bm25_rows = rd.from_arrow(pa.table({
+        "doc_id": pa.array(bm["doc_id"].to_numpy(np.int64)),
+        "metric": pa.array([f"bm25_r{r}" for r in bm["rank"]],
+                           pa.string()),
+        "n": pa.array(bm["score_e6"].to_numpy(np.int64))}))
     return counts.union(grams).union(oov).union(vocab_rows) \
         .union(lm_rows).union(dsir_rows).union(bpe_rows) \
         .union(ccnet_rows).union(enc_rows).union(clf_rows) \
-        .union(tfidf_rows).union(hll_rows)
+        .union(tfidf_rows).union(hll_rows).union(bm25_rows)
 
 
 def doc_repetition(sf_dir):

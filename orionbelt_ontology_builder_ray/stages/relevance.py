@@ -213,3 +213,145 @@ def _tfidf_shuffle(work, dft, k, id_col, text_col, num_buckets, n_docs):
         return g[[id_col, "rank", "token", "score_e6"]]
 
     return scored.groupby(id_col).map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BM25 query scoring
+# ---------------------------------------------------------------------------
+#
+# Parity contract (Lucene-style BM25, k1 = 1.2, b = 0.75):
+#
+# - idf_e6(t) = round(ln((N - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+#   as BIGINT — the one transcendental, absorbed by e6 rounding;
+# - per (doc, term):
+#       frac = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+#       term_e6 = round(idf_e6 * frac)
+#   Every float step here is a single IEEE multiply/divide/add on
+#   values both engines hold bit-identically (ints, or exact int
+#   ratios like avgdl = S / N), and IEEE basic ops are correctly
+#   rounded — so term_e6 matches EXACTLY, no summation involved.
+#   The SQL mirror MUST use the same parenthesization (it does);
+# - score_e6(doc) = SUM(term_e6) — an INTEGER sum, order-free.
+#
+# Scale shape: the query is tiny, so df/idf come from one partials
+# pass counting ONLY query terms (broadcast term list, per-batch
+# membership counts -> tiny driver fold); corpus stats (N, S) fold
+# from per-batch (rows, tokens) pairs in the same pass.  Scoring is
+# one streaming pass with per-block local top-k and a k x blocks
+# driver merge (ann_topk precedent).  Zero shuffles end to end.
+
+
+class _Bm25Partial:
+    """Per-batch (df per query term, n_docs, total_tokens) partials.
+    Row kinds are an INTEGER column (0 = term df, 1 = doc count,
+    2 = token count), never magic strings: tokens are arbitrary
+    non-whitespace bytes so no string sentinel is out-of-band, and
+    pandas groupby after an arrow roundtrip hashes object strings as
+    C strings — two keys differing only past a NUL byte silently
+    merge (measured)."""
+
+    def __init__(self, terms, text_col: str):
+        self._terms = list(terms)
+        self._tset = set(terms)
+        self._text = text_col
+        self._split = re.compile(f"[{_WS}]+").split
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        dfc = dict.fromkeys(self._terms, 0)
+        n_tok = 0
+        for t in b[self._text]:
+            ws = [w for w in self._split(str(t)) if w]
+            n_tok += len(ws)
+            for w in self._tset.intersection(ws):
+                dfc[w] += 1
+        return pd.DataFrame({
+            "kind": np.array([0] * len(self._terms) + [1, 2],
+                             dtype=np.int8),
+            "term": self._terms + ["", ""],
+            "n": np.array([dfc[t] for t in self._terms]
+                          + [len(b), n_tok], dtype=np.int64)})
+
+
+class _Bm25Score:
+    """Streaming scoring pass + per-block local top-k."""
+
+    def __init__(self, stats_ref, k: int, id_col: str, text_col: str):
+        import ray
+
+        terms, idf_e6, avgdl = ray.get(stats_ref)
+        self._terms, self._idf, self._avgdl = terms, idf_e6, avgdl
+        self._k, self._id, self._text = k, id_col, text_col
+        self._split = re.compile(f"[{_WS}]+").split
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, scores = [], []
+        avgdl = self._avgdl
+        for doc_id, t in zip(b[self._id], b[self._text]):
+            ws = [w for w in self._split(str(t)) if w]
+            if not ws:
+                continue
+            dl = len(ws)
+            c = Counter(ws)
+            s = 0
+            for term, idf in zip(self._terms, self._idf):
+                tf = c.get(term, 0)
+                if not tf:
+                    continue
+                frac = (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                s += int(np.round(idf * frac))
+            if s > 0:
+                ids.append(doc_id)
+                scores.append(s)
+        out = pd.DataFrame({
+            self._id: pd.Series(ids, dtype=np.int64),
+            "score_e6": pd.Series(scores, dtype=np.int64)})
+        return out.sort_values(
+            ["score_e6", self._id], ascending=[False, True],
+            kind="mergesort").head(self._k)
+
+
+def bm25_topk(ds, query_terms, k: int = 10, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Top-k documents for a bag of query terms under the e6 BM25
+    contract above.  Returns a pandas DataFrame (rank, id_col,
+    score_e6) — k x blocks rows merge on the driver, the ann_topk
+    shape.  Docs with score 0 (no query term present) emit nothing."""
+    import ray
+
+    from ..functions.terms import pool_spec
+
+    terms = sorted(set(query_terms))
+    work = ds.select_columns([id_col, text_col]).materialize()
+    parts = work.map_batches(
+        _Bm25Partial, fn_constructor_kwargs=dict(
+            terms=terms, text_col=text_col),
+        batch_format="pandas", concurrency=pool_spec()).to_pandas()
+    n_docs = int(parts.loc[parts["kind"] == 1, "n"].sum())
+    n_tokens = int(parts.loc[parts["kind"] == 2, "n"].sum())
+    if n_docs == 0 or n_tokens == 0:
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "score_e6": pd.Series([], dtype=np.int64)})
+    agg = parts[parts["kind"] == 0].groupby(
+        "term", sort=False)["n"].sum()
+    avgdl = n_tokens / n_docs
+    idf_e6 = [int(np.round(np.log(
+        (n_docs - int(agg[t]) + 0.5) / (int(agg[t]) + 0.5) + 1.0) * 1e6))
+        for t in terms]
+    sref = ray.put((terms, idf_e6, avgdl))
+    local = work.map_batches(
+        _Bm25Score, fn_constructor_kwargs=dict(
+            stats_ref=sref, k=k, id_col=id_col, text_col=text_col),
+        batch_format="pandas", concurrency=pool_spec()).to_pandas()
+    if not len(local):  # no doc matched any term (schema-less empty)
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "score_e6": pd.Series([], dtype=np.int64)})
+    out = local.sort_values(["score_e6", id_col],
+                            ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out

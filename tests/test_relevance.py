@@ -84,3 +84,81 @@ def test_tie_breaks_by_token_ascending(ray_session):
         doc0 = [r for r in got if r[0] == 0]
         assert [r[2] for r in doc0] == ["aa", "zz"]
         assert doc0[0][3] == doc0[1][3]
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def _brute_bm25(texts, terms, k=10):
+    toks = [[w for w in _SPLIT(str(t)) if w] for t in texts]
+    n_docs = len(texts)
+    n_tokens = sum(len(ws) for ws in toks)
+    avgdl = n_tokens / n_docs
+    idf = {}
+    for t in sorted(set(terms)):
+        df = sum(1 for ws in toks if t in ws)
+        idf[t] = int(np.round(
+            math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6))
+    rows = []
+    for i, ws in enumerate(toks):
+        if not ws:
+            continue
+        dl = len(ws)
+        c = Counter(ws)
+        s = 0
+        for t, iv in idf.items():
+            tf = c.get(t, 0)
+            if tf:
+                frac = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                s += int(np.round(iv * frac))
+        if s > 0:
+            rows.append((i, s))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return [(r + 1, i, s) for r, (i, s) in enumerate(rows[:k])]
+
+
+def test_bm25_matches_brute(ray_session):
+    from orionbelt_ontology_builder_ray.stages.relevance import bm25_topk
+
+    rng = np.random.RandomState(13)
+    words = [f"w{i}" for i in range(25)] + ["hash", "join"]
+    texts = [" ".join(rng.choice(words, rng.randint(3, 30)))
+             for _ in range(50)]
+    got = bm25_topk(_docs_ds(texts), ["hash", "join"], k=10)
+    rows = [tuple(x) for x in zip(got["rank"].astype(int),
+                                  got["doc_id"].astype(int),
+                                  got["score_e6"].astype(int))]
+    assert rows == _brute_bm25(texts, ["hash", "join"], 10)
+
+
+def test_bm25_partition_invariance(ray_session):
+    from orionbelt_ontology_builder_ray.stages.relevance import bm25_topk
+
+    rng = np.random.RandomState(17)
+    words = [f"w{i}" for i in range(15)] + ["scan"]
+    texts = [" ".join(rng.choice(words, rng.randint(2, 20)))
+             for _ in range(40)]
+    import ray.data as rd
+    import pyarrow as _pa
+
+    def mk(blocks):
+        ds = rd.from_arrow(_pa.table({
+            "doc_id": _pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": _pa.array(texts, _pa.string())}))
+        return ds.repartition(blocks)
+
+    a = bm25_topk(mk(1), ["scan"], k=5)
+    b = bm25_topk(mk(9), ["scan"], k=5)
+    assert a.equals(b)
+
+
+def test_bm25_absent_term_and_empty(ray_session):
+    from orionbelt_ontology_builder_ray.stages.relevance import bm25_topk
+
+    texts = ["alpha beta", "", "gamma alpha"]
+    got = bm25_topk(_docs_ds(texts), ["nosuchterm"], k=5)
+    assert len(got) == 0
+    got2 = bm25_topk(_docs_ds(texts), ["alpha"], k=5)
+    assert set(got2["doc_id"].astype(int)) == {0, 2}

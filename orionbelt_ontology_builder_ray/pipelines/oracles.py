@@ -1743,6 +1743,17 @@ hll_den AS (
   SELECT SUM(CAST(1 AS HUGEINT) << (mmax - r)) AS d
   FROM hll_regs CROSS JOIN hll_mm),
 hll_vz AS (SELECT COUNT(*) AS v FROM hll_regs WHERE r = 0),
+cms_cells AS MATERIALIZED (
+  SELECT r, ((CAST(('0x' || substr(md5(u.w1), 1, 16)) AS UBIGINT)
+              >> (16 * r)) & 65535) % 1024 AS cell,
+         SUM(u.n) AS cn
+  FROM uni u CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+cms_est AS (
+  SELECT v.tok, MIN(c.cn) AS est
+  FROM vocab v JOIN cms_cells c
+    ON c.cell = ((CAST(('0x' || substr(md5(v.tok), 1, 16)) AS UBIGINT)
+                  >> (16 * c.r)) & 65535) % 1024
+  GROUP BY v.tok),
 bm_qt AS (SELECT unnest({_bm25_terms_sql()}) AS term),
 bm_stats AS (
   SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
@@ -1806,7 +1817,9 @@ UNION ALL SELECT CAST(-1 AS BIGINT), 'hll_est_lin_e6',
        ELSE CAST(ROUND(256 * ln(256.0 / (SELECT v FROM hll_vz)) * 1e6)
                  AS BIGINT) END
 UNION ALL SELECT doc_id, 'bm25_r' || rk, CAST(score_e6 AS BIGINT)
-FROM bm_rank WHERE rk <= 10"""
+FROM bm_rank WHERE rk <= 10
+UNION ALL SELECT CAST(-1 AS BIGINT), 'cms:' || tok, CAST(est AS BIGINT)
+FROM cms_est"""
 
 
 def sql_doc_dedups() -> str:

@@ -554,6 +554,19 @@ def doc_token_stats(sf_dir):
         "n": pa.array(np.concatenate([
             regs, [est["est_raw_e6"], est["est_lin_e6"]]]).astype(
                 np.int64))}))
+    # r5: count-min sketch (linear sketch, partials merge by ADD):
+    # point-query estimates for the top-100 vocab tokens ride as
+    # corpus-grain rows next to the exact counts, making the
+    # est >= true guarantee itself driver-checked
+    from ..stages.sketch import cms_counters, cms_query
+
+    cms = cms_counters(docs)
+    cms_est = cms_query(cms, vdf["token"].tolist())
+    cms_rows = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.full(len(vdf), -1, np.int64)),
+        "metric": pa.array(("cms:" + vdf["token"]).tolist(), pa.string()),
+        "n": pa.array(cms_est)}))
+
     # r5: BM25 query scoring (Lucene k1=1.2/b=0.75, e6 per-term
     # rounding -> integer score sum, stages/relevance.bm25_topk):
     # top-10 docs for the fixed demo query; rank rides the tag
@@ -568,7 +581,8 @@ def doc_token_stats(sf_dir):
     return counts.union(grams).union(oov).union(vocab_rows) \
         .union(lm_rows).union(dsir_rows).union(bpe_rows) \
         .union(ccnet_rows).union(enc_rows).union(clf_rows) \
-        .union(tfidf_rows).union(hll_rows).union(bm25_rows)
+        .union(tfidf_rows).union(hll_rows).union(bm25_rows) \
+        .union(cms_rows)
 
 
 def doc_repetition(sf_dir):

@@ -104,6 +104,78 @@ def hll_registers(ds, text_col: str = "text", p: int = 8,
     return regs
 
 
+class _CmsPartial:
+    """Per-batch count-min partial: token occurrences hashed into a
+    d x w counter matrix.  Partials merge by ADDITION (CMS is a
+    linear sketch), so the fold is exact integer arithmetic — no
+    contract subtleties at all.  Row hashes are the md5 low-64 split
+    into d independent 16-bit lanes (w <= 65536), mirrored in SQL by
+    the same substr(md5) byte slices."""
+
+    def __init__(self, d: int, w: int, text_col: str):
+        assert d <= 4 and w <= 65536, "d x 16-bit lanes from one md5"
+        self.d, self.w, self.text_col = d, w, text_col
+        self._split = re.compile(f"[{_WS}]+").split
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        from collections import Counter
+
+        c = Counter()
+        for t in b[self.text_col]:
+            c.update(w for w in self._split(str(t)) if w)
+        if not c:
+            return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        toks = list(c.keys())
+        cnt = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        h = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+             for s in toks), dtype=np.uint64, count=len(toks))
+        rows = []
+        for r in range(self.d):
+            lane = ((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) \
+                .astype(np.int64) % self.w
+            flat = r * self.w + lane
+            uniq, inv = np.unique(flat, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, cnt)
+            rows.append(pd.DataFrame({"i": uniq, "n": sums}))
+        return pd.concat(rows, ignore_index=True)
+
+
+def cms_counters(ds, text_col: str = "text", d: int = 4,
+                 w: int = 1024) -> np.ndarray:
+    """Count-min sketch of token frequencies: one streaming pass,
+    per-batch partial matrices, driver ADD fold.  Returns the d x w
+    int64 counter matrix."""
+    from ..functions.terms import pool_spec
+
+    parts = ds.map_batches(
+        _CmsPartial, fn_constructor_kwargs=dict(
+            d=d, w=w, text_col=text_col),
+        batch_format="pandas", concurrency=pool_spec()).to_pandas()
+    m = np.zeros(d * w, dtype=np.int64)
+    if len(parts):
+        np.add.at(m, parts["i"].to_numpy(),
+                  parts["n"].to_numpy().astype(np.int64))
+    return m.reshape(d, w)
+
+
+def cms_query(m: np.ndarray, tokens) -> np.ndarray:
+    """Point-query estimates (min over the d lanes) for each token —
+    always >= the true count, == for tokens with no lane collisions."""
+    import hashlib
+
+    d, w = m.shape
+    out = np.empty(len(tokens), dtype=np.int64)
+    for k, s in enumerate(tokens):
+        h = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+        out[k] = min(m[r][((h >> (16 * r)) & 0xFFFF) % w]
+                     for r in range(d))
+    return out
+
+
 def hll_estimates(regs: np.ndarray) -> dict:
     """(raw, linear-counting) estimate pair from a register array,
     both as e6 ints.  The harmonic denominator is EXACT (python

@@ -79,3 +79,56 @@ def test_fast_mode_shape(ray_session):
     assert regs.shape == (256,) and regs.max() >= 1
     est = hll_estimates(regs)
     assert est["est_raw_e6"] > 0
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _ref_cms(texts, d=4, w=1024):
+    from collections import Counter
+
+    m = np.zeros((d, w), dtype=np.int64)
+    c = Counter()
+    for t in texts:
+        c.update(x for x in str(t).split() if x)
+    for tok, n in c.items():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        for r in range(d):
+            m[r][((h >> (16 * r)) & 0xFFFF) % w] += n
+    return m, c
+
+
+def test_cms_matches_reference(ray_session):
+    from orionbelt_ontology_builder_ray.stages.sketch import cms_counters
+
+    texts = _texts(21, 50, 300)
+    got = cms_counters(_docs_ds(texts))
+    ref, _ = _ref_cms(texts)
+    assert np.array_equal(got, ref)
+
+
+def test_cms_partition_invariance_and_additivity(ray_session):
+    from orionbelt_ontology_builder_ray.stages.sketch import cms_counters
+
+    ta, tb = _texts(23, 30, 150), _texts(24, 30, 180)
+    ra = cms_counters(_docs_ds(ta, blocks=1))
+    rb = cms_counters(_docs_ds(tb, blocks=5))
+    rab = cms_counters(_docs_ds(ta + tb, blocks=3))
+    assert np.array_equal(rab, ra + rb)  # linear sketch
+
+
+def test_cms_query_upper_bound(ray_session):
+    from orionbelt_ontology_builder_ray.stages.sketch import (
+        cms_counters, cms_query)
+
+    texts = _texts(29, 40, 200)
+    m = cms_counters(_docs_ds(texts))
+    _, true = _ref_cms(texts)
+    toks = sorted(true)
+    est = cms_query(m, toks)
+    truth = np.array([true[t] for t in toks], dtype=np.int64)
+    assert (est >= truth).all()
+    # 200 tokens in 4x1024 lanes: collisions are rare; most exact
+    assert (est == truth).mean() > 0.9

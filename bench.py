@@ -401,7 +401,9 @@ def run_bench() -> dict:
     from orionbelt_ontology_builder_ray.stages.pagerank import (
         pagerank_fixed_point)
 
-    pagerank_fixed_point(rd.read_parquet(out_dir)).count()
+    pagerank_fixed_point(rd.read_parquet(
+        out_dir, columns=["subject", "predicate", "object",
+                          "object_kind"])).count()
     queries["kg_pagerank"] = round(time.time() - t0, 3)
 
     # incremental ingest (update_kg): the 16 B/row anti-join claim gets

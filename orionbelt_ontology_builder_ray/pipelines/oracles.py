@@ -226,6 +226,9 @@ pr_r{i} AS MATERIALIZED (
     JOIN pr_r{p} p ON p.uri = e.src
     JOIN pr_deg g ON g.src = e.src
     GROUP BY e.dst) c ON c.uri = n.uri)""")
+    parts.append("""
+pr_ind AS MATERIALIZED (
+  SELECT dst, COUNT(*) AS d FROM pr_edges GROUP BY dst)""")
     pr_ctes = ",".join(parts)
     return (kg_triples_cte() + "," + pr_ctes
             + f"""
@@ -233,7 +236,17 @@ SELECT type_uri, n FROM (
   SELECT object AS type_uri, COUNT(*) AS n FROM triples
   WHERE predicate = {_sql_str(RDF_TYPE)} GROUP BY object
   UNION ALL
-  SELECT 'pagerank::' || uri AS type_uri, r AS n FROM pr_r{n_iter})
+  SELECT 'pagerank::' || uri AS type_uri, r AS n FROM pr_r{n_iter}
+  UNION ALL
+  SELECT 'outdeg:' || d, COUNT(*) FROM pr_deg GROUP BY d
+  UNION ALL
+  SELECT 'outdeg:0', (SELECT n FROM pr_n) - (SELECT COUNT(*) FROM pr_deg)
+  WHERE (SELECT n FROM pr_n) > (SELECT COUNT(*) FROM pr_deg)
+  UNION ALL
+  SELECT 'indeg:' || d, COUNT(*) FROM pr_ind GROUP BY d
+  UNION ALL
+  SELECT 'indeg:0', (SELECT n FROM pr_n) - (SELECT COUNT(*) FROM pr_ind)
+  WHERE (SELECT n FROM pr_n) > (SELECT COUNT(*) FROM pr_ind))
 ORDER BY type_uri""")
 
 

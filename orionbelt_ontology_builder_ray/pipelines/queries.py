@@ -120,8 +120,22 @@ def kg_statistics(sf_dir):
                 t["uri"].cast(pa.string()), ""),
             "n": t["r"].cast(pa.int64())})
 
-    pr = pagerank_fixed_point(ds).map_batches(tag_pr, batch_format="pyarrow")
-    return stats.union(pr)
+    from ..stages.pagerank import degree_histograms, entity_edges
+
+    edges = entity_edges(ds).materialize()
+    pr = pagerank_fixed_point(ds, edges=edges).map_batches(
+        tag_pr, batch_format="pyarrow")
+    # in/out-degree histograms of the same entity graph ride the
+    # union too: 'outdeg:<d>' / 'indeg:<d>' -> node counts
+    import ray.data as rd
+
+    hist = degree_histograms(edges)
+    hist_rows = rd.from_arrow(pa.table({
+        "type_uri": pa.array(
+            [f"{k}:{d}" for k, d in zip(hist["kind"], hist["d"])],
+            pa.string()),
+        "n": pa.array(hist["n_nodes"].to_numpy(np.int64))}))
+    return stats.union(pr).union(hist_rows)
 
 
 def kg_conversation_lengths(sf_dir):

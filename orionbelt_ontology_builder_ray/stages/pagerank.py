@@ -68,22 +68,41 @@ _R0 = 1_000_000            # initial mass per node, exact
 _DANGLING_KEY = "\x00dangling\x00"  # out-of-band dst tag (never a URI)
 
 
-def entity_edges(triples_ds):
+def entity_edges(triples_ds, num_buckets: int = 32):
     """Distinct entity->entity edges: URI-object triples minus
-    rdf:type rows and self-loops.  One projection pass + one
-    distinct groupby (key-only rows move, never payload)."""
+    rdf:type rows and self-loops.  One projection pass with per-batch
+    LOCAL dedup, then one (src, dst)-hash bucket shuffle with a
+    VECTORIZED per-bucket drop_duplicates — the dedup.py idiom.  A
+    naive ``groupby([src, dst]).map_groups`` pays a Python call per
+    DISTINCT EDGE (measured: the 51 s cliff at sf0.1x4); this pays
+    ``num_buckets`` calls."""
 
     def proj(t: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.equal(t["object_kind"], "uri"),
             pc.and_(pc.not_equal(t["predicate"], RDF_TYPE),
                     pc.not_equal(t["subject"], t["object"])))
-        out = t.filter(keep).select(["subject", "object"])
-        return out.rename_columns(["src", "dst"])
+        out = t.filter(keep).select(["subject", "object"]) \
+            .rename_columns(["src", "dst"])
+        # local distinct in arrow's C++ hash-groupby, THEN hash only
+        # the survivors for the bucket column (the full batch never
+        # touches pandas — measured 10.7 s -> arrow path below)
+        out = out.group_by(["src", "dst"]).aggregate([])
+        h = pd.util.hash_pandas_object(
+            out["src"].to_pandas(), index=False).to_numpy() \
+            ^ pd.util.hash_pandas_object(
+            out["dst"].to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "_b", pa.array((h % num_buckets).astype(np.int32), pa.int32()))
 
     pairs = triples_ds.map_batches(proj, batch_format="pyarrow")
-    return pairs.groupby(["src", "dst"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        return g.select(["src", "dst"]).group_by(
+            ["src", "dst"]).aggregate([])
+
+    return pairs.groupby("_b").map_groups(bucket_distinct,
+                                          batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -131,22 +150,22 @@ def _pagerank_broadcast(edges, n_iter: int):
         return rd.from_arrow(pa.table(
             {"uri": pa.array([], pa.string()), "r": pa.array([], pa.int64())}))
 
-    # integer-ize edges ONCE (broadcast sorted vocab, searchsorted)
+    # integer-ize edges ONCE (broadcast sorted vocab, searchsorted).
+    # task stage, not an actor pool: the per-task state rebuild is one
+    # zero-copy plasma read of the vocab array (the kmeans lesson —
+    # pool spin-up dwarfs the work for a one-pass stage)
     nref = ray.put(nodes)
 
-    class _ToIds:
-        def __init__(self):
-            self._nodes = ray.get(nref)
+    def to_ids(t: pa.Table) -> pa.Table:
+        vocab = ray.get(nref)
+        src = np.searchsorted(
+            vocab, t["src"].to_numpy(zero_copy_only=False))
+        dst = np.searchsorted(
+            vocab, t["dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            src = np.searchsorted(
-                self._nodes, t["src"].to_numpy(zero_copy_only=False))
-            dst = np.searchsorted(
-                self._nodes, t["dst"].to_numpy(zero_copy_only=False))
-            return pa.table({"src": pa.array(src, pa.int64()),
-                             "dst": pa.array(dst, pa.int64())})
-
-    int_edges = edges.map_batches(_ToIds, concurrency=(1, 8),
+    int_edges = edges.map_batches(to_ids,
                                   batch_format="pyarrow").materialize()
 
     # out-degrees: per-block partials -> driver fold (N-sized, in-cap)
@@ -209,9 +228,12 @@ def _pagerank_shuffle(edges, n_iter: int):
                                  t["dst"].combine_chunks().cast(pa.string())])
         return pa.table({"uri": pc.unique(vals)})
 
+    from ray.data.aggregate import Count
+
     nodes = (edges.map_batches(node_proj, batch_format="pyarrow")
-             .groupby("uri").map_groups(lambda t: t.slice(0, 1),
-                                        batch_format="pyarrow")
+             .groupby("uri").aggregate(Count(alias_name="_c"))
+             .map_batches(lambda t: t.select(["uri"]),
+                          batch_format="pyarrow")
              .materialize())
     n = nodes.count()
     if n == 0:
@@ -284,14 +306,59 @@ def _pagerank_shuffle(edges, n_iter: int):
     return ranks
 
 
+def degree_histograms(edges):
+    """In/out-degree histograms of the entity graph: two key-only
+    groupby chains (node -> degree, degree -> node count); the
+    payload never moves and every row that shuffles is one (key,
+    count) pair.  Zero-degree nodes are counted from the node total
+    minus the distinct src/dst counts.  Returns a pandas DataFrame
+    (kind 'outdeg'|'indeg', d, n_nodes) — histogram-sized."""
+    from ray.data.aggregate import Count
+
+    import pyarrow as _pa
+
+    def nodes_proj(t: _pa.Table) -> _pa.Table:
+        vals = _pa.concat_arrays([
+            t["src"].combine_chunks().cast(_pa.string()),
+            t["dst"].combine_chunks().cast(_pa.string())])
+        return _pa.table({"uri": pc.unique(vals)})
+
+    n_nodes = (edges.map_batches(nodes_proj, batch_format="pyarrow")
+               .groupby("uri").aggregate(Count(alias_name="_c"))
+               .count())
+
+    out = []
+    for kind, col in (("outdeg", "src"), ("indeg", "dst")):
+        per_node = edges.groupby(col).aggregate(Count(alias_name="d"))
+        hist = per_node.map_batches(
+            lambda t: t.select(["d"]), batch_format="pyarrow") \
+            .groupby("d").aggregate(Count(alias_name="n_nodes")) \
+            .to_pandas()
+        n_zero = n_nodes - int(hist["n_nodes"].sum())
+        if n_zero:
+            hist = pd.concat([hist, pd.DataFrame(
+                {"d": [0], "n_nodes": [n_zero]})], ignore_index=True)
+        hist.insert(0, "kind", kind)
+        out.append(hist)
+    res = pd.concat(out, ignore_index=True)
+    res["d"] = res["d"].astype(np.int64)
+    res["n_nodes"] = res["n_nodes"].astype(np.int64)
+    return res
+
+
 def pagerank_fixed_point(triples_ds, n_iter: int = 4,
-                         edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP):
+                         edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
+                         edges=None):
     """e6 fixed-point PageRank over ``entity_edges(triples_ds)``.
     Returns a Dataset of (uri: string, r: int64 e6 rank mass).
-    Path auto-selected by distinct-edge count vs ``edge_cap``."""
+    Path auto-selected by distinct-edge count vs ``edge_cap``.
+    Callers that already hold the distinct-edge Dataset pass it via
+    ``edges`` (kg_statistics shares one edge build between PageRank
+    and the degree histograms)."""
     import ray.data as rd
 
-    edges = entity_edges(triples_ds).materialize()
+    if edges is None:
+        edges = entity_edges(triples_ds).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return rd.from_arrow(pa.table(

@@ -228,7 +228,32 @@ pr_r{i} AS MATERIALIZED (
     GROUP BY e.dst) c ON c.uri = n.uri)""")
     parts.append("""
 pr_ind AS MATERIALIZED (
-  SELECT dst, COUNT(*) AS d FROM pr_edges GROUP BY dst)""")
+  SELECT dst, COUNT(*) AS d FROM pr_edges GROUP BY dst),
+tri_und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM pr_edges),
+tri_deg AS MATERIALIZED (
+  SELECT x, COUNT(*) AS d FROM (
+    SELECT a AS x FROM tri_und UNION ALL SELECT b FROM tri_und)
+  GROUP BY x),
+tri_or AS MATERIALIZED (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+              THEN a ELSE b END AS s,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+              THEN b ELSE a END AS t
+  FROM tri_und
+  JOIN tri_deg da ON da.x = a JOIN tri_deg db ON db.x = b),
+tri_cnt AS (
+  SELECT COUNT(*) AS n
+  FROM tri_or e1
+  JOIN tri_or e2 ON e2.s = e1.s AND e1.t < e2.t
+  JOIN tri_deg d1 ON d1.x = e1.t
+  JOIN tri_deg d2 ON d2.x = e2.t
+  JOIN tri_or e3
+    ON e3.s = CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e1.t < e2.t)
+                   THEN e1.t ELSE e2.t END
+   AND e3.t = CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e1.t < e2.t)
+                   THEN e2.t ELSE e1.t END)""")
     pr_ctes = ",".join(parts)
     return (kg_triples_cte() + "," + pr_ctes
             + f"""
@@ -246,7 +271,9 @@ SELECT type_uri, n FROM (
   SELECT 'indeg:' || d, COUNT(*) FROM pr_ind GROUP BY d
   UNION ALL
   SELECT 'indeg:0', (SELECT n FROM pr_n) - (SELECT COUNT(*) FROM pr_ind)
-  WHERE (SELECT n FROM pr_n) > (SELECT COUNT(*) FROM pr_ind))
+  WHERE (SELECT n FROM pr_n) > (SELECT COUNT(*) FROM pr_ind)
+  UNION ALL
+  SELECT 'triangles', (SELECT n FROM tri_cnt))
 ORDER BY type_uri""")
 
 

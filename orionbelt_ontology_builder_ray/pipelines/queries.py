@@ -135,7 +135,14 @@ def kg_statistics(sf_dir):
             [f"{k}:{d}" for k, d in zip(hist["kind"], hist["d"])],
             pa.string()),
         "n": pa.array(hist["n_nodes"].to_numpy(np.int64))}))
-    return stats.union(pr).union(hist_rows)
+    # exact triangle count of the undirected support (degree-oriented
+    # compact-forward, stages/pagerank.triangle_count) — one row
+    from ..stages.pagerank import triangle_count
+
+    tri_rows = rd.from_arrow(pa.table({
+        "type_uri": pa.array(["triangles"], pa.string()),
+        "n": pa.array([triangle_count(edges)], pa.int64())}))
+    return stats.union(pr).union(hist_rows).union(tri_rows)
 
 
 def kg_conversation_lengths(sf_dir):

@@ -346,6 +346,159 @@ def degree_histograms(edges):
     return res
 
 
+def triangle_count(edges, num_buckets: int = 32,
+                   edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP) -> int:
+    """Exact triangle count of the entity graph's undirected support —
+    the degree-oriented "compact-forward" algorithm (Latapy 2008),
+    the shape that survives hubs: every undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, so each
+    node's ORIENTED out-degree is O(sqrt(E)) and the wedge set
+    (pairs of oriented out-neighbors) cannot explode quadratically on
+    a hot node the way naive neighbor-pairing does.
+
+    Distributed shape (everything after the one string pass is int64):
+
+    1. node vocabulary folds once on the driver (same
+       ``edge_cap``-guarded bound as the PageRank broadcast path; ids
+       are searchsorted ranks of the SORTED vocab, so id order ==
+       string order and the SQL mirror's LEAST/GREATEST tie-breaks
+       agree by construction);
+    2. undirected canonical edges: per-batch local distinct on the
+       ``lo * n + hi`` composite (int64-exact while n < ~3e9 nodes —
+       documented bound), one int-bucket shuffle, vectorized
+       per-bucket distinct;
+    3. degrees fold like PageRank's (N int64s, broadcast once);
+    4. orientation + wedge generation: one src-bucket shuffle, each
+       bucket sorts its adjacency and emits triu pairs ordered by the
+       broadcast (deg, id) key;
+    5. closure: wedges and oriented edges co-shuffle on the composite
+       pair key, each bucket counts membership with one ``np.isin``;
+       block-count-sized partial sums fold on the driver.
+    """
+    import ray
+    import ray.data as rd
+
+    def block_nodes(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t["src"].combine_chunks().cast(pa.string()),
+                                 t["dst"].combine_chunks().cast(pa.string())])
+        return pa.table({"uri": pc.unique(vals)})
+
+    parts = edges.map_batches(block_nodes,
+                              batch_format="pyarrow").to_pandas()
+    nodes = np.unique(parts["uri"].to_numpy())
+    n = len(nodes)
+    if n < 3:
+        return 0
+    nref = ray.put(nodes)
+
+    def to_und(t: pa.Table) -> pa.Table:
+        vocab = ray.get(nref)
+        src = np.searchsorted(vocab, t["src"].to_numpy(zero_copy_only=False))
+        dst = np.searchsorted(vocab, t["dst"].to_numpy(zero_copy_only=False))
+        lo = np.minimum(src, dst).astype(np.int64)
+        hi = np.maximum(src, dst).astype(np.int64)
+        key = np.unique(lo * n + hi)
+        return pa.table({"k": pa.array(key, pa.int64()),
+                         "_b": pa.array((key % num_buckets).astype(np.int32),
+                                        pa.int32())})
+
+    und = (edges.map_batches(to_und, batch_format="pyarrow")
+           .groupby("_b").map_groups(
+               lambda t: pa.table({"k": pc.unique(t["k"])}),
+               batch_format="pyarrow")
+           .materialize())
+
+    # degree fold over the undirected support
+    def deg_partial(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        ends = np.concatenate([k // n, k % n])
+        uniq, cnt = np.unique(ends, return_counts=True)
+        return pa.table({"x": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    dparts = und.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, dparts["x"].to_numpy(),
+              dparts["c"].to_numpy().astype(np.int64))
+    dref = ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        lo, hi = k // n, k % n
+        fwd = (d[lo] < d[hi]) | ((d[lo] == d[hi]) & (lo < hi))
+        s = np.where(fwd, lo, hi)
+        e = np.where(fwd, hi, lo)
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "t": pa.array(e, pa.int64()),
+                         "_b": pa.array((s % num_buckets).astype(np.int32),
+                                        pa.int32())})
+
+    oriented = und.map_batches(orient,
+                               batch_format="pyarrow").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # flat-batch pair expansion (the dedup.py offsets idiom — a
+        # Python loop over per-src groups is a measured cliff at 400k
+        # srcs): sort by (src, deg[t], t) so within-group order IS the
+        # orientation key, then emit every intra-group (earlier,
+        # later) pair with one arange
+        from .dedup import _expand_run_offsets
+
+        d = ray.get(dref)
+        empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                              "kind": pd.Series([], dtype=np.int8)})
+        s = g["s"].to_numpy()
+        t = g["t"].to_numpy()
+        if len(s) < 2:
+            return empty
+        order = np.lexsort((t, d[t], s))
+        s, t = s[order], t[order]
+        m = len(s)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_sizes = np.diff(np.append(grp_start, m))
+        pos = np.arange(m) - np.repeat(grp_start, grp_sizes)
+        run = np.repeat(grp_sizes, grp_sizes) - 1 - pos
+        a_idx = np.repeat(np.arange(m), run)
+        if not len(a_idx):
+            return empty
+        b_idx = a_idx + _expand_run_offsets(run)
+        k = t[a_idx] * n + t[b_idx]
+        return pd.DataFrame({"k": k, "kind": np.ones(len(k), np.int8)})
+
+    wset = oriented.groupby("_b").map_groups(wedges, batch_format="pandas")
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        k = t["s"].to_numpy(zero_copy_only=False) * n \
+            + t["t"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "kind": pa.array(np.zeros(len(k), np.int8),
+                                          pa.int8())})
+
+    ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow")
+
+    def add_kbucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_b"] = (b["k"].to_numpy() % num_buckets).astype(np.int32)
+        return b
+
+    def count_closed(g: pd.DataFrame) -> pd.DataFrame:
+        es = g.loc[g["kind"] == 0, "k"].to_numpy()
+        ws = g.loc[g["kind"] == 1, "k"].to_numpy()
+        hit = int(np.isin(ws, es).sum()) if len(ws) and len(es) else 0
+        return pd.DataFrame({"n": pd.Series([hit], dtype=np.int64)})
+
+    cparts = (wset.union(ekeys)
+              .map_batches(add_kbucket, batch_format="pandas")
+              .groupby("_b").map_groups(count_closed,
+                                        batch_format="pandas")
+              .to_pandas())
+    return int(cparts["n"].sum()) if len(cparts) else 0
+
+
 def pagerank_fixed_point(triples_ds, n_iter: int = 4,
                          edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
                          edges=None):

@@ -99,3 +99,49 @@ def test_empty_graph(ray_session):
                   "datatype": [""]})
     out = pagerank_fixed_point(rd.from_arrow(t)).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# triangle count
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangles(pairs):
+    und = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(1 for a, b in und for _ in adj[a] & adj[b]) // 3
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges",
+                         [(3, 30, 150), (7, 15, 80)])
+def test_triangles_match_brute(ray_session, seed, n_nodes, n_edges):
+    from orionbelt_ontology_builder_ray.stages.pagerank import triangle_count
+
+    rng = np.random.RandomState(seed)
+    pairs = [(f"u{int(s)}", f"u{int(d)}")
+             for s, d in zip(rng.randint(0, n_nodes, n_edges),
+                             rng.randint(0, n_nodes, n_edges))]
+    from orionbelt_ontology_builder_ray.stages.pagerank import entity_edges
+
+    edges = entity_edges(_triples_ds(pairs)).materialize()
+    assert triangle_count(edges) == _brute_triangles(pairs)
+
+
+def test_triangles_known_graphs(ray_session):
+    from orionbelt_ontology_builder_ray.stages.pagerank import (
+        entity_edges, triangle_count)
+
+    # K4 has 4 triangles; direction/duplication must not matter
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a != b]
+    edges = entity_edges(_triples_ds(k4)).materialize()
+    assert triangle_count(edges) == 4
+    # a path graph has none; a hub star has none
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert triangle_count(
+        entity_edges(_triples_ds(path)).materialize()) == 0
+    star = [("h", f"x{i}") for i in range(20)]
+    assert triangle_count(
+        entity_edges(_triples_ds(star)).materialize()) == 0

@@ -385,6 +385,8 @@ def triangle_count(edges, num_buckets: int = 32,
 
     parts = edges.map_batches(block_nodes,
                               batch_format="pyarrow").to_pandas()
+    if not len(parts):  # empty edge set (Ray drops schema on empty)
+        return 0
     nodes = np.unique(parts["uri"].to_numpy())
     n = len(nodes)
     if n < 3:

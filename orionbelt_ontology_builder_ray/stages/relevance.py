@@ -137,6 +137,15 @@ def tfidf_topk(ds, k: int = 3, id_col: str = "doc_id",
     if n_docs is None:
         n_docs = work.count()
     dft = _df_partials(work, text_col, num_buckets).materialize()
+    if dft.count() == 0:  # no tokens anywhere: no rows, typed schema
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "score_e6": pa.array([], pa.int64())}))
     if dft.count() <= df_cap:
         dfp = dft.to_pandas()
         idf_ref = ray.put((dfp["token"].to_numpy(),

@@ -149,3 +149,67 @@ def test_tfidf_property(ray_session, texts):
         for r, (s, w) in enumerate(scored, 1):
             exp.append((i, r, w, s))
     assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(texts=docs_strategy)
+def test_bm25_property(ray_session, texts):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.relevance import bm25_topk
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string())}))
+    terms = ["a", "ab"]
+    got = bm25_topk(ds, terms, k=5)
+    rows = [tuple(x) for x in zip(got["rank"].astype(int),
+                                  got["doc_id"].astype(int),
+                                  got["score_e6"].astype(int))]
+    toks = [[w for w in _SPLIT(str(t)) if w] for t in texts]
+    n_docs = len(texts)
+    n_tokens = sum(len(ws) for ws in toks)
+    exp = []
+    if n_tokens:
+        avgdl = n_tokens / n_docs
+        idf = {}
+        for t in sorted(set(terms)):
+            df = sum(1 for ws in toks if t in ws)
+            idf[t] = int(np.round(
+                math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6))
+        scored = []
+        for i, ws in enumerate(toks):
+            if not ws:
+                continue
+            dl, c, s = len(ws), Counter(ws), 0
+            for t, iv in idf.items():
+                tf = c.get(t, 0)
+                if tf:
+                    frac = (tf * 2.2) / (
+                        tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                    s += int(np.round(iv * frac))
+            if s > 0:
+                scored.append((i, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        exp = [(r + 1, i, s) for r, (i, s) in enumerate(scored[:5])]
+    assert rows == exp
+
+
+@settings(**_SETTINGS)
+@given(texts=docs_strategy)
+def test_cms_property(ray_session, texts):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.sketch import cms_counters
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = cms_counters(ds)
+    ref = np.zeros((4, 1024), dtype=np.int64)
+    c = Counter()
+    for t in texts:
+        c.update(w for w in _SPLIT(str(t)) if w)
+    for tok, cnt in c.items():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        for r in range(4):
+            ref[r][((h >> (16 * r)) & 0xFFFF) % 1024] += cnt
+    assert np.array_equal(got, ref)

@@ -132,7 +132,13 @@ class _ContribPartial:
                          "s": pa.array(sums, pa.int64())})
 
 
-def _pagerank_broadcast(edges, n_iter: int):
+def _pagerank_broadcast(edges, n_iter: int, seed_prefix: str = None):
+    """``seed_prefix`` switches to PERSONALIZED PageRank: the whole
+    teleport mass (0.15 of the total, = 15 * N * 1e6 / 100 micro
+    units) and the dangling redistribution flow ONLY to nodes whose
+    URI starts with the prefix, instead of uniformly — same integer
+    contract (floor divisions by the seed count), still bit-identical
+    across engines.  r0 stays uniform (the iteration forgets it)."""
     import ray
     import ray.data as rd
 
@@ -184,6 +190,17 @@ def _pagerank_broadcast(edges, n_iter: int):
     deg_safe = np.where(dangling_mask, 1, deg)  # never read where deg==0
     dref = ray.put(deg_safe)
 
+    seed_mask = None
+    if seed_prefix is not None:
+        seed_mask = pc.starts_with(
+            pa.array(nodes, pa.string()),
+            pattern=seed_prefix).to_numpy(zero_copy_only=False)
+        n_seeds = int(seed_mask.sum())
+        if n_seeds == 0:
+            return rd.from_arrow(pa.table(
+                {"uri": pa.array([], pa.string()),
+                 "r": pa.array([], pa.int64())}))
+
     ranks = np.full(n, _R0, dtype=np.int64)
     for _ in range(n_iter):
         rref = ray.put(ranks)
@@ -198,8 +215,13 @@ def _pagerank_broadcast(edges, n_iter: int):
                   parts["s"].to_numpy().astype(np.int64))
         # python ints on the driver: no overflow on the global sums
         dangling = int(ranks[dangling_mask].sum())
-        share = (85 * dangling) // (100 * n)
-        ranks = _TELEPORT + share + contribs
+        if seed_mask is None:
+            share = (85 * dangling) // (100 * n)
+            ranks = _TELEPORT + share + contribs
+        else:
+            seed_base = (15 * n * 1_000_000) // (100 * n_seeds) \
+                + (85 * dangling) // (100 * n_seeds)
+            ranks = np.where(seed_mask, seed_base, 0) + contribs
 
     return rd.from_arrow(pa.table({"uri": pa.array(nodes, pa.string()),
                                    "r": pa.array(ranks, pa.int64())}))
@@ -210,7 +232,7 @@ def _pagerank_broadcast(edges, n_iter: int):
 # ---------------------------------------------------------------------------
 
 
-def _pagerank_shuffle(edges, n_iter: int):
+def _pagerank_shuffle(edges, n_iter: int, seed_prefix: str = None):
     """Per iteration: groupby(node) co-groups the node's rank row with
     its out-edges (kind 0 = rank, kind 1 = edge), emits integer
     contributions (out-degree = the group's own edge count); dangling
@@ -240,6 +262,19 @@ def _pagerank_shuffle(edges, n_iter: int):
         import ray.data as rd
         return rd.from_arrow(pa.table(
             {"uri": pa.array([], pa.string()), "r": pa.array([], pa.int64())}))
+
+    n_seeds = None
+    if seed_prefix is not None:
+        # seed count: one scalar, invariant across iterations
+        n_seeds = nodes.map_batches(
+            lambda t: t.filter(pc.starts_with(t["uri"], seed_prefix)),
+            batch_format="pyarrow").count()
+        if n_seeds == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table(
+                {"uri": pa.array([], pa.string()),
+                 "r": pa.array([], pa.int64())}))
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow")
 
@@ -279,7 +314,13 @@ def _pagerank_shuffle(edges, n_iter: int):
             lambda t: t.filter(pc.equal(t["dst"], _DANGLING_KEY)),
             batch_format="pyarrow").to_pandas()
         dang_total = int(dang["s"].sum()) if len(dang) else 0
-        share = (85 * dang_total) // (100 * n)
+        if seed_prefix is None:
+            base_all = _TELEPORT + (85 * dang_total) // (100 * n)
+            base_seed = base_all
+        else:
+            base_all = 0
+            base_seed = (15 * n * 1_000_000) // (100 * n_seeds) \
+                + (85 * dang_total) // (100 * n_seeds)
 
         def tag_contrib(t: pa.Table) -> pa.Table:
             keep = t.filter(pc.not_equal(t["dst"], _DANGLING_KEY))
@@ -291,12 +332,15 @@ def _pagerank_shuffle(edges, n_iter: int):
                 np.zeros(len(t), np.int8), pa.int8()),
                 "s": pa.array(np.zeros(len(t), np.int64), pa.int64())})
 
-        def finalize(g: pa.Table, share=share) -> pa.Table:
+        def finalize(g: pa.Table, base_all=base_all,
+                     base_seed=base_seed) -> pa.Table:
             s = int(g["s"].to_numpy(zero_copy_only=False).sum())
             uri = g["key"][0].as_py()
+            base = base_seed if (seed_prefix is not None
+                                 and uri.startswith(seed_prefix)) \
+                else base_all
             return pa.table({"uri": pa.array([uri], pa.string()),
-                             "r": pa.array([_TELEPORT + share + s],
-                                           pa.int64())})
+                             "r": pa.array([base + s], pa.int64())})
 
         ranks = (nodes.map_batches(tag_node, batch_format="pyarrow")
                  .union(contribs.map_batches(tag_contrib,
@@ -503,13 +547,16 @@ def triangle_count(edges, num_buckets: int = 32,
 
 def pagerank_fixed_point(triples_ds, n_iter: int = 4,
                          edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
-                         edges=None):
+                         edges=None, seed_prefix: str = None):
     """e6 fixed-point PageRank over ``entity_edges(triples_ds)``.
     Returns a Dataset of (uri: string, r: int64 e6 rank mass).
     Path auto-selected by distinct-edge count vs ``edge_cap``.
     Callers that already hold the distinct-edge Dataset pass it via
     ``edges`` (kg_statistics shares one edge build between PageRank
-    and the degree histograms)."""
+    and the degree histograms).  ``seed_prefix`` selects PERSONALIZED
+    PageRank: the teleport + dangling mass flows only to nodes whose
+    URI starts with the prefix (same integer contract, floor
+    divisions by the seed count)."""
     import ray.data as rd
 
     if edges is None:
@@ -519,5 +566,5 @@ def pagerank_fixed_point(triples_ds, n_iter: int = 4,
         return rd.from_arrow(pa.table(
             {"uri": pa.array([], pa.string()), "r": pa.array([], pa.int64())}))
     if n_edges <= edge_cap:
-        return _pagerank_broadcast(edges, n_iter)
-    return _pagerank_shuffle(edges, n_iter)
+        return _pagerank_broadcast(edges, n_iter, seed_prefix=seed_prefix)
+    return _pagerank_shuffle(edges, n_iter, seed_prefix=seed_prefix)

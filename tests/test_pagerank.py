@@ -102,6 +102,75 @@ def test_empty_graph(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# personalized PageRank (seed_prefix)
+# ---------------------------------------------------------------------------
+
+
+def _brute_ppr(pairs, prefix, n_iter=4):
+    edges = sorted({(s, d) for s, d in pairs if s != d})
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    seeds = [u for u in nodes if u.startswith(prefix)]
+    ns = len(seeds)
+    if ns == 0:
+        return {}
+    deg = {u: 0 for u in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    r = {u: _R0 for u in nodes}
+    for _ in range(n_iter):
+        dang = sum(r[u] for u in nodes if deg[u] == 0)
+        base = (15 * n * 1_000_000) // (100 * ns) \
+            + (85 * dang) // (100 * ns)
+        new = {u: (base if u.startswith(prefix) else 0) for u in nodes}
+        for s, d in edges:
+            new[d] += (85 * r[s]) // (100 * deg[s])
+        r = new
+    return r
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_personalized_broadcast_matches_brute(ray_session, seed):
+    pairs = _random_pairs(seed, 50, 220)
+    got = pagerank_fixed_point(
+        _triples_ds(pairs), seed_prefix="u1").to_pandas()
+    got = {u: int(r) for u, r in zip(got["uri"], got["r"])}
+    assert got == _brute_ppr(pairs, "u1")
+
+
+def test_personalized_shuffle_matches_broadcast(ray_session):
+    pairs = _random_pairs(7, 40, 150)
+    ds = _triples_ds(pairs)
+    broad = pagerank_fixed_point(ds, seed_prefix="u2").to_pandas()
+    shuf = pagerank_fixed_point(ds, seed_prefix="u2",
+                                edge_cap=0).to_pandas()
+    b = dict(zip(broad["uri"], broad["r"].astype(int)))
+    s = dict(zip(shuf["uri"], shuf["r"].astype(int)))
+    assert b == s == _brute_ppr(pairs, "u2")
+
+
+def test_personalized_no_seeds_is_empty(ray_session):
+    pairs = [("a", "b"), ("b", "c")]
+    ds = _triples_ds(pairs)
+    assert len(pagerank_fixed_point(
+        ds, seed_prefix="zzz").to_pandas()) == 0
+    assert len(pagerank_fixed_point(
+        ds, seed_prefix="zzz", edge_cap=0).to_pandas()) == 0
+
+
+def test_personalized_mass_concentrates_on_seeds(ray_session):
+    # star out of the seed: teleport mass lands on s only, flows out
+    pairs = [("seed-hub", f"x{i}") for i in range(5)] \
+        + [(f"x{i}", "seed-hub") for i in range(5)]
+    got = pagerank_fixed_point(
+        _triples_ds(pairs), seed_prefix="seed-").to_pandas()
+    got = {u: int(r) for u, r in zip(got["uri"], got["r"])}
+    assert got == _brute_ppr(pairs, "seed-")
+    assert got["seed-hub"] > max(v for k, v in got.items()
+                                 if k != "seed-hub")
+
+
+# ---------------------------------------------------------------------------
 # triangle count
 # ---------------------------------------------------------------------------
 

@@ -192,7 +192,15 @@ def sql_kg_statistics(n_iter: int = 4) -> str:
     entity graph, unrolled through ``n_iter`` integer iterations
     (stages/pagerank.py data contract: r0 = 1e6 mass units/node,
     contrib = (85*r)//(100*outdeg), dangling redistributed
-    (85*D)//(100*N), teleport 150000).  Pure BIGINT arithmetic —
+    (85*D)//(100*N), teleport 150000).  ``ppr::<uri>`` rows mirror
+    PERSONALIZED PageRank with the place-prefix seed set: teleport
+    (15*N*1e6)//(100*S) and dangling (85*D)//(100*S) flow only to
+    seed nodes (stages/pagerank.py seed_prefix contract, same
+    uniform r0).  ``cc::<uri>`` rows = component size after 6 rounds
+    of undirected min-URI-label propagation and ``hop::<uri>`` rows =
+    exact BFS distance (<= 6 hops) from the nearest place seed, both
+    unrolled the same way (stages/components.py contract; LEAST
+    ignores NULLs in DuckDB, verified).  Pure BIGINT arithmetic —
     bit-identical to the numpy engine by construction.  CTEs are
     MATERIALIZED: chained iteration CTEs otherwise re-evaluate
     exponentially in DuckDB."""
@@ -208,7 +216,23 @@ pr_deg AS MATERIALIZED (
   SELECT src, COUNT(*) AS d FROM pr_edges GROUP BY src),
 pr_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM pr_nodes),
 pr_r0 AS MATERIALIZED (
-  SELECT uri, CAST(1000000 AS BIGINT) AS r FROM pr_nodes)"""]
+  SELECT uri, CAST(1000000 AS BIGINT) AS r FROM pr_nodes),
+ppr_ns AS MATERIALIZED (
+  SELECT COUNT(*) AS ns FROM pr_nodes
+  WHERE uri LIKE {_sql_str(KG + "place-")} || '%'),
+ppr_tp AS MATERIALIZED (
+  SELECT (15 * (SELECT n FROM pr_n) * 1000000)
+         // (100 * NULLIF((SELECT ns FROM ppr_ns), 0)) AS tp),
+ppr_r0 AS MATERIALIZED (
+  SELECT uri, CAST(1000000 AS BIGINT) AS r FROM pr_nodes),
+cc_und AS MATERIALIZED (
+  SELECT src, dst FROM pr_edges UNION SELECT dst, src FROM pr_edges),
+cc_r0 AS MATERIALIZED (
+  SELECT uri, uri AS lab FROM pr_nodes),
+hop_r0 AS MATERIALIZED (
+  SELECT uri, CASE WHEN uri LIKE {_sql_str(KG + "place-")} || '%'
+                   THEN CAST(0 AS BIGINT) END AS d
+  FROM pr_nodes)"""]
     for i in range(1, n_iter + 1):
         p = i - 1
         parts.append(f"""
@@ -225,8 +249,43 @@ pr_r{i} AS MATERIALIZED (
     FROM pr_edges e
     JOIN pr_r{p} p ON p.uri = e.src
     JOIN pr_deg g ON g.src = e.src
+    GROUP BY e.dst) c ON c.uri = n.uri),
+ppr_dang{i} AS MATERIALIZED (
+  SELECT (85 * COALESCE(SUM(p.r), 0))
+         // (100 * NULLIF((SELECT ns FROM ppr_ns), 0)) AS ds
+  FROM ppr_r{p} p LEFT JOIN pr_deg g ON g.src = p.uri
+  WHERE g.src IS NULL),
+ppr_r{i} AS MATERIALIZED (
+  SELECT n.uri,
+         CAST(CASE WHEN n.uri LIKE {_sql_str(KG + "place-")} || '%'
+              THEN (SELECT tp FROM ppr_tp)
+                   + (SELECT ds FROM ppr_dang{i})
+              ELSE 0 END + COALESCE(c.s, 0) AS BIGINT) AS r
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.dst AS uri, SUM((85 * p.r) // (100 * g.d)) AS s
+    FROM pr_edges e
+    JOIN ppr_r{p} p ON p.uri = e.src
+    JOIN pr_deg g ON g.src = e.src
     GROUP BY e.dst) c ON c.uri = n.uri)""")
+    for i in range(1, 7):  # components.DEFAULT_ROUNDS = 6
+        p = i - 1
+        parts.append(f"""
+cc_r{i} AS MATERIALIZED (
+  SELECT n.uri, LEAST(p.lab, COALESCE(m.ml, p.lab)) AS lab
+  FROM pr_nodes n JOIN cc_r{p} p ON p.uri = n.uri
+  LEFT JOIN (SELECT e.dst AS uri, MIN(q.lab) AS ml
+             FROM cc_und e JOIN cc_r{p} q ON q.uri = e.src
+             GROUP BY e.dst) m ON m.uri = n.uri),
+hop_r{i} AS MATERIALIZED (
+  SELECT n.uri, LEAST(p.d, m.md) AS d
+  FROM pr_nodes n JOIN hop_r{p} p ON p.uri = n.uri
+  LEFT JOIN (SELECT e.dst AS uri, MIN(q.d) + 1 AS md
+             FROM cc_und e JOIN hop_r{p} q ON q.uri = e.src
+             WHERE q.d IS NOT NULL
+             GROUP BY e.dst) m ON m.uri = n.uri)""")
     parts.append("""
+cc_sizes AS MATERIALIZED (
+  SELECT lab, COUNT(*) AS n FROM cc_r6 GROUP BY lab),
 pr_ind AS MATERIALIZED (
   SELECT dst, COUNT(*) AS d FROM pr_edges GROUP BY dst),
 tri_und AS MATERIALIZED (
@@ -262,6 +321,13 @@ SELECT type_uri, n FROM (
   WHERE predicate = {_sql_str(RDF_TYPE)} GROUP BY object
   UNION ALL
   SELECT 'pagerank::' || uri AS type_uri, r AS n FROM pr_r{n_iter}
+  UNION ALL
+  SELECT 'ppr::' || uri, r FROM ppr_r{n_iter}
+  WHERE (SELECT ns FROM ppr_ns) > 0
+  UNION ALL
+  SELECT 'cc::' || c.uri, s.n FROM cc_r6 c JOIN cc_sizes s ON s.lab = c.lab
+  UNION ALL
+  SELECT 'hop::' || uri, d FROM hop_r6 WHERE d IS NOT NULL
   UNION ALL
   SELECT 'outdeg:' || d, COUNT(*) FROM pr_deg GROUP BY d
   UNION ALL

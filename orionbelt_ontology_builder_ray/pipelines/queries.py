@@ -125,6 +125,42 @@ def kg_statistics(sf_dir):
     edges = entity_edges(ds).materialize()
     pr = pagerank_fixed_point(ds, edges=edges).map_batches(
         tag_pr, batch_format="pyarrow")
+
+    # personalized PageRank rows ride the union too: ``ppr::<uri>``
+    # with the whole teleport + dangling mass confined to the place
+    # seed set (same fixed-point integer contract, unrolled in SQL)
+    def tag_ppr(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "type_uri": pc.binary_join_element_wise(
+                pa.array(["ppr::"] * len(t), pa.string()),
+                t["uri"].cast(pa.string()), ""),
+            "n": t["r"].cast(pa.int64())})
+
+    ppr = pagerank_fixed_point(
+        ds, edges=edges, seed_prefix=KG + "place-").map_batches(
+        tag_ppr, batch_format="pyarrow")
+
+    # fixed-round min-propagation analytics ride too (one shared
+    # vocabulary fold for both passes): ``cc::<uri>`` -> component
+    # size after 6 rounds of min-URI-label propagation, ``hop::<uri>``
+    # -> exact BFS distance from the nearest place seed (<= 6 hops)
+    from ..stages.components import graph_min_rounds
+
+    def tag_pref(prefix):
+        def tag(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "type_uri": pc.binary_join_element_wise(
+                    pa.array([prefix] * len(t), pa.string()),
+                    t["uri"].cast(pa.string()), ""),
+                "n": t["n"].cast(pa.int64())})
+        return tag
+
+    cc_ds, hop_ds = graph_min_rounds(ds, seed_prefix=KG + "place-",
+                                     edges=edges)
+    cc_rows = cc_ds.map_batches(tag_pref("cc::"), batch_format="pyarrow")
+    hop_rows = hop_ds.map_batches(tag_pref("hop::"), batch_format="pyarrow")
     # in/out-degree histograms of the same entity graph ride the
     # union too: 'outdeg:<d>' / 'indeg:<d>' -> node counts
     import ray.data as rd
@@ -142,7 +178,8 @@ def kg_statistics(sf_dir):
     tri_rows = rd.from_arrow(pa.table({
         "type_uri": pa.array(["triangles"], pa.string()),
         "n": pa.array([triangle_count(edges)], pa.int64())}))
-    return stats.union(pr).union(hist_rows).union(tri_rows)
+    return (stats.union(pr).union(ppr).union(cc_rows).union(hop_rows)
+            .union(hist_rows).union(tri_rows))
 
 
 def kg_conversation_lengths(sf_dir):

@@ -1,0 +1,410 @@
+"""Fixed-round min-propagation graph analytics over the KG entity
+graph: connected-component labels/sizes and BFS hop distances.
+
+Like PageRank (stages/pagerank.py) these are ITERATIVE algorithms made
+driver-checkable by defining the contract as a FIXED number of
+propagation rounds, unrolled in the DuckDB oracle:
+
+- **components_fixed_rounds**: per node, the lexicographically
+  smallest URI reachable within ``n_rounds`` undirected hops
+  (min-label propagation; converged = true weakly-connected
+  components whenever the component diameter <= n_rounds).  Surfaced
+  as the node's COMPONENT SIZE (count of nodes sharing its label) so
+  the result rides the (type_uri, n:int64) statistics union.
+- **bfs_hops**: per node, the exact BFS hop distance from the nearest
+  seed node (URI prefix match), for every node reached within
+  ``n_rounds`` hops; unreached nodes are absent (the personalized-
+  PageRank seed idiom).
+
+Both are pure integer min-plus iterations — bit-identical across the
+numpy engine and the unrolled SQL by construction (no floats, no
+ties: min is total on int64 / VARCHAR-lexicographic, and the sorted
+node vocabulary makes index order == URI order).
+
+Two execution paths, auto-selected by edge count (the PageRank cap
+precedent), pytest-pinned equal:
+
+- **broadcast** (edges <= cap): node vocabulary folds once on the
+  driver; per round only the N-sized int64 label/dist array moves
+  (``ray.put`` once, zero-copy plasma read per task); each task emits
+  per-batch (node, min-candidate) partials combined locally with
+  ``np.minimum.at`` — the PageRank _ContribPartial shape with min
+  instead of sum.  One fold is SHARED between the cc and hop passes
+  (``graph_min_rounds`` computes both).
+- **shuffle fallback** (above the cap): labels stay a Dataset; per
+  round one groupby(node) co-groups each node's label row with its
+  incident edges and emits min-candidates, one groupby(node).min
+  folds candidates with the previous labels.  Nothing driver-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .pagerank import PAGERANK_BROADCAST_EDGE_CAP, entity_edges
+
+# sentinel for "unreached" BFS distances; +1 per round can never
+# overflow int64 from here
+_FAR = np.int64(2) ** 62
+
+# propagation rounds in the documented data contract (oracle-unrolled)
+DEFAULT_ROUNDS = 6
+
+
+def _empty(col: str):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(
+        {"uri": pa.array([], pa.string()), col: pa.array([], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# broadcast path
+# ---------------------------------------------------------------------------
+
+
+def _fold_vocab(edges):
+    """Sorted node vocabulary + integer-ized DIRECTED edges (the
+    pagerank._pagerank_broadcast fold, label flavour: no degrees)."""
+    import ray
+    import ray.data as rd
+
+    def block_nodes(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t["src"].combine_chunks().cast(pa.string()),
+                                 t["dst"].combine_chunks().cast(pa.string())])
+        return pa.table({"uri": pc.unique(vals)})
+
+    parts = edges.map_batches(block_nodes, batch_format="pyarrow") \
+        .to_pandas()
+    nodes = np.unique(parts["uri"].to_numpy())
+    if len(nodes) == 0:
+        return None, None
+    nref = ray.put(nodes)
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        vocab = ray.get(nref)
+        src = np.searchsorted(
+            vocab, t["src"].to_numpy(zero_copy_only=False))
+        dst = np.searchsorted(
+            vocab, t["dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    int_edges = edges.map_batches(to_ids,
+                                  batch_format="pyarrow").materialize()
+    return nodes, int_edges
+
+
+class _MinPartial:
+    """Per-batch min-candidates over the UNDIRECTED support: each
+    directed edge (s, d) offers label[s]+inc to d and label[d]+inc to
+    s, locally folded by node with np.minimum.at."""
+
+    def __init__(self, lab_ref, inc: int):
+        import ray
+        self._lab = ray.get(lab_ref)
+        self._inc = np.int64(inc)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        tgt = np.concatenate([dst, src])
+        cand = np.concatenate([self._lab[src], self._lab[dst]]) + self._inc
+        uniq, inv = np.unique(tgt, return_inverse=True)
+        mins = np.full(len(uniq), _FAR, dtype=np.int64)
+        np.minimum.at(mins, inv, cand)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "m": pa.array(mins, pa.int64())})
+
+
+def _min_rounds_broadcast(int_edges, init: np.ndarray, n_rounds: int,
+                          inc: int) -> np.ndarray:
+    import ray
+
+    lab = init
+    for _ in range(n_rounds):
+        lref = ray.put(lab)
+
+        def stage(t: pa.Table, lref=lref) -> pa.Table:
+            return _MinPartial(lref, inc)(t)
+
+        parts = int_edges.map_batches(
+            stage, batch_format="pyarrow").to_pandas()
+        cand = np.full(len(lab), _FAR, dtype=np.int64)
+        np.minimum.at(cand, parts["node"].to_numpy(),
+                      parts["m"].to_numpy().astype(np.int64))
+        lab = np.minimum(lab, cand)
+    return lab
+
+
+# ---------------------------------------------------------------------------
+# shuffle fallback (nothing driver-sized)
+# ---------------------------------------------------------------------------
+
+
+def _min_rounds_shuffle(edges, init_ds, n_rounds: int, inc: int):
+    """``init_ds``: Dataset (uri, lab:int64) for EVERY node (unreached
+    BFS nodes carry the _FAR sentinel).  Per round: groupby(uri)
+    co-groups the node's label row (kind 0) with its incident
+    undirected edge rows (kind 1), emits (neighbor, lab+inc)
+    candidates plus the node's own (uri, lab) keep-row; one
+    groupby(uri).min folds them.  Two shuffles per round — the honest
+    price above the broadcast cap (the pagerank shuffle shape)."""
+    from ray.data.aggregate import Min
+
+    def und(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks().cast(pa.string())
+        d = t["dst"].combine_chunks().cast(pa.string())
+        return pa.table({"key": pa.concat_arrays([s, d]),
+                         "kind": pa.array(np.ones(2 * len(t), np.int8),
+                                          pa.int8()),
+                         "nbr": pa.concat_arrays([d, s]),
+                         "lab": pa.array(np.zeros(2 * len(t), np.int64),
+                                         pa.int64())})
+
+    tagged_edges = edges.map_batches(und, batch_format="pyarrow") \
+        .materialize()
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["uri"],
+                         "kind": pa.array(np.zeros(len(t), np.int8),
+                                          pa.int8()),
+                         "nbr": pa.nulls(len(t), pa.string()),
+                         "lab": t["lab"]})
+
+    def emit(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        lab = int(g["lab"].to_numpy(zero_copy_only=False)[kind == 0][0])
+        uri = g["key"][0].as_py()
+        nbrs = g.filter(pa.array(kind == 1))["nbr"]
+        out_uri = pa.concat_arrays(
+            [pa.array([uri], pa.string()), nbrs.combine_chunks()])
+        cand = min(lab + inc, _FAR)  # sentinel never grows
+        vals = np.full(len(out_uri), cand, dtype=np.int64)
+        vals[0] = lab  # the keep-row
+        return pa.table({"uri": out_uri,
+                         "lab": pa.array(vals, pa.int64())})
+
+    labels = init_ds
+    for _ in range(n_rounds):
+        both = labels.map_batches(tag_lab,
+                                  batch_format="pyarrow").union(tagged_edges)
+        labels = (both.groupby("key")
+                  .map_groups(emit, batch_format="pyarrow")
+                  .groupby("uri").aggregate(Min(on="lab", alias_name="lab"))
+                  .materialize())
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# public operators
+# ---------------------------------------------------------------------------
+
+
+def components_fixed_rounds(triples_ds, n_rounds: int = DEFAULT_ROUNDS,
+                            edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
+                            edges=None):
+    """Per-node component SIZE after ``n_rounds`` of undirected
+    min-URI-label propagation.  Returns a Dataset (uri: string,
+    n: int64)."""
+    cc, _ = graph_min_rounds(triples_ds, seed_prefix=None,
+                             n_rounds=n_rounds, edge_cap=edge_cap,
+                             edges=edges)
+    return cc
+
+
+def bfs_hops(triples_ds, seed_prefix: str,
+             n_rounds: int = DEFAULT_ROUNDS,
+             edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
+             edges=None):
+    """Exact BFS hop distance (undirected) from the nearest node whose
+    URI starts with ``seed_prefix``, for nodes reached within
+    ``n_rounds`` hops.  Returns a Dataset (uri: string, n: int64)."""
+    _, hop = graph_min_rounds(triples_ds, seed_prefix=seed_prefix,
+                              n_rounds=n_rounds, edge_cap=edge_cap,
+                              edges=edges, want_cc=False)
+    return hop
+
+
+def graph_min_rounds(triples_ds, seed_prefix: str | None,
+                     n_rounds: int = DEFAULT_ROUNDS,
+                     edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
+                     edges=None, want_cc: bool = True):
+    """Run both min-propagation passes over ONE folded graph: returns
+    (cc_sizes, hops) Datasets — ``hops`` is None when ``seed_prefix``
+    is None, ``cc_sizes`` is None when ``want_cc`` is False.  The
+    kg_statistics caller shares the fold between the two passes (and
+    the edge build with PageRank via ``edges=``)."""
+    import ray.data as rd
+
+    if edges is None:
+        edges = entity_edges(triples_ds).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return (_empty("n") if want_cc else None,
+                _empty("n") if seed_prefix is not None else None)
+
+    if n_edges <= edge_cap:
+        nodes, int_edges = _fold_vocab(edges)
+        cc_ds = hop_ds = None
+        if want_cc:
+            lab = _min_rounds_broadcast(
+                int_edges, np.arange(len(nodes), dtype=np.int64),
+                n_rounds, inc=0)
+            _, inv, counts = np.unique(lab, return_inverse=True,
+                                       return_counts=True)
+            cc_ds = rd.from_arrow(pa.table({
+                "uri": pa.array(nodes, pa.string()),
+                "n": pa.array(counts[inv].astype(np.int64), pa.int64())}))
+        if seed_prefix is not None:
+            seed = pc.starts_with(
+                pa.array(nodes, pa.string()),
+                pattern=seed_prefix).to_numpy(zero_copy_only=False)
+            if not seed.any():
+                hop_ds = _empty("n")
+            else:
+                d0 = np.where(seed, np.int64(0), _FAR)
+                dist = _min_rounds_broadcast(int_edges, d0, n_rounds, inc=1)
+                reached = dist < _FAR
+                hop_ds = rd.from_arrow(pa.table({
+                    "uri": pa.array(nodes[reached], pa.string()),
+                    "n": pa.array(dist[reached], pa.int64())}))
+        return cc_ds, hop_ds
+
+    return (_cc_shuffle(edges, n_rounds) if want_cc else None,
+            _hops_shuffle(edges, seed_prefix, n_rounds)
+            if seed_prefix is not None else None)
+
+
+def _node_ds(edges):
+    from ray.data.aggregate import Count
+
+    def node_proj(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t["src"].combine_chunks().cast(pa.string()),
+                                 t["dst"].combine_chunks().cast(pa.string())])
+        return pa.table({"uri": pc.unique(vals)})
+
+    return (edges.map_batches(node_proj, batch_format="pyarrow")
+            .groupby("uri").aggregate(Count(alias_name="_c"))
+            .map_batches(lambda t: t.select(["uri"]),
+                         batch_format="pyarrow")
+            .materialize())
+
+
+def _cc_shuffle(edges, n_rounds: int):
+    """Shuffle-path component sizes.  Labels ARE the URIs here (no
+    driver-sized vocabulary exists above the cap to rank them), so
+    the propagation runs the string flavour of the min kernel —
+    lexicographic min matches the broadcast path's sorted-vocab index
+    min exactly.  Sizes then co-group (label -> count) back onto the
+    members."""
+    from ray.data.aggregate import Count
+
+    nodes = _node_ds(edges)
+
+    def init_lab(t: pa.Table) -> pa.Table:
+        return pa.table({"uri": t["uri"], "lab": t["uri"]})
+
+    labels = _str_min_rounds_shuffle(
+        edges, nodes.map_batches(init_lab, batch_format="pyarrow"),
+        n_rounds)
+    # component size: count per label, co-grouped back onto members
+    sizes = labels.groupby("lab").aggregate(Count(alias_name="n"))
+
+    def tag_size(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["lab"],
+                         "kind": pa.array(np.zeros(len(t), np.int8),
+                                          pa.int8()),
+                         "uri": pa.nulls(len(t), pa.string()),
+                         "n": t["n"].cast(pa.int64())})
+
+    def tag_member(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["lab"],
+                         "kind": pa.array(np.ones(len(t), np.int8),
+                                          pa.int8()),
+                         "uri": t["uri"],
+                         "n": pa.array(np.zeros(len(t), np.int64),
+                                       pa.int64())})
+
+    def emit_sizes(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        n = int(g["n"].to_numpy(zero_copy_only=False)[kind == 0][0])
+        members = g.filter(pa.array(kind == 1))["uri"]
+        return pa.table({"uri": members,
+                         "n": pa.array(np.full(len(members), n, np.int64),
+                                       pa.int64())})
+
+    return (sizes.map_batches(tag_size, batch_format="pyarrow")
+            .union(labels.map_batches(tag_member, batch_format="pyarrow"))
+            .groupby("key").map_groups(emit_sizes, batch_format="pyarrow"))
+
+
+def _str_min_rounds_shuffle(edges, init_ds, n_rounds: int):
+    """String-label flavour of _min_rounds_shuffle (labels are URIs,
+    lexicographic min; inc has no meaning)."""
+    from ray.data.aggregate import Min
+
+    def und(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks().cast(pa.string())
+        d = t["dst"].combine_chunks().cast(pa.string())
+        return pa.table({"key": pa.concat_arrays([s, d]),
+                         "kind": pa.array(np.ones(2 * len(t), np.int8),
+                                          pa.int8()),
+                         "nbr": pa.concat_arrays([d, s]),
+                         "lab": pa.nulls(2 * len(t), pa.string())})
+
+    tagged_edges = edges.map_batches(und, batch_format="pyarrow") \
+        .materialize()
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["uri"],
+                         "kind": pa.array(np.zeros(len(t), np.int8),
+                                          pa.int8()),
+                         "nbr": pa.nulls(len(t), pa.string()),
+                         "lab": t["lab"]})
+
+    def emit(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        lab = g.filter(pa.array(kind == 0))["lab"][0].as_py()
+        uri = g["key"][0].as_py()
+        nbrs = g.filter(pa.array(kind == 1))["nbr"]
+        out_uri = pa.concat_arrays(
+            [pa.array([uri], pa.string()), nbrs.combine_chunks()])
+        return pa.table({"uri": out_uri,
+                         "lab": pa.array([lab] * len(out_uri), pa.string())})
+
+    labels = init_ds
+    for _ in range(n_rounds):
+        both = labels.map_batches(tag_lab,
+                                  batch_format="pyarrow").union(tagged_edges)
+        labels = (both.groupby("key")
+                  .map_groups(emit, batch_format="pyarrow")
+                  .groupby("uri").aggregate(Min(on="lab", alias_name="lab"))
+                  .materialize())
+    return labels
+
+
+def _hops_shuffle(edges, seed_prefix: str, n_rounds: int):
+    nodes = _node_ds(edges)
+    n_seeds = nodes.map_batches(
+        lambda t: t.filter(pc.starts_with(t["uri"], pattern=seed_prefix)),
+        batch_format="pyarrow").count()
+    if n_seeds == 0:
+        return _empty("n")
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        seed = pc.starts_with(t["uri"], pattern=seed_prefix) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"uri": t["uri"],
+                         "lab": pa.array(
+                             np.where(seed, np.int64(0), _FAR), pa.int64())})
+
+    dists = _min_rounds_shuffle(
+        edges, nodes.map_batches(init_dist, batch_format="pyarrow"),
+        n_rounds, inc=1)
+    return dists.map_batches(
+        lambda t: t.filter(pc.less(t["lab"], int(_FAR)))
+        .rename_columns(["uri", "n"]),
+        batch_format="pyarrow")

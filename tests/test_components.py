@@ -1,0 +1,145 @@
+"""Fixed-round min-propagation analytics (stages/components.py): both
+distributed paths vs brute-force references of the documented
+contract (n_rounds of undirected min-label / min-plus propagation)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orionbelt_ontology_builder_ray.stages.components import (
+    bfs_hops, components_fixed_rounds, graph_min_rounds)
+from orionbelt_ontology_builder_ray.stages.pagerank import entity_edges
+
+
+def _triples_ds(pairs):
+    import ray.data as rd
+
+    src = [s for s, _ in pairs]
+    dst = [d for _, d in pairs]
+    n = len(pairs)
+    return rd.from_arrow(pa.table({
+        "subject": src, "predicate": ["p"] * n, "object": dst,
+        "object_kind": ["uri"] * n, "lang": [""] * n,
+        "datatype": [""] * n}))
+
+
+def _und(pairs):
+    und = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+    return und
+
+
+def _brute_cc(pairs, n_rounds=6):
+    adj = _und(pairs)
+    lab = {u: u for u in adj}
+    for _ in range(n_rounds):
+        lab = {u: min([lab[u]] + [lab[v] for v in adj[u]]) for u in adj}
+    sizes = {}
+    for v in lab.values():
+        sizes[v] = sizes.get(v, 0) + 1
+    return {u: sizes[lab[u]] for u in adj}
+
+
+def _brute_hops(pairs, prefix, n_rounds=6):
+    adj = _und(pairs)
+    far = 1 << 62
+    d = {u: (0 if u.startswith(prefix) else far) for u in adj}
+    for _ in range(n_rounds):
+        d = {u: min([d[u]] + [d[v] + 1 for v in adj[u]]) for u in adj}
+    return {u: x for u, x in d.items() if x < far}
+
+
+def _random_pairs(seed, n_nodes, n_edges):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n_nodes, n_edges)
+    dst = rng.randint(0, n_nodes, n_edges)
+    return [(f"u{int(s)}", f"u{int(d)}") for s, d in zip(src, dst)]
+
+
+def _as_dict(ds):
+    df = ds.to_pandas()
+    return {u: int(n) for u, n in zip(df["uri"], df["n"])}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges",
+                         [(3, 60, 70), (11, 40, 200)])
+def test_cc_broadcast_matches_brute(ray_session, seed, n_nodes, n_edges):
+    pairs = _random_pairs(seed, n_nodes, n_edges)
+    got = _as_dict(components_fixed_rounds(_triples_ds(pairs)))
+    assert got == _brute_cc(pairs)
+
+
+def test_cc_shuffle_matches_broadcast(ray_session):
+    pairs = _random_pairs(7, 30, 40)
+    ds = _triples_ds(pairs)
+    broad = _as_dict(components_fixed_rounds(ds))
+    shuf = _as_dict(components_fixed_rounds(ds, edge_cap=0))
+    assert broad == shuf == _brute_cc(pairs)
+
+
+def test_cc_fixed_rounds_semantics(ray_session):
+    # a 9-node path: diameter 8 > 6 rounds, so propagation is
+    # deliberately UNCONVERGED — the brute reference pins exactly that
+    pairs = [(f"n{i}", f"n{i + 1}") for i in range(8)]
+    got = _as_dict(components_fixed_rounds(_triples_ds(pairs)))
+    assert got == _brute_cc(pairs)
+    # converged with enough rounds: one component of size 9
+    got9 = _as_dict(components_fixed_rounds(_triples_ds(pairs),
+                                            n_rounds=8))
+    assert set(got9.values()) == {9}
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_hops_broadcast_matches_brute(ray_session, seed):
+    pairs = _random_pairs(seed, 50, 120)
+    got = _as_dict(bfs_hops(_triples_ds(pairs), seed_prefix="u1"))
+    assert got == _brute_hops(pairs, "u1")
+
+
+def test_hops_shuffle_matches_broadcast(ray_session):
+    pairs = _random_pairs(7, 30, 60)
+    ds = _triples_ds(pairs)
+    broad = _as_dict(bfs_hops(ds, seed_prefix="u2"))
+    shuf = _as_dict(bfs_hops(ds, seed_prefix="u2", edge_cap=0))
+    assert broad == shuf == _brute_hops(pairs, "u2")
+
+
+def test_hops_exactness_and_cutoff(ray_session):
+    # a path out of the single seed: hop i node gets distance i,
+    # nodes beyond n_rounds are absent
+    pairs = [("seed", "h1")] + [(f"h{i}", f"h{i + 1}")
+                                for i in range(1, 10)]
+    got = _as_dict(bfs_hops(_triples_ds(pairs), seed_prefix="seed",
+                            n_rounds=4))
+    assert got == {"seed": 0, "h1": 1, "h2": 2, "h3": 3, "h4": 4}
+
+
+def test_hops_no_seeds_empty(ray_session):
+    pairs = [("a", "b")]
+    ds = _triples_ds(pairs)
+    assert len(bfs_hops(ds, seed_prefix="zzz").to_pandas()) == 0
+    assert len(bfs_hops(ds, seed_prefix="zzz",
+                        edge_cap=0).to_pandas()) == 0
+
+
+def test_graph_min_rounds_shares_fold(ray_session):
+    pairs = _random_pairs(5, 25, 60)
+    ds = _triples_ds(pairs)
+    edges = entity_edges(ds).materialize()
+    cc, hop = graph_min_rounds(ds, seed_prefix="u1", edges=edges)
+    assert _as_dict(cc) == _brute_cc(pairs)
+    assert _as_dict(hop) == _brute_hops(pairs, "u1")
+
+
+def test_empty_graph(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"subject": ["a"], "predicate": ["p"], "object": ["x"],
+                  "object_kind": ["literal"], "lang": [""],
+                  "datatype": [""]})
+    cc, hop = graph_min_rounds(rd.from_arrow(t), seed_prefix="a")
+    assert len(cc.to_pandas()) == 0 and len(hop.to_pandas()) == 0

@@ -412,6 +412,22 @@ def run_bench() -> dict:
     t0 = time.time()
     triangle_count(_kg_edges)
     queries["kg_triangles"] = round(time.time() - t0, 3)
+    # personalized PageRank (place-seed teleport) + the fixed-round
+    # min-propagation pair (component sizes, BFS hops) on one shared
+    # vocabulary fold
+    from orionbelt_ontology_builder_ray.functions.kg import KG
+    from orionbelt_ontology_builder_ray.stages.components import (
+        graph_min_rounds)
+
+    t0 = time.time()
+    pagerank_fixed_point(None, edges=_kg_edges,
+                         seed_prefix=KG + "place-").count()
+    queries["kg_ppr"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _cc, _hop = graph_min_rounds(None, seed_prefix=KG + "place-",
+                                 edges=_kg_edges)
+    _cc.count(); _hop.count()
+    queries["kg_cc_hops"] = round(time.time() - t0, 3)
 
     # incremental ingest (update_kg): the 16 B/row anti-join claim gets
     # a recorded number.  zero-addition: existing store == headline

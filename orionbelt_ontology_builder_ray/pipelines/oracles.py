@@ -200,7 +200,9 @@ def sql_kg_statistics(n_iter: int = 4) -> str:
     of undirected min-URI-label propagation and ``hop::<uri>`` rows =
     exact BFS distance (<= 6 hops) from the nearest place seed, both
     unrolled the same way (stages/components.py contract; LEAST
-    ignores NULLs in DuckDB, verified).  Pure BIGINT arithmetic —
+    ignores NULLs in DuckDB, verified).  ``core::<uri>`` rows =
+    6-round 3-core peeling survivors with their degree among the
+    final survivor set (kcore_fixed_rounds).  Pure BIGINT arithmetic —
     bit-identical to the numpy engine by construction.  CTEs are
     MATERIALIZED: chained iteration CTEs otherwise re-evaluate
     exponentially in DuckDB."""
@@ -284,6 +286,23 @@ hop_r{i} AS MATERIALIZED (
              WHERE q.d IS NOT NULL
              GROUP BY e.dst) m ON m.uri = n.uri)""")
     parts.append("""
+core_a0 AS MATERIALIZED (SELECT uri FROM pr_nodes)""")
+    for i in range(1, 7):  # fixed-round 3-core peeling, 6 rounds
+        p = i - 1
+        parts.append(f"""
+core_a{i} AS MATERIALIZED (
+  SELECT e.src AS uri FROM cc_und e
+  JOIN core_a{p} x ON x.uri = e.src
+  JOIN core_a{p} y ON y.uri = e.dst
+  GROUP BY e.src HAVING COUNT(*) >= 3)""")
+    parts.append("""
+core_deg AS MATERIALIZED (
+  SELECT a.uri, CAST(COALESCE(d.d, 0) AS BIGINT) AS d
+  FROM core_a6 a LEFT JOIN (
+    SELECT e.src AS uri, COUNT(*) AS d FROM cc_und e
+    JOIN core_a6 x ON x.uri = e.src
+    JOIN core_a6 y ON y.uri = e.dst
+    GROUP BY e.src) d ON d.uri = a.uri),
 cc_sizes AS MATERIALIZED (
   SELECT lab, COUNT(*) AS n FROM cc_r6 GROUP BY lab),
 pr_ind AS MATERIALIZED (
@@ -328,6 +347,8 @@ SELECT type_uri, n FROM (
   SELECT 'cc::' || c.uri, s.n FROM cc_r6 c JOIN cc_sizes s ON s.lab = c.lab
   UNION ALL
   SELECT 'hop::' || uri, d FROM hop_r6 WHERE d IS NOT NULL
+  UNION ALL
+  SELECT 'core::' || uri, d FROM core_deg
   UNION ALL
   SELECT 'outdeg:' || d, COUNT(*) FROM pr_deg GROUP BY d
   UNION ALL

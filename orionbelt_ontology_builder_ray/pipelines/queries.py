@@ -161,6 +161,12 @@ def kg_statistics(sf_dir):
                                      edges=edges)
     cc_rows = cc_ds.map_batches(tag_pref("cc::"), batch_format="pyarrow")
     hop_rows = hop_ds.map_batches(tag_pref("hop::"), batch_format="pyarrow")
+
+    # ``core::<uri>`` -> degree among the 6-round 3-core survivors
+    from ..stages.components import kcore_fixed_rounds
+
+    core_rows = kcore_fixed_rounds(ds, edges=edges).map_batches(
+        tag_pref("core::"), batch_format="pyarrow")
     # in/out-degree histograms of the same entity graph ride the
     # union too: 'outdeg:<d>' / 'indeg:<d>' -> node counts
     import ray.data as rd
@@ -179,7 +185,7 @@ def kg_statistics(sf_dir):
         "type_uri": pa.array(["triangles"], pa.string()),
         "n": pa.array([triangle_count(edges)], pa.int64())}))
     return (stats.union(pr).union(ppr).union(cc_rows).union(hop_rows)
-            .union(hist_rows).union(tri_rows))
+            .union(core_rows).union(hist_rows).union(tri_rows))
 
 
 def kg_conversation_lengths(sf_dir):

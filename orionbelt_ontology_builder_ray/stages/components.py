@@ -278,6 +278,175 @@ def graph_min_rounds(triples_ds, seed_prefix: str | None,
             if seed_prefix is not None else None)
 
 
+def kcore_fixed_rounds(triples_ds, k: int = 3,
+                       n_rounds: int = DEFAULT_ROUNDS,
+                       edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
+                       edges=None):
+    """Fixed-round k-core peeling over the undirected support: round i
+    keeps exactly the nodes with >= ``k`` neighbors among round-(i-1)
+    survivors (converged = the true k-core whenever peeling stabilizes
+    within ``n_rounds``).  Returns a Dataset (uri: string, n: int64)
+    with one row per surviving node, n = its degree among the final
+    survivor set (0 if all its neighbors fell in the last round).
+    Pure integer thresholding — bit-identical across engines."""
+    import ray.data as rd
+
+    if edges is None:
+        edges = entity_edges(triples_ds).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return _empty("n")
+
+    if n_edges <= edge_cap:
+        nodes, int_edges = _fold_vocab(edges)
+        n = len(nodes)
+        # undirected degree fold: each directed distinct edge counts
+        # once per endpoint (self-loops were dropped at the edge build;
+        # reverse duplicates cannot exist per (src,dst) distinctness --
+        # BUT (a,b) and (b,a) may BOTH exist; collapse to the
+        # undirected support first, driver-side on the int pairs
+        pairs = int_edges.to_pandas()
+        a = np.minimum(pairs["src"].to_numpy(), pairs["dst"].to_numpy())
+        b = np.maximum(pairs["src"].to_numpy(), pairs["dst"].to_numpy())
+        und = np.unique(a * np.int64(n) + b)
+        ua, ub = und // n, und % n
+        alive = np.ones(n, dtype=bool)
+        for _ in range(n_rounds):
+            live = alive[ua] & alive[ub]
+            deg = np.bincount(ua[live], minlength=n) \
+                + np.bincount(ub[live], minlength=n)
+            alive = deg >= k
+        if not alive.any():
+            return _empty("n")
+        live = alive[ua] & alive[ub]
+        deg = np.bincount(ua[live], minlength=n) \
+            + np.bincount(ub[live], minlength=n)
+        return rd.from_arrow(pa.table({
+            "uri": pa.array(nodes[alive], pa.string()),
+            "n": pa.array(deg[alive].astype(np.int64), pa.int64())}))
+
+    return _kcore_shuffle(edges, k, n_rounds)
+
+
+def _und_pairs(edges):
+    """Distinct undirected support as a Dataset (a, b) with a < b:
+    per-batch local canonicalization + the bucketed distinct idiom."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks().cast(pa.string())
+        d = t["dst"].combine_chunks().cast(pa.string())
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        out = pa.table({"a": a, "b": b})
+        return out.group_by(["a", "b"]).aggregate([])
+
+    import numpy as _np
+    import pandas as _pd
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        h = _pd.util.hash_pandas_object(
+            t["a"].to_pandas(), index=False).to_numpy() \
+            ^ _pd.util.hash_pandas_object(
+            t["b"].to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "_b", pa.array((h % 32).astype(_np.int32), pa.int32()))
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return g.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    return (edges.map_batches(canon, batch_format="pyarrow")
+            .map_batches(bucketed, batch_format="pyarrow")
+            .groupby("_b").map_groups(distinct, batch_format="pyarrow"))
+
+
+def _kcore_shuffle(edges, k: int, n_rounds: int):
+    """Shuffle-path k-core: survivors stay a Dataset.  Per round, two
+    co-group passes gate the undirected edge list on alive endpoints
+    (kind 0 = alive row, kind 1 = edge row, keyed by one endpoint per
+    pass), then a groupby-count thresholds the degrees.  Three
+    shuffles per round — the honest fallback above the cap."""
+    from ray.data.aggregate import Count
+
+    und = _und_pairs(edges).materialize()
+    alive = _node_ds(edges)
+
+    def gate(und_ds, alive_ds, key_col, other_col):
+        def tag_alive(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t["uri"],
+                             "kind": pa.array(np.zeros(len(t), np.int8),
+                                              pa.int8()),
+                             "other": pa.nulls(len(t), pa.string())})
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t[key_col],
+                             "kind": pa.array(np.ones(len(t), np.int8),
+                                              pa.int8()),
+                             "other": t[other_col]})
+
+        def emit(g: pa.Table) -> pa.Table:
+            kind = g["kind"].to_numpy(zero_copy_only=False)
+            if not (kind == 0).any():  # endpoint not alive: drop edges
+                return pa.table({"a": pa.array([], pa.string()),
+                                 "b": pa.array([], pa.string())})
+            e = g.filter(pa.array(kind == 1))
+            return pa.table({"a": e["key"], "b": e["other"]})
+
+        return (alive_ds.map_batches(tag_alive, batch_format="pyarrow")
+                .union(und_ds.map_batches(tag_edge,
+                                          batch_format="pyarrow"))
+                .groupby("key").map_groups(emit, batch_format="pyarrow"))
+
+    def survivors(live_edges):
+        def both_dirs(t: pa.Table) -> pa.Table:
+            return pa.table({"uri": pa.concat_arrays(
+                [t["a"].combine_chunks().cast(pa.string()),
+                 t["b"].combine_chunks().cast(pa.string())])})
+
+        deg = (live_edges.map_batches(both_dirs, batch_format="pyarrow")
+               .groupby("uri").aggregate(Count(alias_name="n")))
+        return deg
+
+    for _ in range(n_rounds):
+        live = gate(gate(und, alive, "a", "b"), alive, "b", "a") \
+            .materialize()
+        deg = survivors(live)
+        alive = deg.map_batches(
+            lambda t, k=k: t.filter(
+                pc.greater_equal(t["n"], k)).select(["uri"]),
+            batch_format="pyarrow").materialize()
+    live = gate(gate(und, alive, "a", "b"), alive, "b", "a")
+    deg = survivors(live)
+    # final rows: every survivor, degree 0 if no surviving edges
+    def tag_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["uri"],
+                         "kind": pa.array(np.ones(len(t), np.int8),
+                                          pa.int8()),
+                         "n": t["n"].cast(pa.int64())})
+
+    def tag_alive0(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["uri"],
+                         "kind": pa.array(np.zeros(len(t), np.int8),
+                                          pa.int8()),
+                         "n": pa.array(np.zeros(len(t), np.int64),
+                                       pa.int64())})
+
+    def emit_final(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        if not (kind == 0).any():  # degree row without an alive row
+            return pa.table({"uri": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        n = g["n"].to_numpy(zero_copy_only=False)[kind == 1]
+        return pa.table({"uri": pa.array([g["key"][0].as_py()],
+                                         pa.string()),
+                         "n": pa.array([int(n[0]) if len(n) else 0],
+                                       pa.int64())})
+
+    return (alive.map_batches(tag_alive0, batch_format="pyarrow")
+            .union(deg.map_batches(tag_deg, batch_format="pyarrow"))
+            .groupby("key").map_groups(emit_final,
+                                       batch_format="pyarrow"))
+
+
 def _node_ds(edges):
     from ray.data.aggregate import Count
 

@@ -62,6 +62,8 @@ def _random_pairs(seed, n_nodes, n_edges):
 
 def _as_dict(ds):
     df = ds.to_pandas()
+    if len(df) == 0:
+        return {}
     return {u: int(n) for u, n in zip(df["uri"], df["n"])}
 
 
@@ -133,6 +135,67 @@ def test_graph_min_rounds_shares_fold(ray_session):
     cc, hop = graph_min_rounds(ds, seed_prefix="u1", edges=edges)
     assert _as_dict(cc) == _brute_cc(pairs)
     assert _as_dict(hop) == _brute_hops(pairs, "u1")
+
+
+def _brute_kcore(pairs, k=3, n_rounds=6):
+    und = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    alive = {x for e in und for x in e}
+
+    def degrees(alive):
+        deg = {u: 0 for u in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        return deg
+
+    for _ in range(n_rounds):
+        deg = degrees(alive)
+        alive = {u for u in alive if deg[u] >= k}
+    return {u: d for u, d in degrees(alive).items()}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges",
+                         [(3, 30, 120), (11, 50, 90)])
+def test_kcore_broadcast_matches_brute(ray_session, seed, n_nodes,
+                                       n_edges):
+    from orionbelt_ontology_builder_ray.stages.components import (
+        kcore_fixed_rounds)
+
+    pairs = _random_pairs(seed, n_nodes, n_edges)
+    got = _as_dict(kcore_fixed_rounds(_triples_ds(pairs)))
+    assert got == _brute_kcore(pairs)
+
+
+def test_kcore_shuffle_matches_broadcast(ray_session):
+    from orionbelt_ontology_builder_ray.stages.components import (
+        kcore_fixed_rounds)
+
+    pairs = _random_pairs(7, 25, 80)
+    ds = _triples_ds(pairs)
+    broad = _as_dict(kcore_fixed_rounds(ds))
+    shuf = _as_dict(kcore_fixed_rounds(ds, edge_cap=0))
+    assert broad == shuf == _brute_kcore(pairs)
+
+
+def test_kcore_known_graphs(ray_session):
+    from orionbelt_ontology_builder_ray.stages.components import (
+        kcore_fixed_rounds)
+
+    # K5: every node keeps degree 4 >= 3 forever
+    k5 = [(a, b) for a in "abcde" for b in "abcde" if a < b]
+    got = _as_dict(kcore_fixed_rounds(_triples_ds(k5)))
+    assert got == {c: 4 for c in "abcde"}
+    # a path graph peels completely at k=3
+    path = [(f"n{i}", f"n{i + 1}") for i in range(10)]
+    assert _as_dict(kcore_fixed_rounds(_triples_ds(path))) == {}
+    # K4 plus a pendant: pendant peels round 1, K4 survives (deg 3);
+    # the K4 member attached to the pendant drops from 4 to 3
+    k4p = [(a, b) for a in "abcd" for b in "abcd" if a < b] \
+        + [("a", "pend")]
+    got = _as_dict(kcore_fixed_rounds(_triples_ds(k4p)))
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert got == _brute_kcore(k4p)
 
 
 def test_empty_graph(ray_session):

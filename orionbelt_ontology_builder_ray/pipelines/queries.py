@@ -120,10 +120,17 @@ def kg_statistics(sf_dir):
                 t["uri"].cast(pa.string()), ""),
             "n": t["r"].cast(pa.int64())})
 
-    from ..stages.pagerank import degree_histograms, entity_edges
+    from ..stages.components import fold_vocab
+    from ..stages.pagerank import (PAGERANK_BROADCAST_EDGE_CAP,
+                                   degree_histograms, entity_edges)
 
     edges = entity_edges(ds).materialize()
-    pr = pagerank_fixed_point(ds, edges=edges).map_batches(
+    # ONE vocabulary fold shared by all five broadcast-path graph ops
+    # (pagerank, ppr, cc, hops, k-core) — the fold is their dominant
+    # fixed cost (a full edge scan + driver unique + integer-ize pass)
+    folded = fold_vocab(edges) \
+        if 0 < edges.count() <= PAGERANK_BROADCAST_EDGE_CAP else None
+    pr = pagerank_fixed_point(ds, edges=edges, folded=folded).map_batches(
         tag_pr, batch_format="pyarrow")
 
     # personalized PageRank rows ride the union too: ``ppr::<uri>``
@@ -138,8 +145,8 @@ def kg_statistics(sf_dir):
             "n": t["r"].cast(pa.int64())})
 
     ppr = pagerank_fixed_point(
-        ds, edges=edges, seed_prefix=KG + "place-").map_batches(
-        tag_ppr, batch_format="pyarrow")
+        ds, edges=edges, seed_prefix=KG + "place-",
+        folded=folded).map_batches(tag_ppr, batch_format="pyarrow")
 
     # fixed-round min-propagation analytics ride too (one shared
     # vocabulary fold for both passes): ``cc::<uri>`` -> component
@@ -158,14 +165,15 @@ def kg_statistics(sf_dir):
         return tag
 
     cc_ds, hop_ds = graph_min_rounds(ds, seed_prefix=KG + "place-",
-                                     edges=edges)
+                                     edges=edges, folded=folded)
     cc_rows = cc_ds.map_batches(tag_pref("cc::"), batch_format="pyarrow")
     hop_rows = hop_ds.map_batches(tag_pref("hop::"), batch_format="pyarrow")
 
     # ``core::<uri>`` -> degree among the 6-round 3-core survivors
     from ..stages.components import kcore_fixed_rounds
 
-    core_rows = kcore_fixed_rounds(ds, edges=edges).map_batches(
+    core_rows = kcore_fixed_rounds(ds, edges=edges,
+                                   folded=folded).map_batches(
         tag_pref("core::"), batch_format="pyarrow")
     # in/out-degree histograms of the same entity graph ride the
     # union too: 'outdeg:<d>' / 'indeg:<d>' -> node counts

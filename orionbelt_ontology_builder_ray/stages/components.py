@@ -65,9 +65,15 @@ def _empty(col: str):
 # ---------------------------------------------------------------------------
 
 
-def _fold_vocab(edges):
+def fold_vocab(edges):
     """Sorted node vocabulary + integer-ized DIRECTED edges (the
-    pagerank._pagerank_broadcast fold, label flavour: no degrees)."""
+    pagerank._pagerank_broadcast fold, label flavour: no degrees).
+    Returns (nodes: np.ndarray[str], int_edges: materialized Dataset)
+    or (None, None) on an empty graph.  Build ONCE and share across
+    the broadcast-path graph ops (pagerank ``folded=``,
+    graph_min_rounds, kcore_fixed_rounds): the fold — a full edge
+    scan, a driver string-unique and an integer-ize pass — is the
+    dominant fixed cost of every op in the family."""
     import ray
     import ray.data as rd
 
@@ -231,12 +237,14 @@ def bfs_hops(triples_ds, seed_prefix: str,
 def graph_min_rounds(triples_ds, seed_prefix: str | None,
                      n_rounds: int = DEFAULT_ROUNDS,
                      edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
-                     edges=None, want_cc: bool = True):
+                     edges=None, want_cc: bool = True, folded=None):
     """Run both min-propagation passes over ONE folded graph: returns
     (cc_sizes, hops) Datasets — ``hops`` is None when ``seed_prefix``
     is None, ``cc_sizes`` is None when ``want_cc`` is False.  The
     kg_statistics caller shares the fold between the two passes (and
-    the edge build with PageRank via ``edges=``)."""
+    the edge build with PageRank via ``edges=``); callers that hold a
+    ``fold_vocab(edges)`` result pass it via ``folded`` (broadcast
+    path only — ignored above the cap)."""
     import ray.data as rd
 
     if edges is None:
@@ -247,7 +255,8 @@ def graph_min_rounds(triples_ds, seed_prefix: str | None,
                 _empty("n") if seed_prefix is not None else None)
 
     if n_edges <= edge_cap:
-        nodes, int_edges = _fold_vocab(edges)
+        nodes, int_edges = folded if folded is not None \
+            else fold_vocab(edges)
         cc_ds = hop_ds = None
         if want_cc:
             lab = _min_rounds_broadcast(
@@ -281,7 +290,7 @@ def graph_min_rounds(triples_ds, seed_prefix: str | None,
 def kcore_fixed_rounds(triples_ds, k: int = 3,
                        n_rounds: int = DEFAULT_ROUNDS,
                        edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
-                       edges=None):
+                       edges=None, folded=None):
     """Fixed-round k-core peeling over the undirected support: round i
     keeps exactly the nodes with >= ``k`` neighbors among round-(i-1)
     survivors (converged = the true k-core whenever peeling stabilizes
@@ -298,7 +307,8 @@ def kcore_fixed_rounds(triples_ds, k: int = 3,
         return _empty("n")
 
     if n_edges <= edge_cap:
-        nodes, int_edges = _fold_vocab(edges)
+        nodes, int_edges = folded if folded is not None \
+            else fold_vocab(edges)
         n = len(nodes)
         # undirected degree fold: each directed distinct edge counts
         # once per endpoint (self-loops were dropped at the edge build;

@@ -132,47 +132,31 @@ class _ContribPartial:
                          "s": pa.array(sums, pa.int64())})
 
 
-def _pagerank_broadcast(edges, n_iter: int, seed_prefix: str = None):
+def _pagerank_broadcast(edges, n_iter: int, seed_prefix: str = None,
+                        folded=None):
     """``seed_prefix`` switches to PERSONALIZED PageRank: the whole
     teleport mass (0.15 of the total, = 15 * N * 1e6 / 100 micro
     units) and the dangling redistribution flow ONLY to nodes whose
     URI starts with the prefix, instead of uniformly — same integer
     contract (floor divisions by the seed count), still bit-identical
-    across engines.  r0 stays uniform (the iteration forgets it)."""
+    across engines.  r0 stays uniform (the iteration forgets it).
+    ``folded`` = a components.fold_vocab(edges) result to share the
+    vocabulary fold across the graph-op family."""
     import ray
     import ray.data as rd
 
-    # fold the node vocabulary: per-block uniques -> driver np.unique
-    def block_nodes(t: pa.Table) -> pa.Table:
-        vals = pa.concat_arrays([t["src"].combine_chunks().cast(pa.string()),
-                                 t["dst"].combine_chunks().cast(pa.string())])
-        return pa.table({"uri": pc.unique(vals)})
+    if folded is not None:
+        nodes, int_edges = folded
+    else:
+        # one vocabulary fold + integer-ize pass (shared via
+        # components.fold_vocab when the caller runs several ops)
+        from .components import fold_vocab
 
-    parts = edges.map_batches(block_nodes, batch_format="pyarrow") \
-        .to_pandas()
-    nodes = np.unique(parts["uri"].to_numpy())
-    n = len(nodes)
-    if n == 0:
+        nodes, int_edges = fold_vocab(edges)
+    if nodes is None or len(nodes) == 0:
         return rd.from_arrow(pa.table(
             {"uri": pa.array([], pa.string()), "r": pa.array([], pa.int64())}))
-
-    # integer-ize edges ONCE (broadcast sorted vocab, searchsorted).
-    # task stage, not an actor pool: the per-task state rebuild is one
-    # zero-copy plasma read of the vocab array (the kmeans lesson —
-    # pool spin-up dwarfs the work for a one-pass stage)
-    nref = ray.put(nodes)
-
-    def to_ids(t: pa.Table) -> pa.Table:
-        vocab = ray.get(nref)
-        src = np.searchsorted(
-            vocab, t["src"].to_numpy(zero_copy_only=False))
-        dst = np.searchsorted(
-            vocab, t["dst"].to_numpy(zero_copy_only=False))
-        return pa.table({"src": pa.array(src, pa.int64()),
-                         "dst": pa.array(dst, pa.int64())})
-
-    int_edges = edges.map_batches(to_ids,
-                                  batch_format="pyarrow").materialize()
+    n = len(nodes)
 
     # out-degrees: per-block partials -> driver fold (N-sized, in-cap)
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -547,7 +531,8 @@ def triangle_count(edges, num_buckets: int = 32,
 
 def pagerank_fixed_point(triples_ds, n_iter: int = 4,
                          edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
-                         edges=None, seed_prefix: str = None):
+                         edges=None, seed_prefix: str = None,
+                         folded=None):
     """e6 fixed-point PageRank over ``entity_edges(triples_ds)``.
     Returns a Dataset of (uri: string, r: int64 e6 rank mass).
     Path auto-selected by distinct-edge count vs ``edge_cap``.
@@ -566,5 +551,6 @@ def pagerank_fixed_point(triples_ds, n_iter: int = 4,
         return rd.from_arrow(pa.table(
             {"uri": pa.array([], pa.string()), "r": pa.array([], pa.int64())}))
     if n_edges <= edge_cap:
-        return _pagerank_broadcast(edges, n_iter, seed_prefix=seed_prefix)
+        return _pagerank_broadcast(edges, n_iter, seed_prefix=seed_prefix,
+                                   folded=folded)
     return _pagerank_shuffle(edges, n_iter, seed_prefix=seed_prefix)

@@ -435,6 +435,16 @@ def run_bench() -> dict:
     t0 = time.time()
     kcore_fixed_rounds(None, edges=_kg_edges, folded=_folded).count()
     queries["kg_kcore"] = round(time.time() - t0, 3)
+    # entity co-mention pair counts (bucket-by-turn self-join)
+    from orionbelt_ontology_builder_ray.functions.kg import KG_MENTIONS
+    from orionbelt_ontology_builder_ray.stages.components import (
+        comention_pairs)
+
+    t0 = time.time()
+    comention_pairs(rd.read_parquet(
+        out_dir, columns=["subject", "predicate", "object"]),
+        KG_MENTIONS).count()
+    queries["kg_comentions"] = round(time.time() - t0, 3)
 
     # incremental ingest (update_kg): the 16 B/row anti-join claim gets
     # a recorded number.  zero-addition: existing store == headline

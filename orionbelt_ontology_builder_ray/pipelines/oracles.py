@@ -378,10 +378,19 @@ def sql_kg_tool_usage() -> str:
 
 
 def sql_kg_mentions_by_entity() -> str:
-    return (kg_triples_cte()
-            + f"\nSELECT object AS entity_uri, COUNT(*) AS n_mentions "
-              f"FROM triples WHERE predicate = {_sql_str(KG_MENTIONS)} "
-              "GROUP BY object ORDER BY entity_uri")
+    """Tagged union: per-entity mention counts plus ``com::<a>|<b>``
+    co-mention pair counts (self-join on the mentioning turn, a < b —
+    mirror of stages/components.comention_pairs)."""
+    return (kg_triples_cte() + f""",
+m AS (SELECT subject AS turn, object AS ent FROM triples
+      WHERE predicate = {_sql_str(KG_MENTIONS)})
+SELECT entity_uri, n_mentions FROM (
+  SELECT ent AS entity_uri, COUNT(*) AS n_mentions FROM m GROUP BY ent
+  UNION ALL
+  SELECT 'com::' || a.ent || '|' || b.ent, COUNT(*)
+  FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
+  GROUP BY a.ent, b.ent)
+ORDER BY entity_uri""")
 
 
 def sql_kg_search(query: str = "nation_1") -> str:

@@ -230,7 +230,29 @@ def kg_tool_usage(sf_dir):
 
 
 def kg_mentions_by_entity(sf_dir):
-    return _pred_object_counts(sf_dir, KG_MENTIONS, "entity_uri", "n_mentions")
+    """Tagged union (one driver slot): per-entity mention counts plus
+    ``com::<a>|<b>`` rows = entity CO-MENTION pair counts (the
+    co-occurrence self-join on the mentioning turn,
+    stages/components.comention_pairs — bucket-by-turn, vectorized
+    per-bucket self-merge, partial-count combiner)."""
+    from ..stages.components import comention_pairs
+
+    singles = _pred_object_counts(sf_dir, KG_MENTIONS,
+                                  "entity_uri", "n_mentions")
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "entity_uri": pc.binary_join_element_wise(
+                pa.array(["com::"] * len(t), pa.string()),
+                t["a"].cast(pa.string()),
+                pa.array(["|"] * len(t), pa.string()),
+                t["b"].cast(pa.string()), ""),
+            "n_mentions": t["n"].cast(pa.int64())})
+
+    pairs = comention_pairs(_triples(sf_dir), KG_MENTIONS).map_batches(
+        tag, batch_format="pyarrow")
+    return singles.union(pairs)
 
 
 def kg_search(sf_dir, query="nation_1"):

@@ -198,6 +198,43 @@ def test_kcore_known_graphs(ray_session):
     assert got == _brute_kcore(k4p)
 
 
+def _mention_ds(rows):
+    import ray.data as rd
+
+    n = len(rows)
+    return rd.from_arrow(pa.table({
+        "subject": [t for t, _ in rows], "predicate": ["m"] * n,
+        "object": [e for _, e in rows], "object_kind": ["uri"] * n,
+        "lang": [""] * n, "datatype": [""] * n}))
+
+
+def test_comention_pairs_matches_brute(ray_session):
+    from itertools import combinations
+
+    from orionbelt_ontology_builder_ray.stages.components import (
+        comention_pairs)
+
+    rng = np.random.RandomState(5)
+    rows = sorted({(f"t{int(t)}", f"e{int(e)}")
+                   for t, e in zip(rng.randint(0, 40, 300),
+                                   rng.randint(0, 12, 300))})
+    by_turn = {}
+    for t, e in rows:
+        by_turn.setdefault(t, set()).add(e)
+    want = {}
+    for ents in by_turn.values():
+        for a, b in combinations(sorted(ents), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+
+    got_df = comention_pairs(_mention_ds(rows), "m").to_pandas()
+    got = {(a, b): int(n) for a, b, n in
+           zip(got_df["a"], got_df["b"], got_df["n"])}
+    assert got == want
+    # predicate filter: nothing matches an absent predicate
+    assert len(comention_pairs(_mention_ds(rows),
+                               "nope").to_pandas()) == 0
+
+
 def test_empty_graph(ray_session):
     import ray.data as rd
 

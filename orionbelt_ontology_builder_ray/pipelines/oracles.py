@@ -380,16 +380,27 @@ def sql_kg_tool_usage() -> str:
 def sql_kg_mentions_by_entity() -> str:
     """Tagged union: per-entity mention counts plus ``com::<a>|<b>``
     co-mention pair counts (self-join on the mentioning turn, a < b —
-    mirror of stages/components.comention_pairs)."""
+    mirror of stages/components.comention_pairs) plus ``pmi::<a>|<b>``
+    e6-rounded PMI edge weights (comention_pmi;
+    pmi_e6 = ROUND(ln(n_ab*T/(n_a*n_b))*1e6), the tfidf idf_e6 ulp
+    contract)."""
     return (kg_triples_cte() + f""",
 m AS (SELECT subject AS turn, object AS ent FROM triples
-      WHERE predicate = {_sql_str(KG_MENTIONS)})
+      WHERE predicate = {_sql_str(KG_MENTIONS)}),
+ec AS (SELECT ent, COUNT(*) AS n FROM m GROUP BY ent),
+tt AS (SELECT COUNT(DISTINCT turn) AS t FROM m),
+cm AS (SELECT a.ent AS ea, b.ent AS eb, COUNT(*) AS n
+       FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
+       GROUP BY a.ent, b.ent)
 SELECT entity_uri, n_mentions FROM (
-  SELECT ent AS entity_uri, COUNT(*) AS n_mentions FROM m GROUP BY ent
+  SELECT ent AS entity_uri, n AS n_mentions FROM ec
   UNION ALL
-  SELECT 'com::' || a.ent || '|' || b.ent, COUNT(*)
-  FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
-  GROUP BY a.ent, b.ent)
+  SELECT 'com::' || ea || '|' || eb, n FROM cm
+  UNION ALL
+  SELECT 'pmi::' || cm.ea || '|' || cm.eb,
+         CAST(ROUND(ln(CAST(cm.n * (SELECT t FROM tt) AS DOUBLE)
+                       / CAST(ca.n * cb.n AS DOUBLE)) * 1e6) AS BIGINT)
+  FROM cm JOIN ec ca ON ca.ent = cm.ea JOIN ec cb ON cb.ent = cm.eb)
 ORDER BY entity_uri""")
 
 

@@ -234,25 +234,32 @@ def kg_mentions_by_entity(sf_dir):
     ``com::<a>|<b>`` rows = entity CO-MENTION pair counts (the
     co-occurrence self-join on the mentioning turn,
     stages/components.comention_pairs — bucket-by-turn, vectorized
-    per-bucket self-merge, partial-count combiner)."""
-    from ..stages.components import comention_pairs
+    per-bucket self-merge, partial-count combiner) plus
+    ``pmi::<a>|<b>`` rows = e6-rounded PMI edge weights over the same
+    pairs (comention_pmi; one shared pair build)."""
+    from ..stages.components import comention_pairs, comention_pmi
 
     singles = _pred_object_counts(sf_dir, KG_MENTIONS,
                                   "entity_uri", "n_mentions")
 
-    def tag(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return pa.table({
-            "entity_uri": pc.binary_join_element_wise(
-                pa.array(["com::"] * len(t), pa.string()),
-                t["a"].cast(pa.string()),
-                pa.array(["|"] * len(t), pa.string()),
-                t["b"].cast(pa.string()), ""),
-            "n_mentions": t["n"].cast(pa.int64())})
+    def tag(prefix, val_col):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "entity_uri": pc.binary_join_element_wise(
+                    pa.array([prefix] * len(t), pa.string()),
+                    t["a"].cast(pa.string()),
+                    pa.array(["|"] * len(t), pa.string()),
+                    t["b"].cast(pa.string()), ""),
+                "n_mentions": t[val_col].cast(pa.int64())})
+        return f
 
-    pairs = comention_pairs(_triples(sf_dir), KG_MENTIONS).map_batches(
-        tag, batch_format="pyarrow")
-    return singles.union(pairs)
+    ds = _triples(sf_dir)
+    pairs = comention_pairs(ds, KG_MENTIONS).materialize()
+    com = pairs.map_batches(tag("com::", "n"), batch_format="pyarrow")
+    pmi = comention_pmi(ds, KG_MENTIONS, pairs=pairs).map_batches(
+        tag("pmi::", "pmi_e6"), batch_format="pyarrow")
+    return singles.union(com).union(pmi)
 
 
 def kg_search(sf_dir, query="nation_1"):

@@ -521,6 +521,71 @@ def comention_pairs(triples_ds, predicate: str, num_buckets: int = 32):
         Sum(on="n", alias_name="n"))
 
 
+def comention_pmi(triples_ds, predicate: str, num_buckets: int = 32,
+                  pairs=None):
+    """PMI-weighted co-mention edges — the standard co-occurrence
+    edge weighting for KG enrichment:
+
+        pmi_e6(a, b) = round(ln(n_ab * T / (n_a * n_b)) * 1e6)
+
+    where n_ab = turns co-mentioning (a, b), n_a/n_b = turns
+    mentioning each entity, T = distinct mentioning turns.  The e6
+    ROUND absorbs the numpy-log vs DuckDB-ln ulp gap (the documented
+    tfidf idf_e6 contract, stages/relevance.py:13); everything else is
+    exact integers.  Per-entity counts broadcast as a driver dict —
+    the entity vocabulary is the SMALL side (the pair table is the
+    big one), the dedup broadcast-side idiom.  Returns a Dataset
+    (a, b, pmi_e6: int64)."""
+    import ray
+
+    if pairs is None:
+        pairs = comention_pairs(triples_ds, predicate,
+                                num_buckets=num_buckets).materialize()
+
+    def proj(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["predicate"], predicate)
+        return t.filter(keep).select(["subject", "object"]) \
+            .rename_columns(["turn", "ent"])
+
+    mentions = triples_ds.map_batches(proj, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    ent_counts = mentions.groupby("ent").aggregate(
+        Count(alias_name="n")).to_pandas()
+    # T: distinct mentioning turns — a count-distinct on the small
+    # key side (turn ids), per-block unique partials + driver fold
+    tparts = mentions.map_batches(
+        lambda t: pa.table({"turn": pc.unique(
+            t["turn"].combine_chunks().cast(pa.string()))}),
+        batch_format="pyarrow").to_pandas()
+    T = int(np.unique(tparts["turn"].to_numpy()).size)
+    if T == 0 or len(ent_counts) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "pmi_e6": pa.array([], pa.int64())}))
+    cref = ray.put(dict(zip(ent_counts["ent"], ent_counts["n"]
+                            .to_numpy(np.int64))))
+
+    def score(t: pa.Table) -> pa.Table:
+        counts = ray.get(cref)
+        # exact int64 products on both sides of ONE double division --
+        # the same expression shape as the SQL mirror, so the only
+        # float ops are /, ln, *1e6, round (ulp gap absorbed by the
+        # e6 ROUND contract)
+        na = np.array([counts[x] for x in t["a"].to_pylist()], np.int64)
+        nb = np.array([counts[x] for x in t["b"].to_pylist()], np.int64)
+        nab = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = (nab * np.int64(T)).astype(np.float64)
+        den = (na * nb).astype(np.float64)
+        pmi = np.round(np.log(num / den) * 1e6).astype(np.int64)
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "pmi_e6": pa.array(pmi, pa.int64())})
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
 def _node_ds(edges):
     from ray.data.aggregate import Count
 

@@ -235,6 +235,39 @@ def test_comention_pairs_matches_brute(ray_session):
                                "nope").to_pandas()) == 0
 
 
+def test_comention_pmi_matches_brute(ray_session):
+    import math
+    from itertools import combinations
+
+    from orionbelt_ontology_builder_ray.stages.components import (
+        comention_pmi)
+
+    rng = np.random.RandomState(9)
+    rows = sorted({(f"t{int(t)}", f"e{int(e)}")
+                   for t, e in zip(rng.randint(0, 30, 200),
+                                   rng.randint(0, 10, 200))})
+    by_turn, per_ent = {}, {}
+    for t, e in rows:
+        by_turn.setdefault(t, set()).add(e)
+        per_ent[e] = per_ent.get(e, 0) + 1
+    T = len(by_turn)
+    nab = {}
+    for ents in by_turn.values():
+        for a, b in combinations(sorted(ents), 2):
+            nab[(a, b)] = nab.get((a, b), 0) + 1
+    want = {p: int(round(math.log(n * T / (per_ent[p[0]]
+                                           * per_ent[p[1]])) * 1e6))
+            for p, n in nab.items()}
+
+    got_df = comention_pmi(_mention_ds(rows), "m").to_pandas()
+    got = {(a, b): int(v) for a, b, v in
+           zip(got_df["a"], got_df["b"], got_df["pmi_e6"])}
+    assert got == want
+    # co-mentions rarer than independence predicts score negative
+    assert min(got.values()) < 0 or all(n * T >= per_ent[a] * per_ent[b]
+                                        for (a, b), n in nab.items())
+
+
 def test_empty_graph(ray_session):
     import ray.data as rd
 

@@ -128,6 +128,30 @@ def test_hops_no_seeds_empty(ray_session):
                         edge_cap=0).to_pandas()) == 0
 
 
+def test_shared_fold_matches_own_fold(ray_session):
+    # the fold_vocab hand-off must be a pure refactor: pagerank, ppr
+    # and kcore give bit-identical results with and without `folded=`
+    from orionbelt_ontology_builder_ray.stages.components import (
+        fold_vocab, kcore_fixed_rounds)
+    from orionbelt_ontology_builder_ray.stages.pagerank import (
+        pagerank_fixed_point)
+
+    pairs = _random_pairs(13, 40, 160)
+    ds = _triples_ds(pairs)
+    edges = entity_edges(ds).materialize()
+    folded = fold_vocab(edges)
+    for kw in ({}, {"seed_prefix": "u1"}):
+        own = pagerank_fixed_point(None, edges=edges, **kw).to_pandas()
+        shared = pagerank_fixed_point(None, edges=edges, folded=folded,
+                                      **kw).to_pandas()
+        o = dict(zip(own["uri"], own["r"].astype(int)))
+        s = dict(zip(shared["uri"], shared["r"].astype(int)))
+        assert o == s
+    assert _as_dict(kcore_fixed_rounds(None, edges=edges,
+                                       folded=folded)) \
+        == _as_dict(kcore_fixed_rounds(None, edges=edges))
+
+
 def test_graph_min_rounds_shares_fold(ray_session):
     pairs = _random_pairs(5, 25, 60)
     ds = _triples_ds(pairs)

@@ -383,15 +383,37 @@ def sql_kg_mentions_by_entity() -> str:
     mirror of stages/components.comention_pairs) plus ``pmi::<a>|<b>``
     e6-rounded PMI edge weights (comention_pmi;
     pmi_e6 = ROUND(ln(n_ab*T/(n_a*n_b))*1e6), the tfidf idf_e6 ulp
-    contract)."""
+    contract) plus the r5 link-prediction legs over the co-mention
+    graph (mirror of stages/components.linkpred_scores): ``cn::``
+    common-neighbor counts, ``jac::`` pure-integer half-up e6
+    neighborhood Jaccard ``(2000000*cn + den) // (2*den)`` (no float
+    ops — both engines floor-divide positive ints), ``aa::``
+    Adamic–Adar with per-center ROUND(1e6/ln(deg)) int64 terms summed
+    order-free."""
     return (kg_triples_cte() + f""",
 m AS (SELECT subject AS turn, object AS ent FROM triples
       WHERE predicate = {_sql_str(KG_MENTIONS)}),
 ec AS (SELECT ent, COUNT(*) AS n FROM m GROUP BY ent),
 tt AS (SELECT COUNT(DISTINCT turn) AS t FROM m),
-cm AS (SELECT a.ent AS ea, b.ent AS eb, COUNT(*) AS n
-       FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
-       GROUP BY a.ent, b.ent)
+cm AS MATERIALIZED (
+  SELECT a.ent AS ea, b.ent AS eb, COUNT(*) AS n
+  FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
+  GROUP BY a.ent, b.ent),
+lp_sym AS MATERIALIZED (
+  SELECT ea AS x, eb AS y FROM cm UNION ALL SELECT eb, ea FROM cm),
+lp_deg AS MATERIALIZED (
+  SELECT x AS v, COUNT(*) AS d FROM lp_sym GROUP BY x),
+lp_cn AS MATERIALIZED (
+  SELECT s1.y AS px, s2.y AS py, COUNT(*) AS cn,
+         SUM(CAST(ROUND(1e6 / ln(d.d)) AS BIGINT)) AS aa
+  FROM lp_sym s1 JOIN lp_sym s2 ON s1.x = s2.x AND s1.y < s2.y
+  JOIN lp_deg d ON d.v = s1.x
+  GROUP BY s1.y, s2.y),
+lp AS (
+  SELECT px, py, cn, aa,
+         (2000000 * cn + (da.d + db.d - cn))
+           // (2 * (da.d + db.d - cn)) AS jac
+  FROM lp_cn JOIN lp_deg da ON da.v = px JOIN lp_deg db ON db.v = py)
 SELECT entity_uri, n_mentions FROM (
   SELECT ent AS entity_uri, n AS n_mentions FROM ec
   UNION ALL
@@ -400,7 +422,13 @@ SELECT entity_uri, n_mentions FROM (
   SELECT 'pmi::' || cm.ea || '|' || cm.eb,
          CAST(ROUND(ln(CAST(cm.n * (SELECT t FROM tt) AS DOUBLE)
                        / CAST(ca.n * cb.n AS DOUBLE)) * 1e6) AS BIGINT)
-  FROM cm JOIN ec ca ON ca.ent = cm.ea JOIN ec cb ON cb.ent = cm.eb)
+  FROM cm JOIN ec ca ON ca.ent = cm.ea JOIN ec cb ON cb.ent = cm.eb
+  UNION ALL
+  SELECT 'cn::' || px || '|' || py, cn FROM lp
+  UNION ALL
+  SELECT 'jac::' || px || '|' || py, CAST(jac AS BIGINT) FROM lp
+  UNION ALL
+  SELECT 'aa::' || px || '|' || py, CAST(aa AS BIGINT) FROM lp)
 ORDER BY entity_uri""")
 
 

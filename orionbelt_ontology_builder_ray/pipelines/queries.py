@@ -236,8 +236,16 @@ def kg_mentions_by_entity(sf_dir):
     stages/components.comention_pairs — bucket-by-turn, vectorized
     per-bucket self-merge, partial-count combiner) plus
     ``pmi::<a>|<b>`` rows = e6-rounded PMI edge weights over the same
-    pairs (comention_pmi; one shared pair build)."""
-    from ..stages.components import comention_pairs, comention_pmi
+    pairs (comention_pmi; one shared pair build) plus the r5
+    link-prediction legs over the SAME co-mention graph
+    (stages/components.linkpred_scores — one center-bucket wedge
+    expansion, flat-batch offsets, broadcast degrees):
+    ``cn::<a>|<b>`` common-neighbor counts (exact int),
+    ``jac::<a>|<b>`` neighborhood-Jaccard as pure-integer half-up
+    e6 (no float ops at all) and ``aa::<a>|<b>`` Adamic–Adar with
+    per-center e6-rounded integer terms (order-free sums)."""
+    from ..stages.components import (comention_pairs, comention_pmi,
+                                     linkpred_scores)
 
     singles = _pred_object_counts(sf_dir, KG_MENTIONS,
                                   "entity_uri", "n_mentions")
@@ -259,7 +267,11 @@ def kg_mentions_by_entity(sf_dir):
     com = pairs.map_batches(tag("com::", "n"), batch_format="pyarrow")
     pmi = comention_pmi(ds, KG_MENTIONS, pairs=pairs).map_batches(
         tag("pmi::", "pmi_e6"), batch_format="pyarrow")
-    return singles.union(com).union(pmi)
+    lp = linkpred_scores(pairs).materialize()
+    cn = lp.map_batches(tag("cn::", "cn"), batch_format="pyarrow")
+    jac = lp.map_batches(tag("jac::", "jac_e6"), batch_format="pyarrow")
+    aa = lp.map_batches(tag("aa::", "aa_e6"), batch_format="pyarrow")
+    return singles.union(com).union(pmi).union(cn).union(jac).union(aa)
 
 
 def kg_search(sf_dir, query="nation_1"):

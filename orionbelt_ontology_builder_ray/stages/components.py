@@ -716,3 +716,164 @@ def _hops_shuffle(edges, seed_prefix: str, n_rounds: int):
         lambda t: t.filter(pc.less(t["lab"], int(_FAR)))
         .rename_columns(["uri", "n"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# link prediction over the co-mention graph
+# ---------------------------------------------------------------------------
+
+
+def linkpred_scores(pairs, num_buckets: int = 32, deg_cap: int = None):
+    """Common-neighbor link-prediction scores over an undirected
+    entity graph given as DISTINCT unordered edges ``(a, b)`` (the
+    ``comention_pairs`` output contract, a < b) — the classic KG
+    completion / entity-suggestion triple (Liben-Nowell & Kleinberg
+    2003):
+
+    - ``cn``      = |N(a) ∩ N(b)| — exact int64;
+    - ``jac_e6``  = round_half_up(1e6 * cn / (deg_a + deg_b - cn)),
+      computed as PURE integer arithmetic
+      ``(2_000_000*cn + den) // (2*den)`` so the two engines cannot
+      disagree even at exact .5 boundaries (stronger than the e6
+      float contract — no float ops at all);
+    - ``aa_e6``   = Adamic–Adar: sum over common neighbors c of
+      ``round(1e6 / ln(deg_c))`` — each term e6-rounded to an int64
+      BEFORE the sum, so the sum is order-free exact integer
+      arithmetic and only the per-term ln carries the documented
+      tfidf idf_e6 ulp trade (stages/relevance.py:13).
+
+    Every scored pair is a wedge endpoint pair (>=1 common neighbor);
+    pairs that are also edges are included (both engines agree — a
+    client filters to non-edges for suggestion ranking).
+
+    Distributed shape (the triangle_count machinery, un-oriented):
+    node vocabulary folds once on the driver (entity vocabulary = the
+    small side; the PageRank/fold_vocab bound), ids are searchsorted
+    ranks of the SORTED vocab so id order == URI order and the SQL
+    mirror's ``<`` tie-breaks agree by construction; degrees fold as
+    N int64s and broadcast once; ONE center-bucket shuffle co-locates
+    each node's adjacency; per bucket the neighbor pairs expand via
+    the flat-batch offsets idiom (no per-center Python loop) and
+    combine locally (groupby pair-key: count + weight sum); one
+    int-key groupby-sum folds bucket partials; the final scoring pass
+    is a broadcast-degree map.  Per-center wedge cost is O(deg^2):
+    ``deg_cap`` (default None = exact) drops centers above the cap —
+    the df_cap hot-shingle idiom for hub entities at 100-TB scale
+    (a hub's neighbor pairs are the least informative predictions).
+
+    Returns a Dataset (a, b, cn, jac_e6, aa_e6), a < b by URI.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "cn": pa.array([], pa.int64()),
+                      "jac_e6": pa.array([], pa.int64()),
+                      "aa_e6": pa.array([], pa.int64())})
+
+    def block_nodes(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t["a"].combine_chunks().cast(pa.string()),
+                                 t["b"].combine_chunks().cast(pa.string())])
+        return pa.table({"uri": pc.unique(vals)})
+
+    parts = pairs.map_batches(block_nodes,
+                              batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return rd.from_arrow(empty)
+    nodes = np.unique(parts["uri"].to_numpy())
+    n = len(nodes)
+    nref = ray.put(nodes)
+
+    def sym(t: pa.Table) -> pa.Table:
+        vocab = ray.get(nref)
+        a = np.searchsorted(vocab, t["a"].to_numpy(zero_copy_only=False))
+        b = np.searchsorted(vocab, t["b"].to_numpy(zero_copy_only=False))
+        src = np.concatenate([a, b]).astype(np.int64)
+        dst = np.concatenate([b, a]).astype(np.int64)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "_b": pa.array((src % num_buckets).astype(np.int32), pa.int32())})
+
+    adj = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # degree fold (N int64s; input edges are distinct so counts are
+    # exact neighbor counts)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(t["src"].to_numpy(zero_copy_only=False),
+                              return_counts=True)
+        return pa.table({"x": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    dparts = adj.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, dparts["x"].to_numpy(),
+              dparts["c"].to_numpy().astype(np.int64))
+    dref = ray.put(deg)
+
+    def wedge_partials(g: "pd.DataFrame") -> "pd.DataFrame":
+        # all intra-center neighbor pairs (x < y by id == by URI),
+        # flat-batch offsets expansion + local combine
+        import pandas as pd
+
+        from .dedup import _expand_run_offsets
+
+        d = ray.get(dref)
+        out_empty = pd.DataFrame({
+            "k": pd.Series([], dtype=np.int64),
+            "cnt": pd.Series([], dtype=np.int64),
+            "w": pd.Series([], dtype=np.int64)})
+        s = g["src"].to_numpy()
+        t = g["dst"].to_numpy()
+        if deg_cap is not None:
+            keep = d[s] <= deg_cap
+            s, t = s[keep], t[keep]
+        if len(s) < 2:
+            return out_empty
+        order = np.lexsort((t, s))
+        s, t = s[order], t[order]
+        m = len(s)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_sizes = np.diff(np.append(grp_start, m))
+        pos = np.arange(m) - np.repeat(grp_start, grp_sizes)
+        run = np.repeat(grp_sizes, grp_sizes) - 1 - pos
+        a_idx = np.repeat(np.arange(m), run)
+        if not len(a_idx):
+            return out_empty
+        b_idx = a_idx + _expand_run_offsets(run)
+        k = t[a_idx] * n + t[b_idx]
+        # per-center Adamic–Adar term: e6-rounded int BEFORE summing
+        w = np.round(1e6 / np.log(d[s[a_idx]])).astype(np.int64)
+        df = pd.DataFrame({"k": k, "w": w})
+        agg = df.groupby("k", sort=False).agg(
+            cnt=("w", "size"), w=("w", "sum")).reset_index()
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return agg
+
+    partials = adj.groupby("_b").map_groups(wedge_partials,
+                                            batch_format="pandas")
+    totals = partials.groupby("k").aggregate(
+        Sum(on="cnt", alias_name="cn"), Sum(on="w", alias_name="aa_e6"))
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        vocab, d = ray.get(nref), ray.get(dref)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        x, y = k // n, k % n
+        cn = t["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        den = d[x] + d[y] - cn
+        jac = (np.int64(2_000_000) * cn + den) // (2 * den)
+        return pa.table({
+            "a": pa.array(vocab[x], pa.string()),
+            "b": pa.array(vocab[y], pa.string()),
+            "cn": pa.array(cn, pa.int64()),
+            "jac_e6": pa.array(jac, pa.int64()),
+            "aa_e6": t["aa_e6"].cast(pa.int64())})
+
+    return totals.map_batches(score, batch_format="pyarrow")

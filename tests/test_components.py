@@ -300,3 +300,105 @@ def test_empty_graph(ray_session):
                   "datatype": [""]})
     cc, hop = graph_min_rounds(rd.from_arrow(t), seed_prefix="a")
     assert len(cc.to_pandas()) == 0 and len(hop.to_pandas()) == 0
+
+
+# ---------------------------------------------------------------------------
+# link prediction (linkpred_scores)
+# ---------------------------------------------------------------------------
+
+
+def _edges_ds(edges):
+    import ray.data as rd
+
+    a = [x for x, _ in edges]
+    b = [y for _, y in edges]
+    return rd.from_arrow(pa.table({
+        "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+        "n": pa.array([1] * len(edges), pa.int64())}))
+
+
+def _brute_linkpred(edges):
+    adj = _und(edges)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    out = {}
+    for c, nbrs in adj.items():
+        ns = sorted(nbrs)
+        if len(ns) < 2:
+            continue
+        w = int(np.round(1e6 / np.log(deg[c])))
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                k = (ns[i], ns[j])
+                cn, aa = out.get(k, (0, 0))
+                out[k] = (cn + 1, aa + w)
+    rows = {}
+    for (x, y), (cn, aa) in out.items():
+        den = deg[x] + deg[y] - cn
+        jac = (2_000_000 * cn + den) // (2 * den)
+        rows[(x, y)] = (cn, jac, aa)
+    return rows
+
+
+def _distinct_und_edges(seed, n_nodes, n_edges):
+    seen, out = set(), []
+    for s, d in _random_pairs(seed, n_nodes, n_edges):
+        if s == d:
+            continue
+        lo, hi = min(s, d), max(s, d)
+        if (lo, hi) not in seen:
+            seen.add((lo, hi))
+            out.append((lo, hi))
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_linkpred_brute_parity(ray_session, seed):
+    from orionbelt_ontology_builder_ray.stages.components import linkpred_scores
+
+    edges = _distinct_und_edges(seed, 18, 40)
+    got = linkpred_scores(_edges_ds(edges), num_buckets=4).to_pandas()
+    rows = {(r.a, r.b): (r.cn, r.jac_e6, r.aa_e6)
+            for r in got.itertuples(index=False)}
+    assert rows == _brute_linkpred(edges)
+    assert (got["a"] < got["b"]).all()
+
+
+def test_linkpred_triangle(ray_session):
+    # K3: every pair has exactly one common neighbor; deg = 2
+    # everywhere -> jac = round_half_up(1e6 * 1 / 3) = 333333,
+    # aa = round(1e6 / ln 2) = 1442695
+    from orionbelt_ontology_builder_ray.stages.components import linkpred_scores
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c")]
+    got = linkpred_scores(_edges_ds(edges)).to_pandas()
+    assert len(got) == 3
+    assert set(got["cn"]) == {1}
+    assert set(got["jac_e6"]) == {333333}
+    assert set(got["aa_e6"]) == {int(np.round(1e6 / np.log(2)))}
+
+
+def test_linkpred_path_and_empty(ray_session):
+    from orionbelt_ontology_builder_ray.stages.components import linkpred_scores
+
+    # path a-b-c: one wedge pair (a, c); cn=1, deg a=c=1, den=1 ->
+    # jac = 1e6 exactly; center b has deg 2
+    got = linkpred_scores(_edges_ds([("a", "b"), ("b", "c")])).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["a"], r["b"], r["cn"], r["jac_e6"]) == ("a", "c", 1, 1000000)
+    # single edge: no wedges at all
+    got = linkpred_scores(_edges_ds([("a", "b")])).to_pandas()
+    assert len(got) == 0
+    # empty input
+    got = linkpred_scores(_edges_ds([])).to_pandas()
+    assert len(got) == 0
+
+
+def test_linkpred_deg_cap(ray_session):
+    # star center with deg 5 dropped by deg_cap=4 -> no pairs remain
+    from orionbelt_ontology_builder_ray.stages.components import linkpred_scores
+
+    edges = [("hub", f"x{i}") for i in range(5)]
+    assert len(linkpred_scores(_edges_ds(edges)).to_pandas()) == 10
+    assert len(linkpred_scores(_edges_ds(edges),
+                               deg_cap=4).to_pandas()) == 0

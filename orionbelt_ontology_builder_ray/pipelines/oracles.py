@@ -1838,7 +1838,10 @@ def sql_doc_token_stats(vocab_top_m: int = 100) -> str:
     legs re-run 4 unrolled BPE merge iterations (_sql_bpe_ctes).
     The quality_prob_e6 leg re-trains the logistic-regression quality
     classifier (sql_doc_quality_classifier: 20 GD iterations unrolled
-    as MATERIALIZED CTEs) and carries the per-doc scores."""
+    as MATERIALIZED CTEs) and carries the per-doc scores.  The bloom
+    legs rebuild the distinct-token Bloom filter from the same two
+    16-bit md5 lanes (256 chunk popcounts + vocab / '~absent~' probe
+    memberships — even false positives are lane-exact)."""
     bpe_ctes, bpe_legs = _sql_bpe_ctes(4)
     return f"""
 WITH tc AS ({sql_doc_token_counts()}), ng AS ({sql_doc_ngram_stats()}),
@@ -1929,6 +1932,31 @@ cms_est AS (
     ON c.cell = ((CAST(('0x' || substr(md5(v.tok), 1, 16)) AS UBIGINT)
                   >> (16 * c.r)) & 65535) % 1024
   GROUP BY v.tok),
+bloom_h AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)
+         AS h FROM itoks),
+bloom_bits AS MATERIALIZED (
+  SELECT DISTINCT CAST((h >> (16 * r)) & 65535 AS BIGINT) AS j
+  FROM bloom_h CROSS JOIN range(2) t(r)),
+bloom_chunks AS (
+  SELECT CAST(t.c AS BIGINT) AS c, COALESCE(q.n, 0) AS n
+  FROM range(256) t(c)
+  LEFT JOIN (SELECT j // 256 AS c, COUNT(*) AS n FROM bloom_bits
+             GROUP BY 1) q ON q.c = t.c),
+bloom_probes AS (
+  SELECT tok, kind,
+         CAST(('0x' || substr(md5(CASE WHEN kind = 1 THEN tok
+                                   ELSE tok || '~absent~' END),
+                              1, 16)) AS UBIGINT) AS h
+  FROM vocab CROSS JOIN (SELECT unnest([1, 0]) AS kind)),
+bloom_q AS (
+  SELECT p.tok, p.kind,
+         CASE WHEN b0.j IS NOT NULL AND b1.j IS NOT NULL
+              THEN 1 ELSE 0 END AS present
+  FROM bloom_probes p
+  LEFT JOIN bloom_bits b0 ON b0.j = CAST(p.h & 65535 AS BIGINT)
+  LEFT JOIN bloom_bits b1
+    ON b1.j = CAST((p.h >> 16) & 65535 AS BIGINT)),
 bm_qt AS (SELECT unnest({_bm25_terms_sql()}) AS term),
 bm_stats AS (
   SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
@@ -1994,7 +2022,13 @@ UNION ALL SELECT CAST(-1 AS BIGINT), 'hll_est_lin_e6',
 UNION ALL SELECT doc_id, 'bm25_r' || rk, CAST(score_e6 AS BIGINT)
 FROM bm_rank WHERE rk <= 10
 UNION ALL SELECT CAST(-1 AS BIGINT), 'cms:' || tok, CAST(est AS BIGINT)
-FROM cms_est"""
+FROM cms_est
+UNION ALL SELECT CAST(-1 AS BIGINT),
+  'bloom_chunk:' || lpad(CAST(c AS VARCHAR), 3, '0'), n
+FROM bloom_chunks
+UNION ALL SELECT CAST(-1 AS BIGINT), 'bloom_q' || kind || ':' || tok,
+  CAST(present AS BIGINT)
+FROM bloom_q"""
 
 
 def sql_doc_dedups() -> str:

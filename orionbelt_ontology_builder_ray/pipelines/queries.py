@@ -680,6 +680,30 @@ def doc_token_stats(sf_dir):
         "metric": pa.array(("cms:" + vdf["token"]).tolist(), pa.string()),
         "n": pa.array(cms_est)}))
 
+    # r5: Bloom membership filter (bitwise-OR mergeable set sketch —
+    # the decontamination / incremental-dedup pre-gate): 256 chunk
+    # popcounts drive the whole bit-array state through the driver
+    # hash; the top-100 vocab tokens pin the zero-false-negative
+    # guarantee (bloom_q1) and '~absent~'-suffixed probes exercise
+    # the negative path (bloom_q0 — both engines compute the same
+    # md5 lanes, so even false positives match exactly)
+    from ..stages.sketch import BLOOM_M, bloom_bits, bloom_query
+
+    bits = bloom_bits(docs)
+    chunks = bits.reshape(256, BLOOM_M // 256).sum(axis=1) \
+        .astype(np.int64)
+    btoks = vdf["token"].tolist()
+    q1 = bloom_query(bits, btoks)
+    q0 = bloom_query(bits, [t + "~absent~" for t in btoks])
+    bloom_rows = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.full(256 + 2 * len(btoks), -1, np.int64)),
+        "metric": pa.array(
+            [f"bloom_chunk:{c:03d}" for c in range(256)]
+            + [f"bloom_q1:{t}" for t in btoks]
+            + [f"bloom_q0:{t}" for t in btoks], pa.string()),
+        "n": pa.array(np.concatenate([chunks, q1, q0])
+                      .astype(np.int64))}))
+
     # r5: BM25 query scoring (Lucene k1=1.2/b=0.75, e6 per-term
     # rounding -> integer score sum, stages/relevance.bm25_topk):
     # top-10 docs for the fixed demo query; rank rides the tag
@@ -695,7 +719,7 @@ def doc_token_stats(sf_dir):
         .union(lm_rows).union(dsir_rows).union(bpe_rows) \
         .union(ccnet_rows).union(enc_rows).union(clf_rows) \
         .union(tfidf_rows).union(hll_rows).union(bm25_rows) \
-        .union(cms_rows)
+        .union(cms_rows).union(bloom_rows)
 
 
 def doc_repetition(sf_dir):

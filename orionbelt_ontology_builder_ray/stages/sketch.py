@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketches — HyperLogLog distinct counting.
+"""Mergeable sketches — HyperLogLog cardinality, count-min
+frequency, Bloom membership.
 
 At 100 TB you cannot COUNT(DISTINCT token) with an exact shuffle every
 time a pipeline wants a cardinality gate (vocab growth monitoring,
@@ -173,6 +174,76 @@ def cms_query(m: np.ndarray, tokens) -> np.ndarray:
         h = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
         out[k] = min(m[r][((h >> (16 * r)) & 0xFFFF) % w]
                      for r in range(d))
+    return out
+
+
+BLOOM_M = 65536  # one full 16-bit md5 lane per hash fn, no modulo
+
+
+class _BloomPartial:
+    """Per-batch Bloom-filter partial: distinct tokens -> k 16-bit
+    md5 lanes (the CMS lane slicing, without the % w fold) -> unique
+    bit indices.  Partials merge by bitwise OR (set union), so the
+    driver fold is exact integer state — the HLL/CMS mergeable
+    family.  Emits at most BLOOM_M rows per batch."""
+
+    def __init__(self, k: int, text_col: str, hash_mode: str):
+        assert k <= 4, "k x 16-bit lanes from one md5 low-64"
+        self.k, self.text_col, self.hash_mode = k, text_col, hash_mode
+        self._split = re.compile(f"[{_WS}]+").split
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _hash_strings, _hash_strings_md5
+
+        toks = set()
+        for t in b[self.text_col]:
+            toks.update(w for w in self._split(str(t)) if w)
+        if not toks:
+            return pd.DataFrame({"j": pd.Series([], dtype=np.int64)})
+        toks = list(toks)
+        h = (_hash_strings_md5(toks) if self.hash_mode == "md5"
+             else _hash_strings(np.array(toks, dtype=object)))
+        h = h.astype(np.uint64)
+        bits = np.concatenate([
+            ((h >> np.uint64(16 * r)) & np.uint64(0xFFFF))
+            .astype(np.int64) for r in range(self.k)])
+        return pd.DataFrame({"j": np.unique(bits)})
+
+
+def bloom_bits(ds, text_col: str = "text", k: int = 2,
+               hash_mode: str = "md5") -> np.ndarray:
+    """Distinct-token Bloom filter over a text corpus — the
+    membership pre-gate a 100-TB ingest puts in front of expensive
+    probes (benchmark decontamination: "is this n-gram possibly in
+    the eval set?"; incremental dedup: "is this hash possibly in the
+    store?" — a negative answer skips the anti-join probe entirely,
+    and Bloom negatives are NEVER wrong).  One streaming pass,
+    per-batch bit partials, driver bitwise-OR fold (<= BLOOM_M tiny
+    ints per block; nothing shuffles).  Returns the BLOOM_M uint8
+    bit array."""
+    from ..functions.terms import pool_spec
+
+    parts = ds.map_batches(
+        _BloomPartial, fn_constructor_kwargs=dict(
+            k=k, text_col=text_col, hash_mode=hash_mode),
+        batch_format="pandas", concurrency=pool_spec()).to_pandas()
+    bits = np.zeros(BLOOM_M, dtype=np.uint8)
+    if len(parts):
+        bits[parts["j"].to_numpy()] = 1
+    return bits
+
+
+def bloom_query(bits: np.ndarray, tokens, k: int = 2) -> np.ndarray:
+    """Membership probes (1 = possibly present, 0 = definitely
+    absent): present iff ALL k lane bits are set.  Deterministic
+    given the same hash, so even false positives are engine-exact."""
+    import hashlib
+
+    out = np.empty(len(tokens), dtype=np.int64)
+    for i, s in enumerate(tokens):
+        h = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+        out[i] = int(all(bits[(h >> (16 * r)) & 0xFFFF]
+                         for r in range(k)))
     return out
 
 

@@ -132,3 +132,70 @@ def test_cms_query_upper_bound(ray_session):
     assert (est >= truth).all()
     # 200 tokens in 4x1024 lanes: collisions are rare; most exact
     assert (est == truth).mean() > 0.9
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (bloom_bits / bloom_query)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bloom(texts, k=2):
+    from orionbelt_ontology_builder_ray.stages.sketch import BLOOM_M
+
+    toks = set()
+    for t in texts:
+        toks.update(x for x in str(t).split() if x)
+    bits = np.zeros(BLOOM_M, dtype=np.uint8)
+    for tok in toks:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        for r in range(k):
+            bits[(h >> (16 * r)) & 0xFFFF] = 1
+    return bits, toks
+
+
+def test_bloom_matches_reference(ray_session):
+    from orionbelt_ontology_builder_ray.stages.sketch import bloom_bits
+
+    texts = _texts(31, 50, 400)
+    assert np.array_equal(bloom_bits(_docs_ds(texts)),
+                          _ref_bloom(texts)[0])
+
+
+def test_bloom_merge_is_or_and_partition_invariant(ray_session):
+    from orionbelt_ontology_builder_ray.stages.sketch import bloom_bits
+
+    ta, tb = _texts(33, 30, 200), _texts(34, 30, 250)
+    ra = bloom_bits(_docs_ds(ta, blocks=1))
+    rb = bloom_bits(_docs_ds(tb, blocks=6))
+    rab = bloom_bits(_docs_ds(ta + tb, blocks=3))
+    assert np.array_equal(rab, np.maximum(ra, rb))  # set union
+
+
+def test_bloom_zero_false_negatives_and_true_negatives(ray_session):
+    from orionbelt_ontology_builder_ray.stages.sketch import (
+        bloom_bits, bloom_query)
+
+    texts = _texts(37, 40, 300)
+    bits = bloom_bits(_docs_ds(texts))
+    _, toks = _ref_bloom(texts)
+    present = sorted(toks)
+    assert (bloom_query(bits, present) == 1).all()  # never-wrong side
+    absent = [t + "~absent~" for t in present]
+    est = bloom_query(bits, absent)
+    # 300 distinct tokens x 2 lanes in 65536 bits: FP rate ~1e-4
+    assert est.mean() < 0.1
+    # spot-pin determinism: each probe == AND of its lane bits
+    for t, e in zip(absent[:20], est[:20]):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        assert e == int(bits[h & 0xFFFF] and bits[(h >> 16) & 0xFFFF])
+
+
+def test_bloom_empty_and_fast_mode(ray_session):
+    from orionbelt_ontology_builder_ray.stages.sketch import (
+        BLOOM_M, bloom_bits, bloom_query)
+
+    bits = bloom_bits(_docs_ds(["", "   "]))
+    assert bits.sum() == 0
+    assert (bloom_query(bits, ["anything"]) == 0).all()
+    fast = bloom_bits(_docs_ds(_texts(41, 20, 100)), hash_mode="fast")
+    assert fast.shape == (BLOOM_M,) and 0 < fast.sum() <= 2 * 100

@@ -202,7 +202,11 @@ def sql_kg_statistics(n_iter: int = 4) -> str:
     unrolled the same way (stages/components.py contract; LEAST
     ignores NULLs in DuckDB, verified).  ``core::<uri>`` rows =
     6-round 3-core peeling survivors with their degree among the
-    final survivor set (kcore_fixed_rounds).  Pure BIGINT arithmetic —
+    final survivor set (kcore_fixed_rounds).  ``lpa::<uri>`` rows =
+    community size after 4 unrolled rounds of synchronous label
+    propagation (majority neighbor label; ties -> lexicographically
+    smallest, the ROW_NUMBER ORDER BY c DESC, lab mirror of the
+    numpy lexsort — lpa_communities).  Pure BIGINT arithmetic —
     bit-identical to the numpy engine by construction.  CTEs are
     MATERIALIZED: chained iteration CTEs otherwise re-evaluate
     exponentially in DuckDB."""
@@ -286,6 +290,20 @@ hop_r{i} AS MATERIALIZED (
              WHERE q.d IS NOT NULL
              GROUP BY e.dst) m ON m.uri = n.uri)""")
     parts.append("""
+lpa_r0 AS MATERIALIZED (SELECT uri, uri AS lab FROM pr_nodes)""")
+    for i in range(1, 5):  # components.LPA_ROUNDS = 4
+        p = i - 1
+        parts.append(f"""
+lpa_r{i} AS MATERIALIZED (
+  SELECT v AS uri, lab FROM (
+    SELECT e.dst AS v, q.lab AS lab,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, q.lab) AS rk
+    FROM cc_und e JOIN lpa_r{p} q ON q.uri = e.src
+    GROUP BY e.dst, q.lab) WHERE rk = 1)""")
+    parts.append("""
+lpa_sizes AS MATERIALIZED (
+  SELECT lab, COUNT(*) AS n FROM lpa_r4 GROUP BY lab),
 core_a0 AS MATERIALIZED (SELECT uri FROM pr_nodes)""")
     for i in range(1, 7):  # fixed-round 3-core peeling, 6 rounds
         p = i - 1
@@ -345,6 +363,9 @@ SELECT type_uri, n FROM (
   WHERE (SELECT ns FROM ppr_ns) > 0
   UNION ALL
   SELECT 'cc::' || c.uri, s.n FROM cc_r6 c JOIN cc_sizes s ON s.lab = c.lab
+  UNION ALL
+  SELECT 'lpa::' || r.uri, s.n
+  FROM lpa_r4 r JOIN lpa_sizes s ON s.lab = r.lab
   UNION ALL
   SELECT 'hop::' || uri, d FROM hop_r6 WHERE d IS NOT NULL
   UNION ALL

@@ -175,6 +175,13 @@ def kg_statistics(sf_dir):
     core_rows = kcore_fixed_rounds(ds, edges=edges,
                                    folded=folded).map_batches(
         tag_pref("core::"), batch_format="pyarrow")
+    # ``lpa::<uri>`` -> community size after 4 rounds of synchronous
+    # label propagation (majority neighbor label, min-label
+    # tie-break) — the community-detection companion to cc::
+    from ..stages.components import lpa_communities
+
+    lpa_rows = lpa_communities(ds, edges=edges, folded=folded) \
+        .map_batches(tag_pref("lpa::"), batch_format="pyarrow")
     # in/out-degree histograms of the same entity graph ride the
     # union too: 'outdeg:<d>' / 'indeg:<d>' -> node counts
     import ray.data as rd
@@ -193,7 +200,8 @@ def kg_statistics(sf_dir):
         "type_uri": pa.array(["triangles"], pa.string()),
         "n": pa.array([triangle_count(edges)], pa.int64())}))
     return (stats.union(pr).union(ppr).union(cc_rows).union(hop_rows)
-            .union(core_rows).union(hist_rows).union(tri_rows))
+            .union(core_rows).union(lpa_rows).union(hist_rows)
+            .union(tri_rows))
 
 
 def kg_conversation_lengths(sf_dir):

@@ -877,3 +877,144 @@ def linkpred_scores(pairs, num_buckets: int = 32, deg_cap: int = None):
             "aa_e6": t["aa_e6"].cast(pa.int64())})
 
     return totals.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities (fixed-round synchronous LPA)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4
+
+
+def lpa_communities(triples_ds, n_rounds: int = LPA_ROUNDS,
+                    edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
+                    edges=None, folded=None):
+    """Community sizes after ``n_rounds`` of SYNCHRONOUS label
+    propagation (Raghavan et al. 2007) over the undirected distinct
+    entity-graph support: init label[v] = v's own URI; each round
+    every node adopts the label held by the MOST of its (distinct)
+    neighbors, ties broken by lexicographically smallest label.
+    Fixed rounds make the iterative algorithm a deterministic
+    driver-checkable contract (the pagerank/cc precedent) — sync LPA
+    can oscillate on bipartite-ish structure, and both engines agree
+    on the oscillating state too.  Tie-break parity holds because
+    node ids are searchsorted ranks of the SORTED vocab (rank order
+    == URI order == the SQL mirror's VARCHAR min).
+
+    Broadcast path (edges <= cap): the kcore shape — int pairs
+    collapse to the distinct undirected support driver-side, then
+    each round is two vectorized passes (composite-key unique counts
+    + grouped argmax via lexsort); nothing but the N-sized label
+    vector persists.  Shuffle fallback above the cap: per round, one
+    co-group joins labels onto the symmetric edge list, one
+    (node,label) groupby counts, one node groupby argmaxes — nothing
+    driver-sized.  Returns a Dataset (uri, n = community size).
+    """
+    import ray.data as rd
+
+    if edges is None:
+        edges = entity_edges(triples_ds).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return _empty("n")
+
+    if n_edges <= edge_cap:
+        nodes, int_edges = folded if folded is not None \
+            else fold_vocab(edges)
+        n = len(nodes)
+        pairs = int_edges.to_pandas()
+        a = np.minimum(pairs["src"].to_numpy(), pairs["dst"].to_numpy())
+        b = np.maximum(pairs["src"].to_numpy(), pairs["dst"].to_numpy())
+        und = np.unique(a * np.int64(n) + b)
+        ua, ub = und // n, und % n
+        sym_s = np.concatenate([ua, ub])
+        sym_d = np.concatenate([ub, ua])
+        lab = np.arange(n, dtype=np.int64)
+        for _ in range(n_rounds):
+            key = sym_d * np.int64(n) + lab[sym_s]
+            uniq, cnt = np.unique(key, return_counts=True)
+            v, lv = uniq // n, uniq % n
+            order = np.lexsort((lv, -cnt, v))
+            v_o = v[order]
+            first = np.ones(len(v_o), dtype=bool)
+            first[1:] = v_o[1:] != v_o[:-1]
+            new = lab.copy()
+            new[v_o[first]] = lv[order][first]
+            lab = new
+        sizes = np.bincount(lab, minlength=n)
+        return rd.from_arrow(pa.table({
+            "uri": pa.array(nodes, pa.string()),
+            "n": pa.array(sizes[lab].astype(np.int64), pa.int64())}))
+
+    return _lpa_shuffle(edges, n_rounds)
+
+
+def _lpa_shuffle(edges, n_rounds: int):
+    """Above-cap LPA: labels stay a Dataset keyed by URI.  Per round:
+    co-group (kind 0 = label row, kind 1 = symmetric edge row) emits
+    (neighbor, my-label) votes; groupby(node, label).count; one
+    groupby(node) argmax (count desc, label asc).  Three shuffles per
+    round — the kcore/_min_rounds_shuffle price above the cap."""
+    from ray.data.aggregate import Count
+
+    und = _und_pairs(edges).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        x = t["a"].combine_chunks().cast(pa.string())
+        y = t["b"].combine_chunks().cast(pa.string())
+        return pa.table({"key": pa.concat_arrays([x, y]),
+                         "kind": pa.array(np.ones(2 * len(t), np.int8),
+                                          pa.int8()),
+                         "nbr": pa.concat_arrays([y, x]),
+                         "lab": pa.nulls(2 * len(t), pa.string())})
+
+    tagged_edges = edges.map_batches(
+        lambda t: pa.table({"uri": pc.unique(pa.concat_arrays(
+            [t["src"].combine_chunks().cast(pa.string()),
+             t["dst"].combine_chunks().cast(pa.string())]))}),
+        batch_format="pyarrow")
+    labels = tagged_edges.groupby("uri").map_groups(
+        lambda g: pa.table({"uri": g["uri"][:1],
+                            "lab": g["uri"][:1]}),
+        batch_format="pyarrow").materialize()
+    sym_edges = und.map_batches(sym, batch_format="pyarrow") \
+        .materialize()
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["uri"],
+                         "kind": pa.array(np.zeros(len(t), np.int8),
+                                          pa.int8()),
+                         "nbr": pa.nulls(len(t), pa.string()),
+                         "lab": t["lab"]})
+
+    def votes(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        lab = g.filter(pa.array(kind == 0))["lab"][0].as_py()
+        nbrs = g.filter(pa.array(kind == 1))["nbr"].combine_chunks()
+        return pa.table({
+            "uri": nbrs,
+            "lab": pa.array([lab] * len(nbrs), pa.string())})
+
+    def argmax(g: pa.Table) -> pa.Table:
+        c = g["n"].to_numpy(zero_copy_only=False)
+        lv = g["lab"].to_pandas().to_numpy(dtype=object)
+        order = np.lexsort((lv, -c))
+        return pa.table({"uri": g["uri"][:1],
+                         "lab": pa.array([lv[order[0]]], pa.string())})
+
+    for _ in range(n_rounds):
+        both = labels.map_batches(tag_lab,
+                                  batch_format="pyarrow").union(sym_edges)
+        counts = (both.groupby("key")
+                  .map_groups(votes, batch_format="pyarrow")
+                  .groupby(["uri", "lab"])
+                  .aggregate(Count(alias_name="n")))
+        labels = counts.groupby("uri").map_groups(
+            argmax, batch_format="pyarrow").materialize()
+
+    def sizes(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "uri": g["uri"],
+            "n": pa.array(np.full(len(g), len(g), np.int64), pa.int64())})
+
+    return labels.groupby("lab").map_groups(sizes, batch_format="pyarrow")

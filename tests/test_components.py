@@ -402,3 +402,84 @@ def test_linkpred_deg_cap(ray_session):
     assert len(linkpred_scores(_edges_ds(edges)).to_pandas()) == 10
     assert len(linkpred_scores(_edges_ds(edges),
                                deg_cap=4).to_pandas()) == 0
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities (lpa_communities)
+# ---------------------------------------------------------------------------
+
+
+def _brute_lpa(pairs, n_rounds=4):
+    adj = _und(pairs)
+    lab = {u: u for u in adj}
+    for _ in range(n_rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = {}
+            for u in nbrs:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    sizes = {}
+    for x in lab.values():
+        sizes[x] = sizes.get(x, 0) + 1
+    return {u: sizes[lab[u]] for u in adj}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges",
+                         [(3, 60, 70), (11, 40, 200)])
+def test_lpa_broadcast_matches_brute(ray_session, seed, n_nodes,
+                                     n_edges):
+    from orionbelt_ontology_builder_ray.stages.components import lpa_communities
+
+    pairs = _random_pairs(seed, n_nodes, n_edges)
+    got = _as_dict(lpa_communities(_triples_ds(pairs)))
+    assert got == _brute_lpa(pairs)
+
+
+def test_lpa_shuffle_matches_broadcast(ray_session):
+    from orionbelt_ontology_builder_ray.stages.components import lpa_communities
+
+    pairs = _random_pairs(7, 30, 40)
+    ds = _triples_ds(pairs)
+    broad = _as_dict(lpa_communities(ds))
+    shuf = _as_dict(lpa_communities(ds, edge_cap=0))
+    assert broad == shuf == _brute_lpa(pairs)
+
+
+def test_lpa_two_triangles_bridge(ray_session):
+    # two triangles joined by one bridge edge: LPA keeps them as two
+    # communities of 3 (each triangle's majority beats the bridge)
+    from orionbelt_ontology_builder_ray.stages.components import lpa_communities
+
+    pairs = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+             ("b1", "b2"), ("b1", "b3"), ("b2", "b3"), ("a3", "b1")]
+    got = _as_dict(lpa_communities(_triples_ds(pairs)))
+    assert got == _brute_lpa(pairs)
+    assert got["a1"] == got["a2"] == 3 and got["b2"] == got["b3"] == 3
+
+
+def test_lpa_k3_converges_and_empty(ray_session):
+    from orionbelt_ontology_builder_ray.stages.components import lpa_communities
+
+    got = _as_dict(lpa_communities(_triples_ds(
+        [("a", "b"), ("a", "c"), ("b", "c")])))
+    assert got == {"a": 3, "b": 3, "c": 3}
+    t = pa.table({"subject": ["x"], "predicate": ["p"], "object": ["lit"],
+                  "object_kind": ["literal"], "lang": [""],
+                  "datatype": [""]})
+    import ray.data as rd
+    assert len(lpa_communities(rd.from_arrow(t)).to_pandas()) == 0
+
+
+def test_lpa_oscillation_is_deterministic(ray_session):
+    # a single edge oscillates under sync LPA; the fixed-round
+    # contract pins the (possibly unconverged) state identically in
+    # both paths and the brute reference
+    from orionbelt_ontology_builder_ray.stages.components import lpa_communities
+
+    pairs = [("a", "b")]
+    got = _as_dict(lpa_communities(_triples_ds(pairs)))
+    assert got == _brute_lpa(pairs)
+    got5 = _as_dict(lpa_communities(_triples_ds(pairs), n_rounds=5))
+    assert got5 == _brute_lpa(pairs, n_rounds=5)

@@ -206,7 +206,10 @@ def sql_kg_statistics(n_iter: int = 4) -> str:
     community size after 4 unrolled rounds of synchronous label
     propagation (majority neighbor label; ties -> lexicographically
     smallest, the ROW_NUMBER ORDER BY c DESC, lab mirror of the
-    numpy lexsort — lpa_communities).  Pure BIGINT arithmetic —
+    numpy lexsort — lpa_communities).  ``hub::``/``auth::`` rows =
+    HITS after 4 unrolled iterations, max-normalized by exact
+    HUGEINT floor division (hits_scores contract).  Pure integer
+    arithmetic —
     bit-identical to the numpy engine by construction.  CTEs are
     MATERIALIZED: chained iteration CTEs otherwise re-evaluate
     exponentially in DuckDB."""
@@ -290,6 +293,36 @@ hop_r{i} AS MATERIALIZED (
              WHERE q.d IS NOT NULL
              GROUP BY e.dst) m ON m.uri = n.uri)""")
     parts.append("""
+hits_h0 AS MATERIALIZED (
+  SELECT uri, CAST(1000000 AS HUGEINT) AS v FROM pr_nodes)""")
+    for i in range(1, 5):  # pagerank.hits_scores n_iter = 4
+        p = i - 1
+        parts.append(f"""
+hits_ar{i} AS MATERIALIZED (
+  SELECT n.uri, COALESCE(s.s, 0) AS raw
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.dst AS uri, SUM(p.v) AS s FROM pr_edges e
+    JOIN hits_h{p} p ON p.uri = e.src GROUP BY e.dst) s
+    ON s.uri = n.uri),
+hits_a{i} AS MATERIALIZED (
+  SELECT uri, CASE WHEN (SELECT MAX(raw) FROM hits_ar{i}) = 0
+                   THEN CAST(0 AS HUGEINT)
+                   ELSE (raw * 1000000)
+                        // (SELECT MAX(raw) FROM hits_ar{i}) END AS v
+  FROM hits_ar{i}),
+hits_hr{i} AS MATERIALIZED (
+  SELECT n.uri, COALESCE(s.s, 0) AS raw
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.src AS uri, SUM(p.v) AS s FROM pr_edges e
+    JOIN hits_a{i} p ON p.uri = e.dst GROUP BY e.src) s
+    ON s.uri = n.uri),
+hits_h{i} AS MATERIALIZED (
+  SELECT uri, CASE WHEN (SELECT MAX(raw) FROM hits_hr{i}) = 0
+                   THEN CAST(0 AS HUGEINT)
+                   ELSE (raw * 1000000)
+                        // (SELECT MAX(raw) FROM hits_hr{i}) END AS v
+  FROM hits_hr{i})""")
+    parts.append("""
 lpa_r0 AS MATERIALIZED (SELECT uri, uri AS lab FROM pr_nodes)""")
     for i in range(1, 5):  # components.LPA_ROUNDS = 4
         p = i - 1
@@ -366,6 +399,10 @@ SELECT type_uri, n FROM (
   UNION ALL
   SELECT 'lpa::' || r.uri, s.n
   FROM lpa_r4 r JOIN lpa_sizes s ON s.lab = r.lab
+  UNION ALL
+  SELECT 'hub::' || uri, CAST(v AS BIGINT) FROM hits_h4
+  UNION ALL
+  SELECT 'auth::' || uri, CAST(v AS BIGINT) FROM hits_a4
   UNION ALL
   SELECT 'hop::' || uri, d FROM hop_r6 WHERE d IS NOT NULL
   UNION ALL

@@ -182,6 +182,27 @@ def kg_statistics(sf_dir):
 
     lpa_rows = lpa_communities(ds, edges=edges, folded=folded) \
         .map_batches(tag_pref("lpa::"), batch_format="pyarrow")
+    # ``hub::<uri>`` / ``auth::<uri>`` -> HITS scores (4 fixed
+    # iterations, max-normalized by exact integer floor division —
+    # stages/pagerank.hits_scores; SQL unrolls the same steps in
+    # HUGEINT)
+    from ..stages.pagerank import hits_scores
+
+    def tag_hits(prefix, col):
+        def tag(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "type_uri": pc.binary_join_element_wise(
+                    pa.array([prefix] * len(t), pa.string()),
+                    t["uri"].cast(pa.string()), ""),
+                "n": t[col].cast(pa.int64())})
+        return tag
+
+    hits = hits_scores(ds, edges=edges, folded=folded).materialize()
+    hub_rows = hits.map_batches(tag_hits("hub::", "hub"),
+                                batch_format="pyarrow")
+    auth_rows = hits.map_batches(tag_hits("auth::", "auth"),
+                                 batch_format="pyarrow")
     # in/out-degree histograms of the same entity graph ride the
     # union too: 'outdeg:<d>' / 'indeg:<d>' -> node counts
     import ray.data as rd
@@ -200,8 +221,8 @@ def kg_statistics(sf_dir):
         "type_uri": pa.array(["triangles"], pa.string()),
         "n": pa.array([triangle_count(edges)], pa.int64())}))
     return (stats.union(pr).union(ppr).union(cc_rows).union(hop_rows)
-            .union(core_rows).union(lpa_rows).union(hist_rows)
-            .union(tri_rows))
+            .union(core_rows).union(lpa_rows).union(hub_rows)
+            .union(auth_rows).union(hist_rows).union(tri_rows))
 
 
 def kg_conversation_lengths(sf_dir):

@@ -554,3 +554,230 @@ def pagerank_fixed_point(triples_ds, n_iter: int = 4,
         return _pagerank_broadcast(edges, n_iter, seed_prefix=seed_prefix,
                                    folded=folded)
     return _pagerank_shuffle(edges, n_iter, seed_prefix=seed_prefix)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs / authorities
+# ---------------------------------------------------------------------------
+
+
+class _SumPartial:
+    """Per-batch integer sum partials: for each edge batch, offer
+    vec[key_col] to group_col and combine locally with np.add.at —
+    the _ContribPartial shape without the damping arithmetic."""
+
+    def __init__(self, vec_ref, key_col: str, group_col: str):
+        import ray
+        self._v = ray.get(vec_ref)
+        self.key_col, self.group_col = key_col, group_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key = batch[self.key_col].to_numpy(zero_copy_only=False)
+        grp = batch[self.group_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(grp, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, self._v[key])
+        return pa.table({"g": pa.array(uniq, pa.int64()),
+                         "s": pa.array(sums, pa.int64())})
+
+
+def _norm_e6(raw: np.ndarray) -> np.ndarray:
+    """Max-normalization in EXACT integer arithmetic:
+    (raw * 1e6) // max(raw) — both engines floor non-negative BIGINT
+    division identically.  Overflow bound: raw * 1e6 must stay in
+    int64, i.e. max raw degree-sum < ~9.2e12 (max in/out-degree
+    < ~9.2e6 at e6 mass) — document-and-monitor at 100 TB (the SQL
+    mirror computes the same values in HUGEINT, so a violation shows
+    up as a driver-check mismatch, not silent corruption)."""
+    mx = int(raw.max()) if len(raw) else 0
+    if mx == 0:
+        return np.zeros_like(raw)
+    return (raw * np.int64(1_000_000)) // np.int64(mx)
+
+
+def _hits_broadcast(edges, n_iter: int, folded=None):
+    import ray
+    import ray.data as rd
+
+    if folded is not None:
+        nodes, int_edges = folded
+    else:
+        from .components import fold_vocab
+
+        nodes, int_edges = fold_vocab(edges)
+    if nodes is None or len(nodes) == 0:
+        return rd.from_arrow(pa.table(
+            {"uri": pa.array([], pa.string()),
+             "hub": pa.array([], pa.int64()),
+             "auth": pa.array([], pa.int64())}))
+    n = len(nodes)
+
+    def half_step(vec: np.ndarray, key_col: str, group_col: str):
+        vref = ray.put(vec)
+
+        def stage(t: pa.Table, vref=vref) -> pa.Table:
+            return _SumPartial(vref, key_col, group_col)(t)
+
+        parts = int_edges.map_batches(
+            stage, batch_format="pyarrow").to_pandas()
+        raw = np.zeros(n, dtype=np.int64)
+        if len(parts):
+            np.add.at(raw, parts["g"].to_numpy(),
+                      parts["s"].to_numpy().astype(np.int64))
+        return _norm_e6(raw)
+
+    hub = np.full(n, 1_000_000, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(n_iter):
+        auth = half_step(hub, "src", "dst")   # a(v) <- sum h(u), u->v
+        hub = half_step(auth, "dst", "src")   # h(u) <- sum a(v), u->v
+    return rd.from_arrow(pa.table({
+        "uri": pa.array(nodes, pa.string()),
+        "hub": pa.array(hub, pa.int64()),
+        "auth": pa.array(auth, pa.int64())}))
+
+
+def _hits_shuffle(edges, n_iter: int):
+    """Above-cap HITS: scores stay Datasets keyed by URI.  Each half
+    step is the pagerank-shuffle co-group (kind 0 = score row, kind 1
+    = edge row keyed by the offering endpoint) followed by a
+    groupby-sum; the max for normalization is ONE scalar aggregate.
+    Four shuffles per iteration — the honest price above the cap."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    def node_proj(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t["src"].combine_chunks().cast(pa.string()),
+                                 t["dst"].combine_chunks().cast(pa.string())])
+        return pa.table({"uri": pc.unique(vals)})
+
+    from ray.data.aggregate import Count
+
+    nodes = (edges.map_batches(node_proj, batch_format="pyarrow")
+             .groupby("uri").aggregate(Count(alias_name="_c"))
+             .map_batches(lambda t: t.select(["uri"]),
+                          batch_format="pyarrow")
+             .materialize())
+    if nodes.count() == 0:
+        return rd.from_arrow(pa.table(
+            {"uri": pa.array([], pa.string()),
+             "hub": pa.array([], pa.int64()),
+             "auth": pa.array([], pa.int64())}))
+
+    def tagged(key_col: str, other_col: str):
+        def tag(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t[key_col].combine_chunks().cast(pa.string()),
+                "kind": pa.array(np.ones(len(t), np.int8), pa.int8()),
+                "to": t[other_col].combine_chunks().cast(pa.string()),
+                "v": pa.array(np.zeros(len(t), np.int64), pa.int64())})
+        return edges.map_batches(tag, batch_format="pyarrow") \
+            .materialize()
+
+    fwd = tagged("src", "dst")   # offer hub scores to dst
+    rev = tagged("dst", "src")   # offer auth scores to src
+
+    def tag_score(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["uri"],
+                         "kind": pa.array(np.zeros(len(t), np.int8),
+                                          pa.int8()),
+                         "to": pa.nulls(len(t), pa.string()),
+                         "v": t["v"]})
+
+    def offer(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        rows = g.filter(pa.array(kind == 0))["v"]
+        v = int(rows[0].as_py()) if len(rows) else 0
+        tos = g.filter(pa.array(kind == 1))["to"].combine_chunks()
+        return pa.table({"uri": tos,
+                         "v": pa.array(np.full(len(tos), v, np.int64),
+                                       pa.int64())})
+
+    def half_step(scores, tagged_edges):
+        raw = (scores.map_batches(tag_score, batch_format="pyarrow")
+               .union(tagged_edges)
+               .groupby("key").map_groups(offer, batch_format="pyarrow")
+               .groupby("uri").aggregate(Sum(on="v", alias_name="raw"))
+               .materialize())
+        mxdf = raw.aggregate(Max(on="raw", alias_name="m"))
+        mx = int(mxdf["m"]) if mxdf and mxdf.get("m") is not None else 0
+
+        def norm(t: pa.Table, mx=mx) -> pa.Table:
+            r = t["raw"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = np.zeros(len(r), np.int64) if mx == 0 \
+                else (r * np.int64(1_000_000)) // np.int64(mx)
+            return pa.table({"uri": t["uri"], "v": pa.array(v, pa.int64())})
+
+        # nodes absent from the groupby (no incoming offers) are 0;
+        # re-attach them so the next co-group sees every node
+        def zero(t: pa.Table) -> pa.Table:
+            return pa.table({"uri": t["uri"],
+                             "v": pa.array(np.zeros(len(t), np.int64),
+                                           pa.int64())})
+
+        got = raw.map_batches(norm, batch_format="pyarrow")
+        return (nodes.map_batches(zero, batch_format="pyarrow")
+                .union(got)
+                .groupby("uri").aggregate(Max(on="v", alias_name="v"))
+                .materialize())
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"uri": t["uri"],
+                         "v": pa.array(np.full(len(t), 1_000_000,
+                                               np.int64), pa.int64())})
+
+    hub = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(n_iter):
+        auth = half_step(hub, fwd)
+        hub = half_step(auth, rev)
+
+    def tag_h(t: pa.Table) -> pa.Table:
+        return pa.table({"uri": t["uri"], "hub": t["v"],
+                         "auth": pa.array(np.zeros(len(t), np.int64),
+                                          pa.int64())})
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        return pa.table({"uri": t["uri"],
+                         "hub": pa.array(np.zeros(len(t), np.int64),
+                                         pa.int64()),
+                         "auth": t["v"]})
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "uri": g["uri"][:1],
+            "hub": pa.array([int(pc.max(g["hub"]).as_py())], pa.int64()),
+            "auth": pa.array([int(pc.max(g["auth"]).as_py())],
+                             pa.int64())})
+
+    return (hub.map_batches(tag_h, batch_format="pyarrow")
+            .union(auth.map_batches(tag_a, batch_format="pyarrow"))
+            .groupby("uri").map_groups(merge, batch_format="pyarrow"))
+
+
+def hits_scores(triples_ds, n_iter: int = 4,
+                edge_cap: int = PAGERANK_BROADCAST_EDGE_CAP,
+                edges=None, folded=None):
+    """HITS hubs/authorities (Kleinberg 1999) over the DIRECTED
+    distinct entity graph, as a fixed-round integer contract: h0 =
+    1e6 per node; per iteration a_raw(v) = sum of h over in-edges
+    then a = (a_raw * 1e6) // max(a_raw) (exact non-negative BIGINT
+    floor — no float anywhere, see _norm_e6 for the overflow bound),
+    then the symmetric hub half-step.  Both engines bit-identical by
+    construction; the oracle unrolls the same iterations in HUGEINT.
+    Returns a Dataset (uri, hub: int64 e6, auth: int64 e6) with one
+    row per graph node.  Path auto-selected by edge count; ``folded``
+    shares the kg_statistics vocabulary fold."""
+    import ray.data as rd
+
+    if edges is None:
+        edges = entity_edges(triples_ds).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table(
+            {"uri": pa.array([], pa.string()),
+             "hub": pa.array([], pa.int64()),
+             "auth": pa.array([], pa.int64())}))
+    if n_edges <= edge_cap:
+        return _hits_broadcast(edges, n_iter, folded=folded)
+    return _hits_shuffle(edges, n_iter)

@@ -214,3 +214,74 @@ def test_triangles_known_graphs(ray_session):
     star = [("h", f"x{i}") for i in range(20)]
     assert triangle_count(
         entity_edges(_triples_ds(star)).materialize()) == 0
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs / authorities (hits_scores)
+# ---------------------------------------------------------------------------
+
+
+def _brute_hits(pairs, n_iter=4):
+    edges = sorted({(s, d) for s, d in pairs if s != d})
+    nodes = sorted({x for e in edges for x in e})
+    h = {v: 10**6 for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        ar = {v: 0 for v in nodes}
+        for s, d in edges:
+            ar[d] += h[s]
+        mx = max(ar.values()) if nodes else 0
+        a = {v: (ar[v] * 10**6) // mx if mx else 0 for v in nodes}
+        hr = {v: 0 for v in nodes}
+        for s, d in edges:
+            hr[s] += a[d]
+        mx = max(hr.values()) if nodes else 0
+        h = {v: (hr[v] * 10**6) // mx if mx else 0 for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def _hits_dict(ds):
+    df = ds.to_pandas()
+    return {u: (int(h), int(a))
+            for u, h, a in zip(df["uri"], df["hub"], df["auth"])}
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_hits_broadcast_matches_brute(ray_session, seed):
+    from orionbelt_ontology_builder_ray.stages.pagerank import hits_scores
+
+    pairs = _random_pairs(seed, 50, 220)
+    assert _hits_dict(hits_scores(_triples_ds(pairs))) \
+        == _brute_hits(pairs)
+
+
+def test_hits_shuffle_matches_broadcast(ray_session):
+    from orionbelt_ontology_builder_ray.stages.pagerank import hits_scores
+
+    pairs = _random_pairs(7, 40, 150)
+    ds = _triples_ds(pairs)
+    broad = _hits_dict(hits_scores(ds))
+    shuf = _hits_dict(hits_scores(ds, edge_cap=0))
+    assert broad == shuf == _brute_hits(pairs)
+
+
+def test_hits_star_semantics(ray_session):
+    # one hub pointing at 3 sinks: hub gets hub=1e6/auth=0, sinks
+    # get hub=0/auth=1e6 (equal in-mass -> max-normalized to 1e6)
+    from orionbelt_ontology_builder_ray.stages.pagerank import hits_scores
+
+    pairs = [("hub", f"s{i}") for i in range(3)]
+    got = _hits_dict(hits_scores(_triples_ds(pairs)))
+    assert got["hub"] == (10**6, 0)
+    assert got["s0"] == got["s1"] == got["s2"] == (0, 10**6)
+
+
+def test_hits_empty(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.pagerank import hits_scores
+
+    t = pa.table({"subject": ["x"], "predicate": ["p"], "object": ["lit"],
+                  "object_kind": ["literal"], "lang": [""],
+                  "datatype": [""]})
+    assert len(hits_scores(rd.from_arrow(t)).to_pandas()) == 0

@@ -208,7 +208,11 @@ def sql_kg_statistics(n_iter: int = 4) -> str:
     smallest, the ROW_NUMBER ORDER BY c DESC, lab mirror of the
     numpy lexsort — lpa_communities).  ``hub::``/``auth::`` rows =
     HITS after 4 unrolled iterations, max-normalized by exact
-    HUGEINT floor division (hits_scores contract).  Pure integer
+    HUGEINT floor division (hits_scores contract).
+    ``walk:<seed>|<step>|<node>`` rows = deterministic DeepWalk-style
+    walks from the place seeds, next hop = md5-argmin over neighbors
+    (ROW_NUMBER ORDER BY md5(...), nbr — walks.seeded_walks; the
+    whole path is hash-checked through the tag).  Pure integer
     arithmetic —
     bit-identical to the numpy engine by construction.  CTEs are
     MATERIALIZED: chained iteration CTEs otherwise re-evaluate
@@ -334,9 +338,22 @@ lpa_r{i} AS MATERIALIZED (
                               ORDER BY COUNT(*) DESC, q.lab) AS rk
     FROM cc_und e JOIN lpa_r{p} q ON q.uri = e.src
     GROUP BY e.dst, q.lab) WHERE rk = 1)""")
-    parts.append("""
+    parts.append(f"""
 lpa_sizes AS MATERIALIZED (
   SELECT lab, COUNT(*) AS n FROM lpa_r4 GROUP BY lab),
+walk_w0 AS MATERIALIZED (
+  SELECT uri AS walk_id, uri AS cur FROM pr_nodes
+  WHERE uri LIKE {_sql_str(KG + "place-")} || '%')""")
+    for i in range(1, 5):  # walks.WALK_STEPS = 4
+        p = i - 1
+        parts.append(f"""
+walk_w{i} AS MATERIALIZED (
+  SELECT walk_id, nxt AS cur FROM (
+    SELECT w.walk_id, e.src AS nxt,
+           ROW_NUMBER() OVER (PARTITION BY w.walk_id
+             ORDER BY md5(w.walk_id || '|{i}|' || e.src), e.src) AS rk
+    FROM walk_w{p} w JOIN cc_und e ON e.dst = w.cur) WHERE rk = 1)""")
+    parts.append("""
 core_a0 AS MATERIALIZED (SELECT uri FROM pr_nodes)""")
     for i in range(1, 7):  # fixed-round 3-core peeling, 6 rounds
         p = i - 1
@@ -402,7 +419,11 @@ SELECT type_uri, n FROM (
   UNION ALL
   SELECT 'hub::' || uri, CAST(v AS BIGINT) FROM hits_h4
   UNION ALL
-  SELECT 'auth::' || uri, CAST(v AS BIGINT) FROM hits_a4
+  SELECT 'auth::' || uri, CAST(v AS BIGINT) FROM hits_a4"""
+            + "".join(f"""
+  UNION ALL
+  SELECT 'walk:' || walk_id || '|{i}|' || cur, CAST({i} AS BIGINT)
+  FROM walk_w{i}""" for i in range(5)) + """
   UNION ALL
   SELECT 'hop::' || uri, d FROM hop_r6 WHERE d IS NOT NULL
   UNION ALL

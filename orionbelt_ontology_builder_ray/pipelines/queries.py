@@ -203,6 +203,22 @@ def kg_statistics(sf_dir):
                                 batch_format="pyarrow")
     auth_rows = hits.map_batches(tag_hits("auth::", "auth"),
                                  batch_format="pyarrow")
+    # ``walk:<seed>|<step>|<node>`` -> deterministic DeepWalk-style
+    # walk corpus from the place seeds (stages/walks.seeded_walks:
+    # next hop = md5-argmin over neighbors, so the whole PATH is
+    # driver-hashed through the tag string; n = step)
+    from ..stages.walks import seeded_walks
+
+    def tag_walk(b: pd.DataFrame) -> pa.Table:
+        tags = ("walk:" + b["walk_id"] + "|"
+                + b["step"].astype(str) + "|" + b["node"])
+        return pa.table({
+            "type_uri": pa.array(tags.tolist(), pa.string()),
+            "n": pa.array(b["step"].to_numpy(np.int64), pa.int64())})
+
+    walk_rows = seeded_walks(ds, seed_prefix=KG + "place-",
+                             edges=edges).map_batches(
+        tag_walk, batch_format="pandas")
     # in/out-degree histograms of the same entity graph ride the
     # union too: 'outdeg:<d>' / 'indeg:<d>' -> node counts
     import ray.data as rd
@@ -222,7 +238,8 @@ def kg_statistics(sf_dir):
         "n": pa.array([triangle_count(edges)], pa.int64())}))
     return (stats.union(pr).union(ppr).union(cc_rows).union(hop_rows)
             .union(core_rows).union(lpa_rows).union(hub_rows)
-            .union(auth_rows).union(hist_rows).union(tri_rows))
+            .union(auth_rows).union(walk_rows).union(hist_rows)
+            .union(tri_rows))
 
 
 def kg_conversation_lengths(sf_dir):

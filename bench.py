@@ -435,16 +435,52 @@ def run_bench() -> dict:
     t0 = time.time()
     kcore_fixed_rounds(None, edges=_kg_edges, folded=_folded).count()
     queries["kg_kcore"] = round(time.time() - t0, 3)
+    # label-propagation communities (4 sync rounds, shared fold)
+    from orionbelt_ontology_builder_ray.stages.components import (
+        lpa_communities)
+
+    t0 = time.time()
+    lpa_communities(None, edges=_kg_edges, folded=_folded).count()
+    queries["kg_lpa"] = round(time.time() - t0, 3)
+    # HITS hubs/authorities (4 integer iterations, shared fold)
+    from orionbelt_ontology_builder_ray.stages.pagerank import hits_scores
+
+    t0 = time.time()
+    hits_scores(None, edges=_kg_edges, folded=_folded).count()
+    queries["kg_hits"] = round(time.time() - t0, 3)
+    # deterministic seeded walks (4 steps from the place seeds)
+    from orionbelt_ontology_builder_ray.stages.walks import seeded_walks
+
+    t0 = time.time()
+    seeded_walks(None, seed_prefix=KG + "place-",
+                 edges=_kg_edges).count()
+    queries["kg_walks"] = round(time.time() - t0, 3)
     # entity co-mention pair counts (bucket-by-turn self-join)
     from orionbelt_ontology_builder_ray.functions.kg import KG_MENTIONS
     from orionbelt_ontology_builder_ray.stages.components import (
         comention_pairs)
 
     t0 = time.time()
-    comention_pairs(rd.read_parquet(
+    _pairs = comention_pairs(rd.read_parquet(
         out_dir, columns=["subject", "predicate", "object"]),
-        KG_MENTIONS).count()
+        KG_MENTIONS).materialize()
+    _pairs.count()
     queries["kg_comentions"] = round(time.time() - t0, 3)
+    # link prediction (CN / Jaccard / Adamic-Adar) over those pairs
+    from orionbelt_ontology_builder_ray.stages.components import (
+        linkpred_scores)
+
+    t0 = time.time()
+    linkpred_scores(_pairs).count()
+    queries["kg_linkpred"] = round(time.time() - t0, 3)
+    # Bloom membership filter (production fast hash; one corpus
+    # scan, bitwise-OR partials, zero shuffles)
+    from orionbelt_ontology_builder_ray.stages.sketch import bloom_bits
+
+    t0 = time.time()
+    bloom_bits(_read(SF_DIR, "documents", columns=["text"]),
+               hash_mode="fast")
+    queries["doc_bloom_filter"] = round(time.time() - t0, 3)
 
     # incremental ingest (update_kg): the 16 B/row anti-join claim gets
     # a recorded number.  zero-addition: existing store == headline

@@ -492,7 +492,11 @@ lp AS (
   SELECT px, py, cn, aa,
          (2000000 * cn + (da.d + db.d - cn))
            // (2 * (da.d + db.d - cn)) AS jac
-  FROM lp_cn JOIN lp_deg da ON da.v = px JOIN lp_deg db ON db.v = py)
+  FROM lp_cn JOIN lp_deg da ON da.v = px JOIN lp_deg db ON db.v = py),
+mts AS (SELECT subject AS turn, CAST(object AS TIMESTAMP) AS ts
+        FROM triples WHERE predicate = {_sql_str(KG_AT_TIME)}),
+msp AS (SELECT m.ent, MIN(t.ts) AS f, MAX(t.ts) AS l
+        FROM m JOIN mts t ON t.turn = m.turn GROUP BY m.ent)
 SELECT entity_uri, n_mentions FROM (
   SELECT ent AS entity_uri, n AS n_mentions FROM ec
   UNION ALL
@@ -507,7 +511,11 @@ SELECT entity_uri, n_mentions FROM (
   UNION ALL
   SELECT 'jac::' || px || '|' || py, CAST(jac AS BIGINT) FROM lp
   UNION ALL
-  SELECT 'aa::' || px || '|' || py, CAST(aa AS BIGINT) FROM lp)
+  SELECT 'aa::' || px || '|' || py, CAST(aa AS BIGINT) FROM lp
+  UNION ALL
+  SELECT 'first::' || ent, epoch_us(f) FROM msp
+  UNION ALL
+  SELECT 'last::' || ent, epoch_us(l) FROM msp)
 ORDER BY entity_uri""")
 
 

@@ -317,7 +317,31 @@ def kg_mentions_by_entity(sf_dir):
     cn = lp.map_batches(tag("cn::", "cn"), batch_format="pyarrow")
     jac = lp.map_batches(tag("jac::", "jac_e6"), batch_format="pyarrow")
     aa = lp.map_batches(tag("aa::", "aa_e6"), batch_format="pyarrow")
-    return singles.union(com).union(pmi).union(cn).union(jac).union(aa)
+
+    # r5 temporal legs: first/last mention time per entity as EXACT
+    # epoch microseconds (stages/components.mention_time_spans —
+    # one turn-hash bucket join of mention rows to the turn's
+    # kg:atTime literal; DuckDB epoch_us mirror, bit-equal)
+    from ..functions.kg import KG_AT_TIME
+    from ..stages.components import mention_time_spans
+
+    def tag_span(prefix, col):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "entity_uri": pc.binary_join_element_wise(
+                    pa.array([prefix] * len(t), pa.string()),
+                    t["ent"].cast(pa.string()), ""),
+                "n_mentions": t[col].cast(pa.int64())})
+        return f
+
+    sp = mention_time_spans(ds, KG_MENTIONS, KG_AT_TIME).materialize()
+    first = sp.map_batches(tag_span("first::", "first_us"),
+                           batch_format="pyarrow")
+    last = sp.map_batches(tag_span("last::", "last_us"),
+                          batch_format="pyarrow")
+    return (singles.union(com).union(pmi).union(cn).union(jac)
+            .union(aa).union(first).union(last))
 
 
 def kg_search(sf_dir, query="nation_1"):

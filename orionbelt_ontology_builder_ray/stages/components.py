@@ -1018,3 +1018,85 @@ def _lpa_shuffle(edges, n_rounds: int):
             "n": pa.array(np.full(len(g), len(g), np.int64), pa.int64())})
 
     return labels.groupby("lab").map_groups(sizes, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# entity mention time spans (temporal KG: first/last seen)
+# ---------------------------------------------------------------------------
+
+
+def mention_time_spans(triples_ds, predicate: str, ts_pred: str,
+                       num_buckets: int = 32):
+    """First/last mention time per entity — the temporal-KG "entity
+    activity span" projection (when did this entity first/last appear
+    in the conversation stream?).  Joins mention rows (turn ->
+    entity) to the turn's ``ts_pred`` timestamp literal and
+    min/max-aggregates per entity as EXACT epoch microseconds (int64
+    == DuckDB epoch_us, verified bit-equal).
+
+    Shape: one projection pass tags mention + timestamp rows, ONE
+    turn-hash bucket shuffle co-locates each turn's rows (the
+    comention_pairs machinery), each bucket merges vectorized and
+    emits per-entity (min, max) partials; the driver folds
+    entity-vocab-sized partials (the small side — the PageRank fold
+    bound).  Returns a Dataset (ent, first_us, last_us)."""
+    import pandas as _pd
+    import ray.data as rd
+
+    from .extract import TS_FORMAT
+
+    empty = pa.table({"ent": pa.array([], pa.string()),
+                      "first_us": pa.array([], pa.int64()),
+                      "last_us": pa.array([], pa.int64())})
+
+    def proj(t: pa.Table) -> pa.Table:
+        is_m = pc.equal(t["predicate"], predicate)
+        is_t = pc.equal(t["predicate"], ts_pred)
+        tt = t.filter(pc.or_(is_m, is_t))
+        if len(tt) == 0:
+            return pa.table({"turn": pa.array([], pa.string()),
+                             "val": pa.array([], pa.string()),
+                             "kind": pa.array([], pa.int8()),
+                             "_b": pa.array([], pa.int32())})
+        kind = pc.cast(pc.equal(tt["predicate"], predicate), pa.int8())
+        h = _pd.util.hash_pandas_object(
+            tt["subject"].to_pandas(), index=False).to_numpy()
+        return pa.table({
+            "turn": tt["subject"].combine_chunks().cast(pa.string()),
+            "val": tt["object"].combine_chunks().cast(pa.string()),
+            "kind": kind,
+            "_b": pa.array((h % num_buckets).astype(np.int32),
+                           pa.int32())})
+
+    def spans(g: _pd.DataFrame) -> _pd.DataFrame:
+        out_empty = _pd.DataFrame({
+            "ent": _pd.Series([], dtype=object),
+            "mn": _pd.Series([], dtype=np.int64),
+            "mx": _pd.Series([], dtype=np.int64)})
+        ts = g[g["kind"] == 0]
+        m = g[g["kind"] == 1]
+        if not len(ts) or not len(m):
+            return out_empty
+        j = m[["turn", "val"]].rename(columns={"val": "ent"}).merge(
+            ts[["turn", "val"]].rename(columns={"val": "iso"}), on="turn")
+        if not len(j):
+            return out_empty
+        us = _pd.to_datetime(j["iso"], format=TS_FORMAT) \
+            .astype("int64") // 1000
+        agg = j.assign(us=us).groupby("ent", sort=False)["us"] \
+            .agg(mn="min", mx="max").reset_index()
+        agg["mn"] = agg["mn"].astype(np.int64)
+        agg["mx"] = agg["mx"].astype(np.int64)
+        return agg
+
+    parts = (triples_ds.map_batches(proj, batch_format="pyarrow")
+             .groupby("_b").map_groups(spans, batch_format="pandas")
+             .to_pandas())
+    if not len(parts):
+        return rd.from_arrow(empty)
+    fold = parts.groupby("ent", sort=False).agg(
+        first_us=("mn", "min"), last_us=("mx", "max")).reset_index()
+    return rd.from_arrow(pa.table({
+        "ent": pa.array(fold["ent"].tolist(), pa.string()),
+        "first_us": pa.array(fold["first_us"].to_numpy(np.int64)),
+        "last_us": pa.array(fold["last_us"].to_numpy(np.int64))}))

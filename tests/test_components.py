@@ -483,3 +483,84 @@ def test_lpa_oscillation_is_deterministic(ray_session):
     assert got == _brute_lpa(pairs)
     got5 = _as_dict(lpa_communities(_triples_ds(pairs), n_rounds=5))
     assert got5 == _brute_lpa(pairs, n_rounds=5)
+
+
+# ---------------------------------------------------------------------------
+# entity mention time spans (mention_time_spans)
+# ---------------------------------------------------------------------------
+
+
+def _mention_triples(rows):
+    # rows: (turn, ent, iso) — one mention + one atTime row per input
+    import ray.data as rd
+
+    subj, pred, obj = [], [], []
+    seen_ts = set()
+    for turn, ent, iso in rows:
+        subj.append(turn)
+        pred.append("m")
+        obj.append(ent)
+        if turn not in seen_ts:
+            seen_ts.add(turn)
+            subj.append(turn)
+            pred.append("at")
+            obj.append(iso)
+    n = len(subj)
+    return rd.from_arrow(pa.table({
+        "subject": subj, "predicate": pred, "object": obj,
+        "object_kind": ["uri"] * n, "lang": [""] * n,
+        "datatype": [""] * n}))
+
+
+def test_mention_time_spans_brute(ray_session):
+    import pandas as pd
+
+    from orionbelt_ontology_builder_ray.stages.components import (
+        mention_time_spans)
+
+    rows = [("t1", "e1", "2025-01-02T03:04:05.000001"),
+            ("t2", "e1", "2025-01-01T00:00:00.500000"),
+            ("t2", "e2", "2025-01-01T00:00:00.500000"),
+            ("t3", "e2", "2025-06-30T23:59:59.999999"),
+            ("t3", "e1", "2025-06-30T23:59:59.999999")]
+    got = mention_time_spans(_mention_triples(rows), "m", "at") \
+        .to_pandas().set_index("ent")
+    us = {iso: int(pd.to_datetime(iso).value // 1000)
+          for _, _, iso in rows}
+    assert int(got.loc["e1", "first_us"]) \
+        == us["2025-01-01T00:00:00.500000"]
+    assert int(got.loc["e1", "last_us"]) \
+        == us["2025-06-30T23:59:59.999999"]
+    assert int(got.loc["e2", "first_us"]) \
+        == us["2025-01-01T00:00:00.500000"]
+    assert len(got) == 2
+
+
+def test_mention_time_spans_partition_invariant(ray_session):
+    from orionbelt_ontology_builder_ray.stages.components import (
+        mention_time_spans)
+
+    rng = np.random.RandomState(13)
+    rows = [(f"t{i}", f"e{rng.randint(8)}",
+             f"2025-01-{1 + rng.randint(28):02d}T0{rng.randint(9)}"
+             ":00:00.000000")
+            for i in range(60)]
+    ds1 = _mention_triples(rows).repartition(1)
+    ds9 = _mention_triples(rows).repartition(9)
+    a = mention_time_spans(ds1, "m", "at").to_pandas() \
+        .sort_values("ent").reset_index(drop=True)
+    b = mention_time_spans(ds9, "m", "at").to_pandas() \
+        .sort_values("ent").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_mention_time_spans_empty(ray_session):
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.components import (
+        mention_time_spans)
+
+    t = pa.table({"subject": ["x"], "predicate": ["p"], "object": ["y"],
+                  "object_kind": ["uri"], "lang": [""], "datatype": [""]})
+    assert len(mention_time_spans(rd.from_arrow(t), "m", "at")
+               .to_pandas()) == 0

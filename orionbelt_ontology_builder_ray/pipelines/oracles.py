@@ -468,7 +468,9 @@ def sql_kg_mentions_by_entity() -> str:
     neighborhood Jaccard ``(2000000*cn + den) // (2*den)`` (no float
     ops — both engines floor-divide positive ints), ``aa::``
     Adamic–Adar with per-center ROUND(1e6/ln(deg)) int64 terms summed
-    order-free."""
+    order-free; plus ``first::``/``last::`` temporal legs = per-entity
+    min/max mention time as epoch_us BIGINT (mention_time_spans
+    mirror — pandas int64-ns // 1000 == epoch_us, verified)."""
     return (kg_triples_cte() + f""",
 m AS (SELECT subject AS turn, object AS ent FROM triples
       WHERE predicate = {_sql_str(KG_MENTIONS)}),

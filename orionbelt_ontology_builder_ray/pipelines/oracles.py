@@ -2239,11 +2239,19 @@ ranked AS (
   SELECT doc_id, pred_lang,
          ROW_NUMBER() OVER (PARTITION BY pred_lang
                             ORDER BY ({h} >> 1), doc_id) AS rn
-  FROM langs)
+  FROM langs),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN u < 80 THEN 'train'
+              WHEN u < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, ({h} >> 1) % 100 AS u FROM documents))
 SELECT doc_id, 'rate' AS metric, pred_lang FROM rate
 UNION ALL
 SELECT doc_id, 'topn' AS metric, pred_lang FROM ranked
-WHERE rn <= {topn}"""
+WHERE rn <= {topn}
+UNION ALL
+SELECT doc_id, 'split' AS metric, split AS pred_lang FROM splits"""
 
 
 def sql_sessionizes(gap_minutes: int = 30) -> str:

@@ -876,7 +876,22 @@ def doc_samples(sf_dir, topn=25):
                        key_cols=["pred_lang"], order_cols=["_h", "doc_id"],
                        k=topn, descending=False) \
         .map_batches(tag("topn"), batch_format="pyarrow")
-    return rate.union(top)
+
+    # r5: the deterministic train/val/test split rides the same slot —
+    # metric='split', the assignment carried in the pred_lang column
+    # (stages/textops.corpus_split: md5 residue vs integer cumulative
+    # thresholds, zero shuffles, disjoint+exhaustive by construction)
+    from ..stages.textops import corpus_split
+
+    def tag_split(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "metric": pa.array(["split"] * len(t), pa.string()),
+            "pred_lang": t["split"].cast(pa.string())})
+
+    sp = corpus_split(_read(sf_dir, "documents", columns=["doc_id"])) \
+        .map_batches(tag_split, batch_format="pyarrow")
+    return rate.union(top).union(sp)
 
 
 def doc_corpus_near_clean(sf_dir):

@@ -302,6 +302,43 @@ class StratifiedSampler:
         return batch[u < thr]
 
 
+def corpus_split(ds, fractions=(("train", 80), ("val", 10), ("test", 10)),
+                 id_col="doc_id", hash_mode="md5"):
+    """Deterministic train/val/test corpus split — the assignment is a
+    pure function of the row id (``(md5_low64(str(id)) >> 1) %
+    denom`` against cumulative INTEGER fraction thresholds), so the
+    split is reproducible across runs, engines and partitionings,
+    and disjoint + exhaustive BY CONSTRUCTION (every hash residue
+    maps to exactly one split — no RNG, no order dependence, no
+    doc can leak between splits on a re-run).  Zero shuffles: one
+    streaming tag pass.  Fractions are integer parts (denominator =
+    their sum), sidestepping any float-rounding contract; the DuckDB
+    mirror is the same md5 expression + CASE thresholds
+    (oracles.sql_doc_samples, split leg).  ``hash_mode="fast"``
+    swaps in the vectorized production hash (minhash precedent)."""
+    names = [n for n, _ in fractions]
+    cum = np.cumsum([int(p) for _, p in fractions])
+    denom = int(cum[-1])
+    bounds = cum[:-1]
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _hash_strings, _hash_strings_md5
+
+        if not len(b):
+            return pd.DataFrame({id_col: b.get(id_col, pd.Series([])),
+                                 "split": pd.Series([], dtype=object)})
+        keys = b[id_col].astype(str).tolist()
+        h = (_hash_strings_md5(keys) if hash_mode == "md5"
+             else _hash_strings(np.array(keys, dtype=object)))
+        u = ((h >> np.uint64(1)) % np.uint64(denom)).astype(np.int64)
+        idx = np.searchsorted(bounds, u, side="right")
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "split": np.asarray(names, dtype=object)[idx]})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def clean_corpus(ds, id_col="doc_id", text_col="text", min_tokens=20,
                  keep_langs=("en",), min_distinct_ratio=0.2,
                  num_buckets=64):

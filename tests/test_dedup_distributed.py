@@ -230,6 +230,69 @@ def test_stratified_sampler_nested_samples():
         assert len(prev) == 5000  # rate 1.0 keeps everything
 
 
+def test_corpus_split_disjoint_exhaustive(ray_session):
+    """corpus_split assigns EVERY doc to EXACTLY ONE split (disjoint +
+    exhaustive by construction), fractions land near 80/10/10, the
+    assignment is partition-invariant (1 block == 7 blocks), and the
+    Ray-side md5 residue rule matches a per-row python replay."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.textops import corpus_split
+
+    ids = list(range(3000))
+    df = pd.DataFrame({"doc_id": ids})
+
+    out = corpus_split(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 3000
+    assert out["doc_id"].is_unique
+    by = out.groupby("split").size()
+    assert set(by.index) == {"train", "val", "test"}
+    assert 2200 < by["train"] < 2600          # ~0.8 of 3000
+    assert 200 < by["val"] < 400              # ~0.1
+    assert 200 < by["test"] < 400             # ~0.1
+
+    # partition invariance: 7 blocks give the identical assignment
+    out7 = corpus_split(
+        rd.from_pandas(df).repartition(7)).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out7.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # per-row replay of the contract: md5 low64 >> 1 mod 100
+    m = dict(zip(out["doc_id"], out["split"]))
+    for i in (0, 1, 17, 999, 2999):
+        h = int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:8], "big")
+        u = (h >> 1) % 100
+        want = "train" if u < 80 else ("val" if u < 90 else "test")
+        assert m[i] == want, i
+
+
+def test_corpus_split_custom_fractions_and_fast_mode(ray_session):
+    """Integer fractions bind exactly (denominator = their sum);
+    fast hash mode is deterministic and still disjoint+exhaustive."""
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.textops import corpus_split
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(1000)]})
+    ds = rd.from_pandas(df)
+    out = corpus_split(ds, fractions=(("a", 1), ("b", 3)),
+                       hash_mode="fast").to_pandas()
+    assert len(out) == 1000 and out["doc_id"].is_unique
+    by = out.groupby("split").size()
+    assert 150 < by["a"] < 350                # ~1/4
+    assert by["a"] + by["b"] == 1000
+    out2 = corpus_split(ds, fractions=(("a", 1), ("b", 3)),
+                        hash_mode="fast").to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True))
+
+
 def test_embedding_dedup_clusters_planted(ray_session):
     """Planted embedding clusters close transitively: a ~ b and b ~ c
     (a !~ c directly) land in one cluster labeled min id; isolated

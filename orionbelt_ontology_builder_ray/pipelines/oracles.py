@@ -444,9 +444,44 @@ ORDER BY type_uri""")
 
 
 def sql_kg_conversation_lengths() -> str:
-    return (f"WITH {transcripts_cte()} SELECT conv_id, "
-            "COUNT(*) AS n_turns, CAST(MAX(turn_idx) AS INTEGER) AS max_turn_idx "
-            "FROM transcripts GROUP BY conv_id ORDER BY conv_id")
+    """Tagged-union mirror of queries.kg_conversation_lengths: the
+    length stats + the transcript integrity audit
+    (stages/windows.log_integrity).  Blank test = NULL or
+    whitespace-only (RE2 interprets the \\t.. escapes, the _TOK_SQL
+    idiom); role repeats = LAG over the same (turn_idx, ts, role)
+    total order the Ray side lexsorts by."""
+    return f"""
+WITH {transcripts_cte()},
+flags AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN text IS NULL
+                OR regexp_matches(text, '^[ \\t\\n\\r\\f\\v]*$')
+              THEN 1 ELSE 0 END AS blank,
+         CASE WHEN role = lag(role) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx, ts, role)
+              THEN 1 ELSE 0 END AS rep
+  FROM transcripts),
+agg AS (
+  SELECT conv_id,
+         COUNT(*) AS n_turns,
+         MAX(turn_idx) AS max_turn_idx,
+         COUNT(*) - COUNT(DISTINCT turn_idx) AS n_dup,
+         (MAX(turn_idx) - MIN(turn_idx) + 1) - COUNT(DISTINCT turn_idx)
+           AS n_gaps,
+         SUM(rep) AS n_rep,
+         SUM(blank) AS n_blank
+  FROM flags GROUP BY conv_id)
+SELECT conv_id, 'n_turns' AS metric, CAST(n_turns AS BIGINT) AS n FROM agg
+UNION ALL
+SELECT conv_id, 'max_turn_idx', CAST(max_turn_idx AS BIGINT) FROM agg
+UNION ALL
+SELECT conv_id, 'n_dup_turn_idx', CAST(n_dup AS BIGINT) FROM agg
+UNION ALL
+SELECT conv_id, 'n_gaps', CAST(n_gaps AS BIGINT) FROM agg
+UNION ALL
+SELECT conv_id, 'n_role_repeats', CAST(n_rep AS BIGINT) FROM agg
+UNION ALL
+SELECT conv_id, 'n_blank_text', CAST(n_blank AS BIGINT) FROM agg"""
 
 
 def sql_kg_tool_usage() -> str:

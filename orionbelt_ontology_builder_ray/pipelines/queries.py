@@ -243,19 +243,36 @@ def kg_statistics(sf_dir):
 
 
 def kg_conversation_lengths(sf_dir):
-    from ray.data.aggregate import Count, Max
+    """Tagged union (one driver slot, schema (conv_id, metric, n)):
+    the original per-conversation length stats (n_turns /
+    max_turn_idx) + the r5 transcript INTEGRITY AUDIT — the
+    data-quality gate a 10^12-turn ingest runs before trusting
+    (conv_id, turn_idx) identity (stages/windows.log_integrity: one
+    key-hash bucket shuffle of four pruned columns, text reduced to a
+    blank flag pre-shuffle): n_dup_turn_idx (repeated turn indices),
+    n_gaps (missing indices inside the span), n_role_repeats
+    (consecutive same-role turns in (turn_idx, ts, role) order),
+    n_blank_text (null/whitespace-only turns).  ONE pass computes all
+    six legs."""
+    from ..stages.windows import log_integrity
 
-    ds = _transcripts(sf_dir)
-    agg = ds.groupby("conv_id").aggregate(
-        Count(alias_name="n_turns"),
-        Max("turn_idx", alias_name="max_turn_idx"))
+    audit = log_integrity(_transcripts(sf_dir), "conv_id", "turn_idx",
+                          ts_col="ts", attr_col="role", text_col="text")
 
-    def fix(t: pa.Table) -> pa.Table:
-        return t.set_column(t.column_names.index("max_turn_idx"),
-                            "max_turn_idx",
-                            t["max_turn_idx"].cast(pa.int32()))
+    def melt(b: pd.DataFrame) -> pa.Table:
+        legs = (("n_turns", "n_rows"), ("max_turn_idx", "max_seq"),
+                ("n_dup_turn_idx", "n_dup_seq"), ("n_gaps", "n_gaps"),
+                ("n_role_repeats", "n_attr_repeats"),
+                ("n_blank_text", "n_blank"))
+        conv = b["conv_id"].astype(str).tolist()
+        return pa.table({
+            "conv_id": pa.array(conv * len(legs), pa.string()),
+            "metric": pa.array(
+                [m for m, _ in legs for _ in conv], pa.string()),
+            "n": pa.array(np.concatenate(
+                [b[src].to_numpy(np.int64) for _, src in legs]))})
 
-    return agg.map_batches(fix, batch_format="pyarrow")
+    return audit.map_batches(melt, batch_format="pandas")
 
 
 def _pred_object_counts(sf_dir, predicate, out_col, n_col):

@@ -342,6 +342,98 @@ def sessionize_log(ds, key_col: str, seq_col: str, ts_col: str = "ts",
                                                 batch_format="pandas")
 
 
+def log_integrity(ds, key_col: str, seq_col: str, ts_col: str = "ts",
+                  attr_col: str = None, text_col: str = None,
+                  num_buckets: int = 64):
+    """Ordered-log integrity audit — the data-quality gate a
+    transcript ingest runs BEFORE building a KG from it: per key
+    (conversation) count the structural defects that corrupt
+    downstream per-turn semantics.
+
+    Output, one row per key: ``n_rows``; ``max_seq``; ``n_dup_seq``
+    (rows whose sequence number repeats an earlier one — k copies
+    count k-1); ``n_gaps`` (sequence values missing between the key's
+    min and max); ``n_attr_repeats`` (adjacent rows — in
+    (seq, ts, attr) order — with the same attr, e.g. two consecutive
+    same-role turns); ``n_blank`` (text null or whitespace-only).
+
+    Scale shape: the text column is reduced to ONE boolean per row
+    inside the first streaming pass, so the payload never enters the
+    single key-hash bucket shuffle; per bucket everything is one
+    lexsort + reduceat pass (no per-key groups).  Tie-break contract:
+    attr ties sort lexicographically (np.unique rank == SQL ORDER BY
+    for ASCII attrs — roles here), and rows equal in (seq, ts, attr)
+    are interchangeable, so the audit is partition- and
+    order-invariant."""
+    nb = num_buckets
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        m = pd.DataFrame({
+            key_col: b[key_col],
+            seq_col: b[seq_col].astype(np.int64),
+            "_ts": b[ts_col].to_numpy("datetime64[us]").view(np.int64),
+        })
+        if attr_col is not None:
+            m["_attr"] = b[attr_col].astype(str)
+        if text_col is not None:
+            s = b[text_col]
+            m["_blank"] = (s.isna().to_numpy()
+                           | s.fillna("").astype(str)
+                           .str.fullmatch("[ \t\n\r\f\v]*")
+                           .to_numpy().astype(bool))
+        h = pd.util.hash_pandas_object(m[key_col], index=False)
+        m["_bucket"] = (h % nb).astype("int32")
+        return m
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype=np.int64)
+                   for c in ("n_rows", "max_seq", "n_dup_seq", "n_gaps",
+                             "n_attr_repeats", "n_blank")}})
+        codes, uniq = pd.factorize(g[key_col])
+        seq = g[seq_col].to_numpy(np.int64)
+        ts = g["_ts"].to_numpy(np.int64)
+        if attr_col is not None:
+            _, acodes = np.unique(g["_attr"].to_numpy(), return_inverse=True)
+        else:
+            acodes = np.zeros(len(g), dtype=np.int64)
+        order = np.lexsort((acodes, ts, seq, codes))
+        codes, seq, acodes = codes[order], seq[order], acodes[order]
+        blank = (g["_blank"].to_numpy()[order] if text_col is not None
+                 else np.zeros(len(g), dtype=bool))
+        n = len(g)
+        newk = np.ones(n, dtype=bool)
+        newk[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(newk)
+        ends = np.append(starts[1:], n)
+        dup = np.zeros(n, dtype=np.int64)
+        dup[1:] = (~newk[1:]) & (seq[1:] == seq[:-1])
+        rep = np.zeros(n, dtype=np.int64)
+        if attr_col is not None:
+            rep[1:] = (~newk[1:]) & (acodes[1:] == acodes[:-1])
+        n_rows = (ends - starts).astype(np.int64)
+        n_dup = np.add.reduceat(dup, starts)
+        n_rep = np.add.reduceat(rep, starts)
+        n_blank = np.add.reduceat(blank.astype(np.int64), starts)
+        n_uniq = n_rows - n_dup
+        span = seq[ends - 1] - seq[starts] + 1
+        return pd.DataFrame({
+            key_col: np.asarray(uniq)[codes[starts]],
+            "n_rows": n_rows,
+            "max_seq": seq[ends - 1],
+            "n_dup_seq": n_dup,
+            "n_gaps": (span - n_uniq).astype(np.int64),
+            "n_attr_repeats": n_rep,
+            "n_blank": n_blank,
+        })
+
+    tagged = ds.map_batches(bucket, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(audit,
+                                                batch_format="pandas")
+
+
 def grouped_topk(ds, key_cols, order_cols, k: int,
                  descending: bool = True, num_buckets: int = 64):
     """Top-k rows per group — the missing Ray Data primitive behind

@@ -334,3 +334,70 @@ def test_sessionize_log_string_keys(ray_session):
                                        "conv-b", "conv-b"]
     assert out["session_id"].tolist() == [1, 2, 1, 2]
     assert out["n"].tolist() == [1, 1, 2, 1]
+
+
+def test_log_integrity_planted_defects(ray_session):
+    """log_integrity counts each planted defect class exactly:
+    duplicate seq (k copies -> k-1), gaps inside the span, adjacent
+    same-attr repeats in (seq, ts, attr) order, blank/null text."""
+    from orionbelt_ontology_builder_ray.stages.windows import log_integrity
+
+    t0 = pd.Timestamp("2026-03-01 09:00:00")
+    ts = [t0 + pd.Timedelta(minutes=i) for i in range(12)]
+    df = pd.DataFrame({
+        # conv-x: clean alternating conversation
+        # conv-y: dup turn 1 (x2 extra), gap (skips 3,4), role repeats,
+        #         one blank + one null text
+        "conv_id": ["conv-x"] * 4 + ["conv-y"] * 8,
+        "turn_idx": [0, 1, 2, 3,
+                     0, 1, 1, 1, 2, 5, 6, 7],
+        "role": ["user", "assistant", "user", "assistant",
+                 "user", "user", "assistant", "tool",
+                 "assistant", "assistant", "user", "user"],
+        "text": ["a", "b", "c", "d",
+                 "e", "  \t\n", None, "f", "g", "h", "i", "j"],
+        "ts": ts})
+    out = log_integrity(rd.from_pandas(df).repartition(4),
+                        "conv_id", "turn_idx", ts_col="ts",
+                        attr_col="role", text_col="text") \
+        .to_pandas().set_index("conv_id").sort_index()
+    x, y = out.loc["conv-x"], out.loc["conv-y"]
+    assert x.tolist() == [4, 3, 0, 0, 0, 0]
+    assert y["n_rows"] == 8 and y["max_seq"] == 7
+    assert y["n_dup_seq"] == 2            # turn 1 appears 3x
+    # span 0..7 = 8 values, 6 distinct -> 2 missing (3 and 4)
+    assert y["n_gaps"] == 2
+    # sorted (seq, ts, role): turn0 user | turn1 user,assistant,tool
+    # (ts tie-break) | turn2 assistant | turn5 assistant | turn6 user
+    # | turn7 user.  Repeats: turn0->turn1 user=user, turn2->turn5
+    # assistant=assistant, turn6->turn7 user=user
+    assert y["n_attr_repeats"] == 3
+    assert y["n_blank"] == 2              # whitespace-only + null
+
+
+def test_log_integrity_partition_invariance(ray_session):
+    """The audit is a pure function of the row SET: 1 block == 9
+    blocks, and a clean dense log reports all-zero defects."""
+    from orionbelt_ontology_builder_ray.stages.windows import log_integrity
+
+    rng = np.random.RandomState(7)
+    rows = []
+    t0 = pd.Timestamp("2026-03-02")
+    for c in range(25):
+        n = int(rng.randint(1, 30))
+        for i in range(n):
+            rows.append((f"conv-{c:03d}", i,
+                         ["user", "assistant"][i % 2], f"txt {c} {i}",
+                         t0 + pd.Timedelta(seconds=int(rng.randint(0, 9999)))))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                     "text", "ts"])
+    a = log_integrity(rd.from_pandas(df), "conv_id", "turn_idx",
+                      attr_col="role", text_col="text") \
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    b = log_integrity(rd.from_pandas(df).repartition(9), "conv_id",
+                      "turn_idx", attr_col="role", text_col="text") \
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_dup_seq"] == 0).all() and (a["n_gaps"] == 0).all()
+    assert (a["n_blank"] == 0).all()
+    assert (a["n_rows"] == a["max_seq"] + 1).all()

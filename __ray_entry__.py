@@ -40,8 +40,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ner_mentions": q.kg_ner_mentions,
         "kg_search": q.kg_search,
         "kg_duplicate_labels": q.kg_duplicate_labels,
-        "kg_delete_impact": q.kg_delete_impact,
-        "kg_usages": q.kg_usages,
+        # r5: usages + delete-impact consolidated (one tagged union)
+        # to free a slot for kg_bgp under the 50-slot harness cap
+        "kg_usage_impacts": q.kg_usage_impacts,
+        # r5: SPARQL-style basic-graph-pattern queries (stages/bgp.py)
+        "kg_bgp": q.kg_bgp,
         "kg_turn_text_by_role": q.kg_turn_text_by_role,
         "kg_triples_canonicalized": q.kg_triples_canonicalized,
         "kg_classes": q.kg_classes,
@@ -112,8 +115,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_ner_mentions": o.sql_kg_ner_mentions(),
         "kg_search": o.sql_kg_search(),
         "kg_duplicate_labels": o.sql_kg_duplicate_labels(),
-        "kg_delete_impact": o.sql_kg_delete_impact(),
-        "kg_usages": o.sql_kg_usages(),
+        "kg_usage_impacts": o.sql_kg_usage_impacts(),
+        "kg_bgp": o.sql_kg_bgp(),
         "kg_turn_text_by_role": o.sql_kg_turn_text_by_role(),
         "doc_dedups": o.sql_doc_dedups(),
         "doc_token_stats": o.sql_doc_token_stats(),

@@ -595,6 +595,61 @@ def sql_kg_usages(entity_local: str = "region-europe") -> str:
               f"AND object_kind = 'uri' ORDER BY subject, predicate")
 
 
+def sql_kg_usage_impacts(entity_local: str = "region-europe",
+                         impact_local: str = "place-nation_1") -> str:
+    """Tagged union of sql_kg_usages rows + sql_kg_delete_impact
+    counts (one slot, schema (kind, subject, predicate, n))."""
+    uri = _sql_str(KG + entity_local)
+    imp = _sql_str(KG + impact_local)
+    return (kg_triples_cte() + f"""
+SELECT 'usage' AS kind, subject, predicate, CAST(1 AS BIGINT) AS n
+FROM triples WHERE object = {uri} AND object_kind = 'uri'
+UNION ALL
+SELECT 'impact::direct_triples', '', '',
+       (SELECT COUNT(*) FROM triples WHERE subject = {imp})
+UNION ALL
+SELECT 'impact::inbound_refs', '', '',
+       (SELECT COUNT(*) FROM triples WHERE object = {imp}
+          AND object_kind = 'uri')
+UNION ALL
+SELECT 'impact::as_predicate', '', '',
+       (SELECT COUNT(*) FROM triples WHERE predicate = {imp})""")
+
+
+def sql_kg_bgp() -> str:
+    """Mirror of queries.kg_bgp: each BGP leg is a plain self-join of
+    the triples CTE; the binding string concatenates the variables in
+    sorted-name order exactly like stages/bgp.bgp_bindings_tagged.
+    String inequality (?a < ?b) compares ASCII URIs, where DuckDB's
+    byte collation and Python's code-point order agree."""
+    rt, pl, pref = _sql_str(RDF_TYPE), _sql_str(KG_PLACE), _sql_str(PREF_LABEL)
+    role, used = _sql_str(KG_ROLE), _sql_str(KG_USED_TOOL)
+    men, inconv = _sql_str(KG_MENTIONS), _sql_str(KG_IN_CONVERSATION)
+    return (kg_triples_cte() + f"""
+SELECT 'place_labels' AS q,
+       '?e=' || t1.subject || '|?l=' || t2.object AS binding
+FROM triples t1 JOIN triples t2 ON t1.subject = t2.subject
+WHERE t1.predicate = {rt} AND t1.object = {pl} AND t2.predicate = {pref}
+UNION ALL
+SELECT 'tool_turns', '?t=' || t1.subject || '|?tool=' || t2.object
+FROM triples t1 JOIN triples t2 ON t1.subject = t2.subject
+WHERE t1.predicate = {role} AND t1.object = 'tool'
+  AND t2.predicate = {used}
+UNION ALL
+SELECT 'comention', '?a=' || t1.object || '|?b=' || t2.object
+FROM triples t1 JOIN triples t2 ON t1.subject = t2.subject
+WHERE t1.predicate = {men} AND t2.predicate = {men}
+  AND t1.object < t2.object
+UNION ALL
+SELECT 'mention_chain',
+       '?c=' || t3.object || '|?e=' || t1.object || '|?t=' || t1.subject
+FROM triples t1
+JOIN triples t2 ON t1.object = t2.subject
+JOIN triples t3 ON t1.subject = t3.subject
+WHERE t1.predicate = {men} AND t2.predicate = {rt} AND t2.object = {pl}
+  AND t3.predicate = {inconv}""")
+
+
 def sql_kg_turn_text_by_role(role: str = "tool") -> str:
     """Predicate+filter projection: text of all turns with a role."""
     return (kg_triples_cte() + f"""
@@ -2152,7 +2207,24 @@ UNION ALL SELECT CAST(-1 AS BIGINT),
 FROM bloom_chunks
 UNION ALL SELECT CAST(-1 AS BIGINT), 'bloom_q' || kind || ':' || tok,
   CAST(present AS BIGINT)
-FROM bloom_q"""
+FROM bloom_q{_quantile_legs_sql()}"""
+
+
+def _quantile_legs_sql() -> str:
+    """r5: exact-quantile legs over the per-doc token counts — the
+    explicit rank-ceil(q*n) order statistic (same contract as
+    stages/textops.exact_quantiles; no interpolation ambiguity)."""
+    from ..stages.textops import QUANTILE_QS
+
+    legs = []
+    for q in QUANTILE_QS:
+        legs.append(
+            f"\nUNION ALL SELECT CAST(-1 AS BIGINT), "
+            f"'q{int(round(q * 100))}:n_tokens', v FROM ("
+            f"SELECT n_tokens AS v, ROW_NUMBER() OVER (ORDER BY n_tokens)"
+            f" AS rn, COUNT(*) OVER () AS nn FROM tc) "
+            f"WHERE rn = GREATEST(1, CAST(CEIL({q} * nn) AS BIGINT))")
+    return "".join(legs)
 
 
 def sql_doc_dedups() -> str:

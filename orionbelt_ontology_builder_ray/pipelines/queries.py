@@ -447,6 +447,80 @@ def kg_usages(sf_dir, entity_local="region-europe"):
         batch_format="pyarrow")
 
 
+def kg_usage_impacts(sf_dir, entity_local="region-europe",
+                     impact_local="place-nation_1"):
+    """Tagged union consolidating the two inbound-reference surfaces
+    into ONE driver slot (freeing a slot for kg_bgp under the 50-slot
+    harness cap): ``usage`` rows = kg_usages(region-europe) inbound
+    (subject, predicate) pairs; ``impact::<metric>`` rows =
+    kg_delete_impact(place-nation_1) counts (om:371-455, 2351-2396).
+    Common schema (kind, subject, predicate, n)."""
+    usages = kg_usages(sf_dir, entity_local)
+
+    def tag_usage(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(["usage"] * len(t), pa.string()),
+            "subject": t["subject"].cast(pa.string()),
+            "predicate": t["predicate"].cast(pa.string()),
+            "n": pa.array([1] * len(t), pa.int64())})
+
+    impact = kg_delete_impact(sf_dir, impact_local)
+    imp_rows = pa.table({
+        "kind": pa.array([f"impact::{c}" for c in impact.column_names],
+                         pa.string()),
+        "subject": pa.array([""] * impact.num_columns, pa.string()),
+        "predicate": pa.array([""] * impact.num_columns, pa.string()),
+        "n": pa.array([impact[c][0].as_py() for c in impact.column_names],
+                      pa.int64())})
+    import ray.data as rd
+
+    return usages.map_batches(tag_usage, batch_format="pyarrow") \
+        .union(rd.from_arrow(imp_rows))
+
+
+def kg_bgp(sf_dir):
+    """SPARQL-style basic-graph-pattern queries over the flagship KG
+    (stages/bgp.py) — the generic conjunctive-query surface the
+    reference exposes only as fixed listings (om:2301-2396).  Four
+    BGP shapes in one tagged union, each solution row folded to a
+    canonical ``?a=..|?b=..`` binding string:
+
+    - ``place_labels``  2-pattern subject-subject join
+      (?e rdf:type kg:Place)(?e skos:prefLabel ?l)
+    - ``tool_turns``    star join with a literal constant
+      (?t kg:role "tool")(?t kg:usedTool ?tool)
+    - ``comention``     self-join + inequality filter ?a < ?b
+      (?t kg:mentions ?a)(?t kg:mentions ?b)
+    - ``mention_chain`` 3-pattern chain across subject AND object
+      (?t kg:mentions ?e)(?e rdf:type kg:Place)(?t kg:inConversation ?c)
+    """
+    from ..functions.kg import KG_IN_CONVERSATION, KG_PLACE, KG_ROLE
+    from ..stages.bgp import bgp_bindings_tagged
+
+    ds = _triples(sf_dir)
+    legs = [
+        bgp_bindings_tagged(ds, "place_labels", [
+            ("?e", RDF_TYPE, KG_PLACE),
+            ("?e", PREF_LABEL, "?l")]),
+        bgp_bindings_tagged(ds, "tool_turns", [
+            ("?t", KG_ROLE, "tool"),
+            ("?t", KG_USED_TOOL, "?tool")]),
+        bgp_bindings_tagged(ds, "comention", [
+            ("?t", KG_MENTIONS, "?a"),
+            ("?t", KG_MENTIONS, "?b")],
+            select=["?a", "?b"],
+            filters=[("?a", "<", "?b")]),
+        bgp_bindings_tagged(ds, "mention_chain", [
+            ("?t", KG_MENTIONS, "?e"),
+            ("?e", RDF_TYPE, KG_PLACE),
+            ("?t", KG_IN_CONVERSATION, "?c")]),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.union(leg)
+    return out
+
+
 def kg_turn_text_by_role(sf_dir, role="tool"):
     ds = _transcripts(sf_dir)
 
@@ -598,8 +672,8 @@ def doc_token_stats(sf_dir):
 
     from ..stages.textops import corpus_vocab, oov_counts
 
-    counts = doc_token_counts(sf_dir).map_batches(
-        melt, batch_format="pyarrow")
+    tc = doc_token_counts(sf_dir)
+    counts = tc.map_batches(melt, batch_format="pyarrow")
     grams = doc_ngram_stats(sf_dir).map_batches(
         tag_bigrams, batch_format="pyarrow")
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -802,11 +876,24 @@ def doc_token_stats(sf_dir):
         "metric": pa.array([f"bm25_r{r}" for r in bm["rank"]],
                            pa.string()),
         "n": pa.array(bm["score_e6"].to_numpy(np.int64))}))
+    # r5: exact distributed quantiles (order statistics) over the
+    # per-doc token counts — corpus-grain rows q<pct>:n_tokens with
+    # the explicit rank-ceil(q*n) contract (textops.exact_quantiles:
+    # per-block distinct-value partials, distinct-value-sized shuffle,
+    # driver rank scan), mirrored by a ROW_NUMBER order statistic
+    from ..stages.textops import QUANTILE_QS, exact_quantiles
+
+    qv = exact_quantiles(tc, "n_tokens", qs=QUANTILE_QS)
+    quant_rows = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.full(len(qv), -1, np.int64)),
+        "metric": pa.array(
+            [f"q{int(round(q * 100))}:n_tokens" for q in qv], pa.string()),
+        "n": pa.array(np.array(list(qv.values()), np.int64))}))
     return counts.union(grams).union(oov).union(vocab_rows) \
         .union(lm_rows).union(dsir_rows).union(bpe_rows) \
         .union(ccnet_rows).union(enc_rows).union(clf_rows) \
         .union(tfidf_rows).union(hll_rows).union(bm25_rows) \
-        .union(cms_rows).union(bloom_rows)
+        .union(cms_rows).union(bloom_rows).union(quant_rows)
 
 
 def doc_repetition(sf_dir):

@@ -915,3 +915,52 @@ def dsir_scores(ds, target_ds, alpha: float = 0.5, min_count: int = 2,
             target_ref=tref, source_ref=sref, alpha=alpha,
             id_col=id_col, text_col=text_col),
         batch_format="pandas", concurrency=pool_spec())
+
+
+def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact distributed order statistics over an integer column.
+
+    Contract: the q-quantile is the value at 1-indexed rank
+    ``ceil(q * n)`` of the sorted column (the discrete / lower
+    ``quantile_disc`` convention) — an explicit order statistic both
+    engines can compute without interpolation ambiguity.
+
+    Scale shape: each block reduces to its DISTINCT (value, count)
+    pairs inside ``map_batches`` (combiner before shuffle), the
+    ``groupby(value).sum`` shuffle moves only distinct values, and the
+    driver's final cumsum rank scan holds one row per distinct value —
+    for bounded-domain integer surfaces (token counts, turn lengths,
+    durations) that is thousands of rows at 100 TB.  For genuinely
+    unbounded or float domains, quantize to a fixed grid first (the
+    same move CCNet's bucket assignment makes) or use the two-phase
+    distributed rank in stages/pack.global_rank_buckets.
+
+    Returns {q: value} with Python ints; empty input raises.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, counts = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(vals, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    vc = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").aggregate(Sum("n", alias_name="n")).to_pandas()
+    if not len(vc):
+        raise ValueError(f"exact_quantiles over empty column {col!r}")
+    vc = vc.sort_values("value").reset_index(drop=True)
+    cum = vc["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    out = {}
+    for q in qs:
+        rank = int(np.ceil(q * total))
+        rank = max(1, min(rank, total))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out[q] = int(vc["value"].iloc[idx])
+    return out
+
+
+# the quantile grid shared by queries.doc_token_stats and its oracle
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)

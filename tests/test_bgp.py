@@ -1,0 +1,155 @@
+"""BGP (basic-graph-pattern) matcher: brute-force join parity,
+filters, planning guards (stages/bgp.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from orionbelt_ontology_builder_ray.stages.bgp import (
+    bgp_bindings_tagged, match_bgp)
+
+EX = "http://ex.org/"
+TYPE = EX + "type"
+KNOWS = EX + "knows"
+NAME = EX + "name"
+PERSON = EX + "Person"
+
+
+def _triples_df():
+    rows = [
+        (EX + "a", TYPE, PERSON),
+        (EX + "b", TYPE, PERSON),
+        (EX + "c", TYPE, EX + "Robot"),
+        (EX + "a", KNOWS, EX + "b"),
+        (EX + "a", KNOWS, EX + "c"),
+        (EX + "b", KNOWS, EX + "a"),
+        (EX + "a", NAME, "Alice"),
+        (EX + "b", NAME, "Bob"),
+        (EX + "c", NAME, "Càrl"),
+        (EX + "loop", EX + "self", EX + "loop"),
+    ]
+    return pd.DataFrame(rows, columns=["subject", "predicate", "object"])
+
+
+def _ds(ray_session, df, blocks=3):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def _brute(df, patterns, select=None, filters=()):
+    """Reference evaluator: pandas merges in the given order."""
+    acc = None
+    for pat in patterns:
+        m = df
+        names = {}
+        for col, t in zip(("subject", "predicate", "object"), pat):
+            if t.startswith("?"):
+                names[col] = t[1:]
+            else:
+                m = m[m[col] == t]
+        # repeated var inside a pattern
+        cols = list(names)
+        for a in cols:
+            for b in cols:
+                if a < b and names[a] == names[b]:
+                    m = m[m[a] == m[b]]
+        part = m[cols].rename(columns=names)
+        part = part.loc[:, ~part.columns.duplicated()]
+        if acc is None:
+            acc = part
+        else:
+            on = [c for c in acc.columns if c in part.columns]
+            acc = acc.merge(part, on=on, how="inner")
+    for a, op, b in filters:
+        lhs = acc[a[1:]]
+        rhs = acc[b[1:]] if b.startswith("?") else b
+        acc = acc[eval(f"lhs {op if op != '=' else '=='} rhs")]
+    keep = sorted(acc.columns) if select is None else [v[1:] for v in select]
+    return acc[keep].reset_index(drop=True)
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("patterns,select,filters", [
+    # single pattern, one constant
+    ([("?s", TYPE, PERSON)], None, ()),
+    # subject-subject join
+    ([("?s", TYPE, PERSON), ("?s", NAME, "?n")], None, ()),
+    # chain join across subject/object
+    ([("?a", KNOWS, "?b"), ("?b", TYPE, PERSON)], None, ()),
+    # 3-pattern chain + projection
+    ([("?a", KNOWS, "?b"), ("?b", TYPE, PERSON), ("?a", NAME, "?n")],
+     ["?n", "?b"], ()),
+    # self-join with inequality filter
+    ([("?t", KNOWS, "?x"), ("?t", KNOWS, "?y")], ["?x", "?y"],
+     [("?x", "<", "?y")]),
+    # filter against a constant
+    ([("?s", NAME, "?n")], None, [("?n", ">=", "B")]),
+])
+def test_bgp_matches_brute_force(ray_session, patterns, select, filters):
+    df = _triples_df()
+    got = match_bgp(_ds(ray_session, df), patterns, select=select,
+                    filters=filters, num_buckets=4).to_pandas()
+    want = _brute(df, patterns, select=select, filters=filters)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_repeated_var_in_one_pattern(ray_session):
+    df = _triples_df()
+    got = match_bgp(_ds(ray_session, df),
+                    [("?x", EX + "self", "?x")]).to_pandas()
+    assert sorted(got["x"]) == [EX + "loop"]
+
+
+def test_multiset_semantics(ray_session):
+    # projecting ?t away keeps one row per (t, x) solution
+    df = _triples_df()
+    got = match_bgp(_ds(ray_session, df),
+                    [("?t", KNOWS, "?x"), ("?t", TYPE, PERSON)],
+                    select=["?t"]).to_pandas()
+    assert sorted(got["t"]) == [EX + "a", EX + "a", EX + "b"]
+
+
+def test_disconnected_bgp_raises(ray_session):
+    with pytest.raises(ValueError, match="disconnected"):
+        match_bgp(_ds(ray_session, _triples_df()),
+                  [("?a", TYPE, PERSON), ("?b", NAME, "?n")])
+
+
+def test_unbound_select_and_filter_raise(ray_session):
+    ds = _ds(ray_session, _triples_df())
+    with pytest.raises(ValueError, match="not bound"):
+        match_bgp(ds, [("?s", TYPE, PERSON)], select=["?zz"]).to_pandas()
+    with pytest.raises(ValueError, match="unbound"):
+        match_bgp(ds, [("?s", TYPE, PERSON)],
+                  filters=[("?s", "<", "?zz")])
+
+
+def test_bad_pattern_shape():
+    with pytest.raises(ValueError):
+        match_bgp(None, [("?s", TYPE)])
+    with pytest.raises(ValueError):
+        match_bgp(None, [])
+
+
+def test_tagged_binding_fold(ray_session):
+    out = bgp_bindings_tagged(
+        _ds(ray_session, _triples_df()), "pn",
+        [("?s", TYPE, PERSON), ("?s", NAME, "?n")]).to_pandas()
+    assert set(out["q"]) == {"pn"}
+    assert f"?n=Alice|?s={EX}a" in set(out["binding"])
+    assert len(out) == 2
+
+
+def test_partition_invariance(ray_session):
+    df = _triples_df()
+    pats = [("?a", KNOWS, "?b"), ("?b", NAME, "?n")]
+    one = match_bgp(_ds(ray_session, df, blocks=1), pats,
+                    num_buckets=2).to_pandas()
+    many = match_bgp(_ds(ray_session, df, blocks=7), pats,
+                     num_buckets=16).to_pandas()
+    pd.testing.assert_frame_equal(_canon(one), _canon(many))

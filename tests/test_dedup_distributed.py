@@ -1379,3 +1379,40 @@ def test_semdedup_embeddings_brute_force(ray_session):
         .sort_values("vec_id").reset_index(drop=True)
     got = dict(zip(out["vec_id"].astype(int), out["cluster"].astype(int)))
     assert got == expect
+
+
+def test_exact_quantiles_brute_force(ray_session):
+    """rank-ceil(q*n) order statistic vs numpy sort, multiple
+    partitionings and duplicate-heavy values."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.textops import exact_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.randint(0, 50, 500),
+                           np.full(100, 13)]).astype(np.int64)
+    df = pd.DataFrame({"n_tokens": vals})
+    qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    want = {}
+    srt = np.sort(vals)
+    for q in qs:
+        rank = max(1, min(int(np.ceil(q * len(vals))), len(vals)))
+        want[q] = int(srt[rank - 1])
+    for nparts in (1, 7):
+        got = exact_quantiles(rd.from_pandas(df).repartition(nparts),
+                              "n_tokens", qs=qs)
+        assert got == want, nparts
+
+
+def test_exact_quantiles_empty_raises(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.textops import exact_quantiles
+
+    empty = rd.from_pandas(pd.DataFrame({"n_tokens": pd.Series([], dtype="int64")}))
+    with pytest.raises(ValueError, match="empty"):
+        exact_quantiles(empty, "n_tokens")

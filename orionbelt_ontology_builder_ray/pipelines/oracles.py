@@ -647,7 +647,14 @@ FROM triples t1
 JOIN triples t2 ON t1.object = t2.subject
 JOIN triples t3 ON t1.subject = t3.subject
 WHERE t1.predicate = {men} AND t2.predicate = {rt} AND t2.object = {pl}
-  AND t3.predicate = {inconv}""")
+  AND t3.predicate = {inconv}
+UNION ALL
+SELECT 'turn_tool_opt',
+       '?t=' || t1.subject || '|?tool=' || COALESCE(t2.object, 'NULL')
+FROM triples t1
+LEFT JOIN triples t2 ON t1.subject = t2.subject
+  AND t2.predicate = {used}
+WHERE t1.predicate = {rt} AND t1.object = {_sql_str(KG + 'Turn')}""")
 
 
 def sql_kg_turn_text_by_role(role: str = "tool") -> str:

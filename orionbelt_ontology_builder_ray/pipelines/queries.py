@@ -514,6 +514,11 @@ def kg_bgp(sf_dir):
             ("?t", KG_MENTIONS, "?e"),
             ("?e", RDF_TYPE, KG_PLACE),
             ("?t", KG_IN_CONVERSATION, "?c")]),
+        # SPARQL OPTIONAL: every Turn, left-joined to its usedTool
+        # (only ~20% of turns have one -> 'NULL' sentinel bindings)
+        bgp_bindings_tagged(ds, "turn_tool_opt", [
+            ("?t", RDF_TYPE, KG + "Turn")],
+            optional=[("?t", KG_USED_TOOL, "?tool")]),
     ]
     out = legs[0]
     for leg in legs[1:]:

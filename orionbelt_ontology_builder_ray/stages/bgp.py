@@ -95,9 +95,11 @@ def _bucket_hash(df: pd.DataFrame, key_vars, num_buckets: int) -> np.ndarray:
     return (h % num_buckets).to_numpy().astype(np.int32)
 
 
-def _equijoin(left_ds, left_vars, right_ds, right_vars, num_buckets: int):
-    """Bucket-hash inner join of two binding Datasets on their shared
-    variables.  Both sides ship only their binding columns; the join
+def _equijoin(left_ds, left_vars, right_ds, right_vars, num_buckets: int,
+              how: str = "inner"):
+    """Bucket-hash join of two binding Datasets on their shared
+    variables (``how``: inner for required patterns, left for
+    OPTIONAL).  Both sides ship only their binding columns; the join
     itself is one vectorized ``pd.merge`` per bucket."""
     on = sorted(left_vars & right_vars)
     all_vars = sorted(left_vars | right_vars)
@@ -121,11 +123,16 @@ def _equijoin(left_ds, left_vars, right_ds, right_vars, num_buckets: int):
     def join(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][sorted(left_vars)]
         r = g[g["_side"] == 1][sorted(right_vars)]
-        if not len(l) or not len(r):
+        if not len(l) or (how == "inner" and not len(r)):
             return pd.DataFrame({v: pd.Series([], dtype=object)
                                  for v in all_vars})
-        m = l.merge(r, on=on, how="inner")
-        return m[all_vars]
+        m = l.merge(r, on=on, how=how)
+        out = m[all_vars]
+        if how == "left":
+            # unmatched OPTIONAL vars surface as None (folded to the
+            # 'NULL' sentinel by bgp_bindings_tagged / COALESCE in SQL)
+            out = out.astype(object).where(out.notna(), None)
+        return out
 
     return unioned.groupby("_bucket").map_groups(join,
                                                  batch_format="pandas"), \
@@ -166,10 +173,18 @@ def _apply_filters(ds, bound, filters, applied):
 
 
 def match_bgp(triples_ds, patterns, select=None, filters=(),
-              num_buckets: int = 32):
+              optional=(), num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one
     string column per selected variable (all variables if ``select``
-    is None, sorted by name)."""
+    is None, sorted by name).
+
+    ``optional`` patterns are SPARQL OPTIONAL: each is LEFT-joined
+    against the required bindings after all required patterns, so
+    solutions survive with ``None`` for the optional variables when
+    the pattern has no match.  Optional patterns must join on
+    required-bound variables (join keys can't themselves be nullable),
+    and ``filters`` may reference required variables only — the two
+    standard restrictions that keep left-join semantics unambiguous."""
     if not patterns:
         raise ValueError("empty BGP")
     scans = []
@@ -205,6 +220,21 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
         missing = [filters[i] for i in range(len(filters))
                    if i not in applied]
         raise ValueError(f"filter references unbound variable: {missing}")
+    required_bound = set(bound)
+    for pat in optional:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be (s, p, o): {pat!r}")
+        rds, rvars = _scan_pattern(triples_ds, pat)
+        on = rvars & bound
+        if not on:
+            raise ValueError(f"OPTIONAL pattern shares no variable with "
+                             f"the required BGP: {pat!r}")
+        if not on <= required_bound:
+            raise ValueError(
+                "OPTIONAL pattern joins on a nullable optional "
+                f"variable: {sorted(on - required_bound)}")
+        cur, bound = _equijoin(cur, bound, rds, rvars, num_buckets,
+                               how="left")
     keep = sorted(bound) if select is None \
         else [v[1:] for v in select]
     for v in keep:
@@ -212,27 +242,30 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
             raise ValueError(f"selected variable ?{v} not bound by the BGP")
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({v: df[v].astype(str) for v in keep})
+        out = df[keep].astype(object)
+        return out.where(out.notna(), None)
 
     return cur.map_batches(project, batch_format="pandas")
 
 
 def bgp_bindings_tagged(triples_ds, name: str, patterns, select=None,
-                        filters=(), num_buckets: int = 32):
+                        filters=(), optional=(), num_buckets: int = 32):
     """Run a BGP and fold each solution into ONE canonical string
-    ``?a=v1|?b=v2`` (variables sorted by name) so BGPs of different
-    shapes can share a tagged union slot: output (q, binding)."""
+    ``?a=v1|?b=v2`` (variables sorted by name, unmatched OPTIONAL
+    variables as the ``NULL`` sentinel — COALESCE in the SQL mirror)
+    so BGPs of different shapes can share a tagged union slot:
+    output (q, binding)."""
     ds = match_bgp(triples_ds, patterns, select=select, filters=filters,
-                   num_buckets=num_buckets)
+                   optional=optional, num_buckets=num_buckets)
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         cols = sorted(df.columns)
         if not len(df):
             return pd.DataFrame({"q": pd.Series([], dtype=object),
                                  "binding": pd.Series([], dtype=object)})
-        s = "?" + cols[0] + "=" + df[cols[0]].astype(str)
+        s = "?" + cols[0] + "=" + df[cols[0]].fillna("NULL").astype(str)
         for c in cols[1:]:
-            s = s + "|?" + c + "=" + df[c].astype(str)
+            s = s + "|?" + c + "=" + df[c].fillna("NULL").astype(str)
         return pd.DataFrame({"q": np.full(len(df), name, dtype=object),
                              "binding": s.to_numpy()})
 

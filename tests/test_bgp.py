@@ -153,3 +153,39 @@ def test_partition_invariance(ray_session):
     many = match_bgp(_ds(ray_session, df, blocks=7), pats,
                      num_buckets=16).to_pandas()
     pd.testing.assert_frame_equal(_canon(one), _canon(many))
+
+
+def test_optional_left_join(ray_session):
+    df = _triples_df()
+    # every Person, optionally their knows target: 'a' knows b,c;
+    # 'b' knows a; no unmatched person here, so extend with 'd'
+    df2 = pd.concat([df, pd.DataFrame(
+        [(EX + "d", TYPE, PERSON)],
+        columns=["subject", "predicate", "object"])], ignore_index=True)
+    got = match_bgp(_ds(ray_session, df2),
+                    [("?p", TYPE, PERSON)],
+                    optional=[("?p", KNOWS, "?x")]).to_pandas()
+    rows = set(zip(got["p"], got["x"].where(got["x"].notna(), "NULL")))
+    assert rows == {(EX + "a", EX + "b"), (EX + "a", EX + "c"),
+                    (EX + "b", EX + "a"), (EX + "d", "NULL")}
+
+
+def test_optional_fold_null_sentinel(ray_session):
+    df = pd.concat([_triples_df(), pd.DataFrame(
+        [(EX + "d", TYPE, PERSON)],
+        columns=["subject", "predicate", "object"])], ignore_index=True)
+    out = bgp_bindings_tagged(_ds(ray_session, df), "opt",
+                              [("?p", TYPE, PERSON)],
+                              optional=[("?p", KNOWS, "?x")]).to_pandas()
+    assert f"?p={EX}d|?x=NULL" in set(out["binding"])
+
+
+def test_optional_guards(ray_session):
+    ds = _ds(ray_session, _triples_df())
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(ds, [("?p", TYPE, PERSON)],
+                  optional=[("?z", KNOWS, "?w")])
+    with pytest.raises(ValueError, match="nullable optional"):
+        match_bgp(ds, [("?p", TYPE, PERSON)],
+                  optional=[("?p", KNOWS, "?x"),
+                            ("?x", NAME, "?n")])

@@ -473,6 +473,22 @@ def run_bench() -> dict:
     t0 = time.time()
     linkpred_scores(_pairs).count()
     queries["kg_linkpred"] = round(time.time() - t0, 3)
+    # SPARQL-style BGP: the 3-pattern mention_chain (two bucket-hash
+    # equijoins over binding columns only) — the generic conjunctive-
+    # query surface, timed over the stored headline triples
+    from orionbelt_ontology_builder_ray.functions.kg import (
+        KG_IN_CONVERSATION, KG_PLACE)
+    from orionbelt_ontology_builder_ray.functions.terms import RDF_TYPE
+    from orionbelt_ontology_builder_ray.stages.bgp import match_bgp
+
+    t0 = time.time()
+    match_bgp(rd.read_parquet(
+        out_dir, columns=["subject", "predicate", "object"]),
+        [("?t", KG_MENTIONS, "?e"),
+         ("?e", RDF_TYPE, KG_PLACE),
+         ("?t", KG_IN_CONVERSATION, "?c")],
+        num_buckets=max(32, NUM_CPUS * 2)).count()
+    queries["kg_bgp_chain"] = round(time.time() - t0, 3)
     # Bloom membership filter (production fast hash; one corpus
     # scan, bitwise-OR partials, zero shuffles)
     from orionbelt_ontology_builder_ray.stages.sketch import bloom_bits

@@ -14,7 +14,8 @@ from ..functions.kg import (
     KG_PLACE, KG_REGION, KG_ROLE, KG_TEXT, KG_TOOL, KG_TURN, KG_TURN_INDEX,
     KG_USED_TOOL, LABEL, NAMED_INDIVIDUAL, PREF_LABEL, seed_schema_store,
 )
-from ..functions.terms import RDF_TYPE, XSD_DATETIME, XSD_INTEGER
+from ..functions.terms import (RDF_TYPE, RDFS_SUBCLASSOF, XSD_DATETIME,
+                               XSD_INTEGER)
 from ..sources.transcripts import TRANSCRIPTS_SQL
 
 
@@ -654,7 +655,29 @@ SELECT 'turn_tool_opt',
 FROM triples t1
 LEFT JOIN triples t2 ON t1.subject = t2.subject
   AND t2.predicate = {used}
-WHERE t1.predicate = {rt} AND t1.object = {_sql_str(KG + 'Turn')}""")
+WHERE t1.predicate = {rt} AND t1.object = {_sql_str(KG + 'Turn')}
+UNION ALL
+SELECT 'place_mention_counts',
+       '?e=' || e || '|?n=' || CAST(n AS VARCHAR)
+FROM (
+  SELECT t1.object AS e, COUNT(*) AS n
+  FROM triples t1
+  JOIN triples t2 ON t1.object = t2.subject
+  JOIN triples t3 ON t1.subject = t3.subject
+  WHERE t1.predicate = {men} AND t2.predicate = {rt}
+    AND t2.object = {pl} AND t3.predicate = {inconv}
+  GROUP BY t1.object)
+UNION ALL
+SELECT 'subclass_path', '?a=' || e || '|?c=' || s
+FROM (
+  WITH RECURSIVE cl AS (
+    SELECT subject AS s, object AS e FROM triples
+    WHERE predicate = {_sql_str(RDFS_SUBCLASSOF)}
+    UNION
+    SELECT cl.s, t.object AS e FROM cl
+    JOIN triples t ON cl.e = t.subject
+    WHERE t.predicate = {_sql_str(RDFS_SUBCLASSOF)}
+  ) SELECT s, e FROM cl)""")
 
 
 def sql_kg_turn_text_by_role(role: str = "tool") -> str:

@@ -495,7 +495,8 @@ def kg_bgp(sf_dir):
       (?t kg:mentions ?e)(?e rdf:type kg:Place)(?t kg:inConversation ?c)
     """
     from ..functions.kg import KG_IN_CONVERSATION, KG_PLACE, KG_ROLE
-    from ..stages.bgp import bgp_bindings_tagged
+    from ..stages.bgp import (bgp_bindings_tagged, bgp_group_count,
+                              property_path_closure)
 
     ds = _triples(sf_dir)
     legs = [
@@ -519,7 +520,28 @@ def kg_bgp(sf_dir):
         bgp_bindings_tagged(ds, "turn_tool_opt", [
             ("?t", RDF_TYPE, KG + "Turn")],
             optional=[("?t", KG_USED_TOOL, "?tool")]),
+        # SPARQL aggregation: GROUP BY ?e COUNT(*) over mention_chain
+        bgp_group_count(ds, "place_mention_counts", [
+            ("?t", KG_MENTIONS, "?e"),
+            ("?e", RDF_TYPE, KG_PLACE),
+            ("?t", KG_IN_CONVERSATION, "?c")], by="?e"),
     ]
+    # SPARQL property path rdfs:subClassOf+ : iterative-squaring
+    # transitive closure (distinct (start, ancestor) pairs), mirrored
+    # by a WITH RECURSIVE CTE
+    from ..functions.terms import RDFS_SUBCLASSOF
+
+    def fold_path(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"q": pd.Series([], dtype=object),
+                                 "binding": pd.Series([], dtype=object)})
+        b = "?a=" + df["e"].astype(str) + "|?c=" + df["s"].astype(str)
+        return pd.DataFrame({
+            "q": np.full(len(df), "subclass_path", dtype=object),
+            "binding": b.to_numpy()})
+
+    legs.append(property_path_closure(ds, RDFS_SUBCLASSOF)
+                .map_batches(fold_path, batch_format="pandas"))
     out = legs[0]
     for leg in legs[1:]:
         out = out.union(leg)

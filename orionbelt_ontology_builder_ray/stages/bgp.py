@@ -95,6 +95,40 @@ def _bucket_hash(df: pd.DataFrame, key_vars, num_buckets: int) -> np.ndarray:
     return (h % num_buckets).to_numpy().astype(np.int32)
 
 
+# a side at most this many binding rows is collected once, ray.put,
+# and probed inside map_batches on the other side — zero shuffle (the
+# broadcast-small-sides doctrine; above it, the bucket-hash shuffle
+# join below is the fallback).  100k URI-string rows ~ 10 MB.
+BGP_BROADCAST_ROWS = 100_000
+
+
+def _broadcast_join(big_ds, big_vars, small_ds, small_vars, how: str):
+    """Join with the SMALL side broadcast: one driver collect of the
+    small binding table (bounded by BGP_BROADCAST_ROWS at the call
+    site), ray.put once, vectorized pd.merge inside every batch of
+    the big side — the big side never shuffles at all."""
+    import ray
+
+    on = sorted(big_vars & small_vars)
+    all_vars = sorted(big_vars | small_vars)
+    small = small_ds.to_pandas()
+    for v in sorted(small_vars):
+        small[v] = small[v].astype(str)
+    ref = ray.put(small)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        for v in on:
+            df[v] = df[v].astype(str)
+        m = df.merge(ray.get(ref), on=on, how=how)
+        out = m[all_vars]
+        if how == "left":
+            out = out.astype(object).where(out.notna(), None)
+        return out
+
+    return big_ds.map_batches(probe, batch_format="pandas"), set(all_vars)
+
+
 def _equijoin(left_ds, left_vars, right_ds, right_vars, num_buckets: int,
               how: str = "inner"):
     """Bucket-hash join of two binding Datasets on their shared
@@ -106,6 +140,10 @@ def _equijoin(left_ds, left_vars, right_ds, right_vars, num_buckets: int,
 
     def tag(side, cols):
         def f(df: pd.DataFrame) -> pd.DataFrame:
+            # upstream stages may hand over filtered frames with a
+            # non-Range index (e.g. drop_duplicates); reset so the
+            # fresh None-Series below align row-for-row
+            df = df.reset_index(drop=True)
             out = pd.DataFrame(
                 {v: df[v].astype(str) if v in cols
                  else pd.Series([None] * len(df), dtype=object)
@@ -116,9 +154,13 @@ def _equijoin(left_ds, left_vars, right_ds, right_vars, num_buckets: int,
             return out
         return f
 
+    # coalesce before the bucket shuffle: the sort's fixed cost grows
+    # with block COUNT (hundreds of ~4k-row scan blocks measured 5x
+    # slower than the same rows in ~2x-bucket blocks)
     unioned = left_ds.map_batches(tag(0, left_vars), batch_format="pandas") \
         .union(right_ds.map_batches(tag(1, right_vars),
-                                    batch_format="pandas"))
+                                    batch_format="pandas")) \
+        .repartition(num_buckets)
 
     def join(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][sorted(left_vars)]
@@ -191,14 +233,34 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
     for pat in patterns:
         if len(pat) != 3:
             raise ValueError(f"pattern must be (s, p, o): {pat!r}")
-        scans.append((_scan_pattern(triples_ds, pat),
+        # materialize each pattern scan once: the join needs the whole
+        # binding table anyway, and the known row count drives the
+        # broadcast-vs-shuffle choice per join
+        ds, vars_ = _scan_pattern(triples_ds, pat)
+        ds = ds.materialize()
+        scans.append(((ds, vars_, ds.count()),
                       sum(0 if _is_var(t) else 1 for t in pat)))
+
+    def joined(cur, bound, cur_n, rds, rvars, r_n, how="inner"):
+        """Pick the join strategy: broadcast the small side when one
+        fits under BGP_BROADCAST_ROWS (for how='left' only the right
+        side may broadcast — left rows must all survive), else the
+        bucket-hash shuffle join."""
+        if r_n <= BGP_BROADCAST_ROWS:
+            out, b = _broadcast_join(cur, bound, rds, rvars, how)
+        elif how == "inner" and cur_n <= BGP_BROADCAST_ROWS:
+            out, b = _broadcast_join(rds, rvars, cur, bound, how)
+        else:
+            out, b = _equijoin(cur, bound, rds, rvars, num_buckets,
+                               how=how)
+        out = out.materialize()
+        return out, b, out.count()
 
     # greedy plan: most constants first, then connected patterns only
     order = sorted(range(len(scans)),
                    key=lambda i: (-scans[i][1], i))
     first = order[0]
-    cur, bound = scans[first][0]
+    cur, bound, cur_n = scans[first][0]
     remaining = [i for i in order if i != first]
     applied: set = set()
     cur, applied = _apply_filters(cur, bound, filters, applied)
@@ -212,8 +274,8 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
             raise ValueError(
                 "disconnected BGP (would require a Cartesian product): "
                 f"bound={sorted(bound)}")
-        (rds, rvars), _ = scans[nxt]
-        cur, bound = _equijoin(cur, bound, rds, rvars, num_buckets)
+        rds, rvars, r_n = scans[nxt][0]
+        cur, bound, cur_n = joined(cur, bound, cur_n, rds, rvars, r_n)
         remaining.remove(nxt)
         cur, applied = _apply_filters(cur, bound, filters, applied)
     if len(applied) != len(filters):
@@ -233,8 +295,9 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
             raise ValueError(
                 "OPTIONAL pattern joins on a nullable optional "
                 f"variable: {sorted(on - required_bound)}")
-        cur, bound = _equijoin(cur, bound, rds, rvars, num_buckets,
-                               how="left")
+        rds = rds.materialize()
+        cur, bound, cur_n = joined(cur, bound, cur_n, rds, rvars,
+                                   rds.count(), how="left")
     keep = sorted(bound) if select is None \
         else [v[1:] for v in select]
     for v in keep:
@@ -270,3 +333,100 @@ def bgp_bindings_tagged(triples_ds, name: str, patterns, select=None,
                              "binding": s.to_numpy()})
 
     return ds.map_batches(fold, batch_format="pandas")
+
+
+def property_path_closure(triples_ds, predicate: str,
+                          num_buckets: int = 32, max_rounds: int = 20):
+    """SPARQL property path ``pred+``: the transitive closure of one
+    predicate's edge set, as a Dataset of DISTINCT (start, end) string
+    pairs.
+
+    Iterative squaring: round k holds every path of length <= 2^k, so
+    a closure of diameter D converges in ceil(log2(D)) rounds — the
+    same doubling trade as the SKOS broader-cycle detector
+    (stages/skos_ops.py), generalized to non-functional graphs.  Each
+    round is one bucket-hash equijoin (cur.end = cur.start) plus a
+    bucket-hash distinct; the driver sees only the per-round pair
+    COUNT for the fixpoint test.  The working set is the closure
+    itself (its size is the honest bound — a dense relation's closure
+    is quadratic no matter the engine); edges ship as 2 string
+    columns throughout.
+    """
+    import pyarrow as pa
+
+    def edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.equal(t["predicate"], predicate))
+        return pa.table({"s": f["subject"].cast(pa.string()),
+                         "e": f["object"].cast(pa.string())})
+
+    def dedup_pairs(ds):
+        def bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_bucket"] = _bucket_hash(df, ["s", "e"], num_buckets) \
+                if len(df) else np.array([], dtype=np.int32)
+            return df
+
+        def uniq(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["s", "e"])[["s", "e"]]
+
+        return ds.map_batches(bucket, batch_format="pandas") \
+            .groupby("_bucket").map_groups(uniq, batch_format="pandas")
+
+    cur = dedup_pairs(
+        triples_ds.map_batches(edges, batch_format="pyarrow")) \
+        .materialize()
+    n = cur.count()
+    if n == 0:
+        return cur
+    for _ in range(max_rounds):
+        # R ∘ R through the generic binding join: rename so the join
+        # key is the shared variable m (left end = right start)
+        left = cur.map_batches(
+            lambda df: df.rename(columns={"e": "m"}),
+            batch_format="pandas")
+        right = cur.map_batches(
+            lambda df: df.rename(columns={"s": "m", "e": "e2"}),
+            batch_format="pandas")
+        joined, _ = _equijoin(left, {"s", "m"}, right, {"m", "e2"},
+                              num_buckets)
+        new = joined.map_batches(
+            lambda df: df[["s", "e2"]].rename(columns={"e2": "e"}),
+            batch_format="pandas")
+        cur = dedup_pairs(cur.union(new)).materialize()
+        n2 = cur.count()
+        if n2 == n:
+            break
+        n = n2
+    else:
+        raise ValueError(
+            f"property_path_closure did not converge in {max_rounds} "
+            f"doubling rounds (diameter > 2^{max_rounds})")
+    return cur
+
+
+def bgp_group_count(triples_ds, name: str, patterns, by: str,
+                    select=None, filters=(), optional=(),
+                    num_buckets: int = 32):
+    """SPARQL aggregation over a BGP: ``SELECT ?by (COUNT(*) AS ?n)
+    WHERE {...} GROUP BY ?by`` — the solution multiset grouped on one
+    variable.  Returns (q, binding) rows with the count folded in as
+    a pseudo-variable ``?n`` so the leg can ride the tagged slot."""
+    from ray.data.aggregate import Count
+
+    ds = match_bgp(triples_ds, patterns, select=select, filters=filters,
+                   optional=optional, num_buckets=num_buckets)
+    var = by[1:]
+    counts = ds.groupby(var).aggregate(Count(alias_name="n"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"q": pd.Series([], dtype=object),
+                                 "binding": pd.Series([], dtype=object)})
+        s = ("?" + var + "=" + df[var].astype(str)
+             + "|?n=" + df["n"].astype(np.int64).astype(str))
+        return pd.DataFrame({"q": np.full(len(df), name, dtype=object),
+                             "binding": s.to_numpy()})
+
+    return counts.map_batches(fold, batch_format="pandas")

@@ -189,3 +189,85 @@ def test_optional_guards(ray_session):
         match_bgp(ds, [("?p", TYPE, PERSON)],
                   optional=[("?p", KNOWS, "?x"),
                             ("?x", NAME, "?n")])
+
+
+def _closure_brute(edges):
+    """Floyd-Warshall-ish reference closure over string pairs."""
+    cur = set(edges)
+    while True:
+        new = cur | {(s, e2) for (s, e) in cur for (s2, e2) in cur
+                     if e == s2}
+        if new == cur:
+            return cur
+        cur = new
+
+
+def _edges_ds(ray_session, edges, pred=EX + "sub", blocks=3):
+    import ray.data as rd
+
+    df = pd.DataFrame([(s, pred, o) for s, o in edges],
+                      columns=["subject", "predicate", "object"])
+    # noise rows under another predicate must be ignored
+    noise = pd.DataFrame([(EX + "x", EX + "other", EX + "y")],
+                         columns=df.columns)
+    return rd.from_pandas(pd.concat([df, noise], ignore_index=True)) \
+        .repartition(blocks)
+
+
+@pytest.mark.parametrize("edges", [
+    # 5-deep chain (needs 3 doubling rounds)
+    [(f"{EX}n{i}", f"{EX}n{i+1}") for i in range(5)],
+    # branching DAG
+    [(EX + "a", EX + "b"), (EX + "a", EX + "c"), (EX + "b", EX + "d"),
+     (EX + "c", EX + "d"), (EX + "d", EX + "e")],
+    # cycle (closure is finite: every node reaches every node)
+    [(EX + "a", EX + "b"), (EX + "b", EX + "c"), (EX + "c", EX + "a")],
+])
+def test_property_path_closure_brute_force(ray_session, edges):
+    from orionbelt_ontology_builder_ray.stages.bgp import (
+        property_path_closure)
+
+    got = property_path_closure(_edges_ds(ray_session, edges),
+                                EX + "sub", num_buckets=4).to_pandas()
+    assert set(zip(got["s"], got["e"])) == _closure_brute(edges)
+    assert len(got) == len(_closure_brute(edges))  # distinct
+
+
+def test_property_path_closure_empty(ray_session):
+    from orionbelt_ontology_builder_ray.stages.bgp import (
+        property_path_closure)
+
+    got = property_path_closure(
+        _edges_ds(ray_session, []), EX + "sub").to_pandas()
+    assert len(got) == 0
+
+
+def test_bgp_group_count(ray_session):
+    from orionbelt_ontology_builder_ray.stages.bgp import bgp_group_count
+
+    out = bgp_group_count(
+        _ds(ray_session, _triples_df()), "knows_counts",
+        [("?p", KNOWS, "?x")], by="?p").to_pandas()
+    got = dict(b.split("|?n=") for b in out["binding"])
+    assert got == {f"?p={EX}a": "2", f"?p={EX}b": "1"}
+    assert set(out["q"]) == {"knows_counts"}
+
+
+def test_shuffle_path_equals_broadcast(ray_session, monkeypatch):
+    """Force the bucket-hash shuffle join (cap=0) and pin equality
+    with the default broadcast path."""
+    import orionbelt_ontology_builder_ray.stages.bgp as bgp_mod
+
+    df = _triples_df()
+    pats = [("?a", KNOWS, "?b"), ("?b", TYPE, PERSON), ("?a", NAME, "?n")]
+    want = match_bgp(_ds(ray_session, df), pats).to_pandas()
+    monkeypatch.setattr(bgp_mod, "BGP_BROADCAST_ROWS", 0)
+    got = match_bgp(_ds(ray_session, df), pats).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    # OPTIONAL through the shuffle path too
+    opt_want_rows = {f"?p={EX}c|?x=NULL"}
+    out = bgp_bindings_tagged(
+        _ds(ray_session, df), "o",
+        [("?p", TYPE, EX + "Robot")],
+        optional=[("?p", KNOWS, "?x")]).to_pandas()
+    assert set(out["binding"]) == opt_want_rows

@@ -677,7 +677,16 @@ FROM (
     SELECT cl.s, t.object AS e FROM cl
     JOIN triples t ON cl.e = t.subject
     WHERE t.predicate = {_sql_str(RDFS_SUBCLASSOF)}
-  ) SELECT s, e FROM cl)""")
+  ) SELECT s, e FROM cl)
+UNION ALL
+SELECT 'construct_comention',
+       a || ' {KG}coMentionedWith ' || b
+       || CASE WHEN b LIKE 'http%' THEN ' uri' ELSE ' literal' END
+FROM (
+  SELECT DISTINCT t1.object AS a, t2.object AS b
+  FROM triples t1 JOIN triples t2 ON t1.subject = t2.subject
+  WHERE t1.predicate = {men} AND t2.predicate = {men}
+    AND t1.object < t2.object)""")
 
 
 def sql_kg_turn_text_by_role(role: str = "tool") -> str:

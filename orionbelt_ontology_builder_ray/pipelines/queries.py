@@ -542,6 +542,29 @@ def kg_bgp(sf_dir):
 
     legs.append(property_path_closure(ds, RDFS_SUBCLASSOF)
                 .map_batches(fold_path, batch_format="pandas"))
+
+    # SPARQL CONSTRUCT: materialize kg:coMentionedWith edges from the
+    # comention BGP — the rule-based-enrichment primitive; the full
+    # constructed triple (s p o kind) rides the binding string
+    from ..stages.bgp import construct_triples
+
+    def fold_con(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"q": pd.Series([], dtype=object),
+                                 "binding": pd.Series([], dtype=object)})
+        b = (df["subject"].astype(str) + " " + df["predicate"].astype(str)
+             + " " + df["object"].astype(str) + " "
+             + df["object_kind"].astype(str))
+        return pd.DataFrame({
+            "q": np.full(len(df), "construct_comention", dtype=object),
+            "binding": b.to_numpy()})
+
+    legs.append(construct_triples(ds, [
+        ("?t", KG_MENTIONS, "?a"),
+        ("?t", KG_MENTIONS, "?b")],
+        template=("?a", KG + "coMentionedWith", "?b"),
+        filters=[("?a", "<", "?b")])
+        .map_batches(fold_con, batch_format="pandas"))
     out = legs[0]
     for leg in legs[1:]:
         out = out.union(leg)

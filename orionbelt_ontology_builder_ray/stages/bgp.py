@@ -430,3 +430,64 @@ def bgp_group_count(triples_ds, name: str, patterns, by: str,
                              "binding": s.to_numpy()})
 
     return counts.map_batches(fold, batch_format="pandas")
+
+
+def construct_triples(triples_ds, patterns, template, select=None,
+                      filters=(), optional=(), num_buckets: int = 32):
+    """SPARQL CONSTRUCT: evaluate the BGP, then instantiate one
+    ``template`` triple (s, p, o) per solution — terms are either
+    ``?var`` references or constants.  The rule-based enrichment
+    primitive: e.g. CONSTRUCT { ?a kg:coMentionedWith ?b } WHERE
+    { ?t kg:mentions ?a . ?t kg:mentions ?b . FILTER(?a < ?b) }.
+
+    Output is full triple-store schema (subject, predicate, object,
+    object_kind, lang, datatype) with object_kind derived by the
+    http-prefix heuristic the reference uses for hasValue literals
+    (ontology_manager.py:1119-1122), so the result unions directly
+    into the store and feeds every downstream stage (dedup,
+    canonicalize, listings).  DISTINCT semantics (a CONSTRUCTed graph
+    is a set): one bucket-hash dedup of the emitted triples."""
+    if len(template) != 3:
+        raise ValueError(f"template must be (s, p, o): {template!r}")
+    tvars = [t[1:] for t in template if _is_var(t)]
+    sel = select
+    if sel is None:
+        sel = ["?" + v for v in dict.fromkeys(tvars)]
+    ds = match_bgp(triples_ds, patterns, select=sel, filters=filters,
+                   optional=optional, num_buckets=num_buckets)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        cols = {}
+        for name, term in zip(("subject", "predicate", "object"),
+                              template):
+            if _is_var(term):
+                cols[name] = df[term[1:]].astype(str)
+            else:
+                cols[name] = pd.Series([term] * len(df), dtype=object)
+        obj = cols["object"]
+        kind = np.where(obj.str.startswith("http"), "uri", "literal")
+        return pd.DataFrame({
+            "subject": cols["subject"],
+            "predicate": cols["predicate"],
+            "object": obj,
+            "object_kind": pd.Series(kind, dtype=object),
+            "lang": pd.Series([""] * len(df), dtype=object),
+            "datatype": pd.Series([""] * len(df), dtype=object),
+        })
+
+    emitted = ds.map_batches(emit, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        df["_bucket"] = _bucket_hash(
+            df, ["subject", "predicate", "object"], num_buckets) \
+            if len(df) else np.array([], dtype=np.int32)
+        return df
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["subject", "predicate", "object"]) \
+            .drop(columns="_bucket")
+
+    return emitted.map_batches(bucket, batch_format="pandas") \
+        .groupby("_bucket").map_groups(uniq, batch_format="pandas")

@@ -271,3 +271,39 @@ def test_shuffle_path_equals_broadcast(ray_session, monkeypatch):
         [("?p", TYPE, EX + "Robot")],
         optional=[("?p", KNOWS, "?x")]).to_pandas()
     assert set(out["binding"]) == opt_want_rows
+
+
+def test_construct_triples(ray_session):
+    from orionbelt_ontology_builder_ray.stages.bgp import construct_triples
+
+    out = construct_triples(
+        _ds(ray_session, _triples_df()),
+        [("?t", KNOWS, "?x")],
+        template=("?t", EX + "acquaintedWith", "?x")).to_pandas()
+    assert list(out.columns) == ["subject", "predicate", "object",
+                                 "object_kind", "lang", "datatype"]
+    got = set(zip(out["subject"], out["object"], out["object_kind"]))
+    assert got == {(EX + "a", EX + "b", "uri"), (EX + "a", EX + "c", "uri"),
+                   (EX + "b", EX + "a", "uri")}
+    assert set(out["predicate"]) == {EX + "acquaintedWith"}
+
+
+def test_construct_distinct_and_literal_kind(ray_session):
+    from orionbelt_ontology_builder_ray.stages.bgp import construct_triples
+
+    # names are literals; two turns knowing the same x would emit dup
+    # triples -> CONSTRUCT dedups (set semantics)
+    df = pd.concat([_triples_df(), _triples_df()], ignore_index=True)
+    out = construct_triples(
+        _ds(ray_session, df.drop_duplicates()),
+        [("?p", NAME, "?n")],
+        template=("?p", EX + "label", "?n")).to_pandas()
+    assert len(out) == 3
+    assert set(out["object_kind"]) == {"literal"}
+    # constant subject template
+    out2 = construct_triples(
+        _ds(ray_session, _triples_df()),
+        [("?p", TYPE, PERSON)],
+        template=(EX + "group", EX + "hasMember", "?p")).to_pandas()
+    assert set(out2["subject"]) == {EX + "group"}
+    assert len(out2) == 2

@@ -679,6 +679,13 @@ FROM (
     WHERE t.predicate = {_sql_str(RDFS_SUBCLASSOF)}
   ) SELECT s, e FROM cl)
 UNION ALL
+SELECT 'turns_no_tool', '?t=' || t1.subject
+FROM triples t1
+WHERE t1.predicate = {rt} AND t1.object = {_sql_str(KG + 'Turn')}
+  AND NOT EXISTS (SELECT 1 FROM triples t2
+                  WHERE t2.subject = t1.subject
+                    AND t2.predicate = {used})
+UNION ALL
 SELECT 'construct_comention',
        a || ' {KG}coMentionedWith ' || b
        || CASE WHEN b LIKE 'http%' THEN ' uri' ELSE ' literal' END

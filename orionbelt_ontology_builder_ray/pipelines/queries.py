@@ -525,6 +525,11 @@ def kg_bgp(sf_dir):
             ("?t", KG_MENTIONS, "?e"),
             ("?e", RDF_TYPE, KG_PLACE),
             ("?t", KG_IN_CONVERSATION, "?c")], by="?e"),
+        # SPARQL MINUS: turns WITHOUT a usedTool (the complement of
+        # turn_tool_opt's matched rows; NOT-EXISTS anti-join)
+        bgp_bindings_tagged(ds, "turns_no_tool", [
+            ("?t", RDF_TYPE, KG + "Turn")],
+            minus=[("?t", KG_USED_TOOL, "?any")]),
     ]
     # SPARQL property path rdfs:subClassOf+ : iterative-squaring
     # transitive closure (distinct (start, ancestor) pairs), mirrored

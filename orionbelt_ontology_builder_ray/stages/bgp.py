@@ -120,13 +120,20 @@ def _broadcast_join(big_ds, big_vars, small_ds, small_vars, how: str):
         df = df.reset_index(drop=True)
         for v in on:
             df[v] = df[v].astype(str)
-        m = df.merge(ray.get(ref), on=on, how=how)
+        small_df = ray.get(ref)
+        if how == "anti":
+            # MINUS: keep big-side rows with NO key match
+            m = df.merge(small_df[on].drop_duplicates(), on=on,
+                         how="left", indicator=True)
+            return m[m["_merge"] == "left_only"][sorted(big_vars)]
+        m = df.merge(small_df, on=on, how=how)
         out = m[all_vars]
         if how == "left":
             out = out.astype(object).where(out.notna(), None)
         return out
 
-    return big_ds.map_batches(probe, batch_format="pandas"), set(all_vars)
+    out_vars = set(big_vars) if how == "anti" else set(all_vars)
+    return big_ds.map_batches(probe, batch_format="pandas"), out_vars
 
 
 def _equijoin(left_ds, left_vars, right_ds, right_vars, num_buckets: int,
@@ -162,12 +169,20 @@ def _equijoin(left_ds, left_vars, right_ds, right_vars, num_buckets: int,
                                     batch_format="pandas")) \
         .repartition(num_buckets)
 
+    out_cols = sorted(left_vars) if how == "anti" else all_vars
+
     def join(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][sorted(left_vars)]
         r = g[g["_side"] == 1][sorted(right_vars)]
         if not len(l) or (how == "inner" and not len(r)):
             return pd.DataFrame({v: pd.Series([], dtype=object)
-                                 for v in all_vars})
+                                 for v in out_cols})
+        if how == "anti":
+            if not len(r):
+                return l.reset_index(drop=True)[out_cols]
+            m = l.merge(r[on].drop_duplicates(), on=on, how="left",
+                        indicator=True)
+            return m[m["_merge"] == "left_only"][out_cols]
         m = l.merge(r, on=on, how=how)
         out = m[all_vars]
         if how == "left":
@@ -178,7 +193,7 @@ def _equijoin(left_ds, left_vars, right_ds, right_vars, num_buckets: int,
 
     return unioned.groupby("_bucket").map_groups(join,
                                                  batch_format="pandas"), \
-        set(all_vars)
+        set(out_cols)
 
 
 _OPS = {
@@ -215,7 +230,7 @@ def _apply_filters(ds, bound, filters, applied):
 
 
 def match_bgp(triples_ds, patterns, select=None, filters=(),
-              optional=(), num_buckets: int = 32):
+              optional=(), minus=(), num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one
     string column per selected variable (all variables if ``select``
     is None, sorted by name).
@@ -226,7 +241,12 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
     the pattern has no match.  Optional patterns must join on
     required-bound variables (join keys can't themselves be nullable),
     and ``filters`` may reference required variables only — the two
-    standard restrictions that keep left-join semantics unambiguous."""
+    standard restrictions that keep left-join semantics unambiguous.
+
+    ``minus`` is SPARQL MINUS / FILTER NOT EXISTS: the pattern list is
+    evaluated as its own BGP and required solutions are ANTI-joined
+    away on the shared variables (broadcast key set under the cap,
+    bucket-hash anti-join above).  MINUS applies before OPTIONAL."""
     if not patterns:
         raise ValueError("empty BGP")
     scans = []
@@ -283,6 +303,18 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
                    if i not in applied]
         raise ValueError(f"filter references unbound variable: {missing}")
     required_bound = set(bound)
+    if minus:
+        mvars = {t[1:] for pat in minus for t in pat if _is_var(t)}
+        shared = mvars & required_bound
+        if not shared:
+            raise ValueError(
+                "MINUS pattern shares no variable with the required "
+                f"BGP (it would remove nothing): {minus!r}")
+        mds = match_bgp(triples_ds, minus,
+                        select=["?" + v for v in sorted(shared)],
+                        num_buckets=num_buckets).materialize()
+        cur, bound, cur_n = joined(cur, bound, cur_n, mds, shared,
+                                   mds.count(), how="anti")
     for pat in optional:
         if len(pat) != 3:
             raise ValueError(f"pattern must be (s, p, o): {pat!r}")
@@ -312,14 +344,15 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
 
 
 def bgp_bindings_tagged(triples_ds, name: str, patterns, select=None,
-                        filters=(), optional=(), num_buckets: int = 32):
+                        filters=(), optional=(), minus=(),
+                        num_buckets: int = 32):
     """Run a BGP and fold each solution into ONE canonical string
     ``?a=v1|?b=v2`` (variables sorted by name, unmatched OPTIONAL
     variables as the ``NULL`` sentinel — COALESCE in the SQL mirror)
     so BGPs of different shapes can share a tagged union slot:
     output (q, binding)."""
     ds = match_bgp(triples_ds, patterns, select=select, filters=filters,
-                   optional=optional, num_buckets=num_buckets)
+                   optional=optional, minus=minus, num_buckets=num_buckets)
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         cols = sorted(df.columns)

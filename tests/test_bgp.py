@@ -307,3 +307,35 @@ def test_construct_distinct_and_literal_kind(ray_session):
         template=(EX + "group", EX + "hasMember", "?p")).to_pandas()
     assert set(out2["subject"]) == {EX + "group"}
     assert len(out2) == 2
+
+
+def test_minus_anti_join(ray_session):
+    # Persons MINUS {knows anything}: a knows, b knows -> only none;
+    # add person d with no knows edge
+    df = pd.concat([_triples_df(), pd.DataFrame(
+        [(EX + "d", TYPE, PERSON)],
+        columns=["subject", "predicate", "object"])], ignore_index=True)
+    got = match_bgp(_ds(ray_session, df),
+                    [("?p", TYPE, PERSON)],
+                    minus=[("?p", KNOWS, "?x")]).to_pandas()
+    assert sorted(got["p"]) == [EX + "d"]
+
+
+def test_minus_shuffle_path(ray_session, monkeypatch):
+    import orionbelt_ontology_builder_ray.stages.bgp as bgp_mod
+
+    df = pd.concat([_triples_df(), pd.DataFrame(
+        [(EX + "d", TYPE, PERSON)],
+        columns=["subject", "predicate", "object"])], ignore_index=True)
+    monkeypatch.setattr(bgp_mod, "BGP_BROADCAST_ROWS", 0)
+    got = match_bgp(_ds(ray_session, df),
+                    [("?p", TYPE, PERSON)],
+                    minus=[("?p", KNOWS, "?x")]).to_pandas()
+    assert sorted(got["p"]) == [EX + "d"]
+
+
+def test_minus_guard(ray_session):
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(_ds(ray_session, _triples_df()),
+                  [("?p", TYPE, PERSON)],
+                  minus=[("?z", KNOWS, "?w")])

@@ -339,3 +339,29 @@ def test_minus_guard(ray_session):
         match_bgp(_ds(ray_session, _triples_df()),
                   [("?p", TYPE, PERSON)],
                   minus=[("?z", KNOWS, "?w")])
+
+
+def test_path_source_pruned_read(ray_session, tmp_path):
+    """match_bgp/closure accept a parquet PATH: pattern scans become
+    pruned reads (parquet filter + column projection); results equal
+    the Dataset-input evaluation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orionbelt_ontology_builder_ray.stages.bgp import (
+        property_path_closure)
+
+    df = _triples_df()
+    store = str(tmp_path / "store")
+    import os
+
+    os.makedirs(store)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(store, "part.parquet"))
+    pats = [("?a", KNOWS, "?b"), ("?b", TYPE, PERSON)]
+    from_ds = match_bgp(_ds(ray_session, df), pats).to_pandas()
+    from_path = match_bgp(store, pats).to_pandas()
+    pd.testing.assert_frame_equal(_canon(from_path), _canon(from_ds))
+    # closure over a path source too
+    got = property_path_closure(store, EX + "self").to_pandas()
+    assert set(zip(got["s"], got["e"])) == {(EX + "loop", EX + "loop")}

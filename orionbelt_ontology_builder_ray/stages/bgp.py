@@ -56,10 +56,18 @@ def _pattern_vars(pat) -> list:
     return [t for t in pat if _is_var(t)]
 
 
-def _scan_pattern(triples_ds, pat):
+def _scan_pattern(source, pat):
     """One column-pruned filtered projection per pattern: constants
     become pyarrow equality masks, variables become output columns
-    named after the variable (without the '?')."""
+    named after the variable (without the '?').
+
+    ``source`` may be a Dataset OR a parquet path (str).  With a path,
+    each pattern issues its OWN pruned ``read_parquet``: the constant
+    positions become a parquet-level filter expression (row groups
+    that cannot match never leave storage — with a predicate-sorted or
+    hive-partitioned store that is most of them) and only the variable
+    positions' columns are read at all.  The prune-at-the-read path
+    for ad-hoc queries against a store at rest."""
     consts = [(col, t) for col, t in zip(_POS, pat) if not _is_var(t)]
     # variable -> list of positions (a repeated var inside one pattern,
     # e.g. (?x ?p ?x), adds an intra-pattern equality mask)
@@ -67,6 +75,21 @@ def _scan_pattern(triples_ds, pat):
     for col, t in zip(_POS, pat):
         if _is_var(t):
             var_pos.setdefault(t[1:], []).append(col)
+
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        expr = None
+        for col, val in consts:
+            e = pads.field(col) == val
+            expr = e if expr is None else expr & e
+        cols = sorted({p for ps in var_pos.values() for p in ps})
+        triples_ds = rd.read_parquet(source, columns=cols or ["subject"],
+                                     filter=expr)
+        consts = []  # already applied at the read
+    else:
+        triples_ds = source
 
     def scan(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -387,10 +410,22 @@ def property_path_closure(triples_ds, predicate: str,
     """
     import pyarrow as pa
 
+    pre_filtered = isinstance(triples_ds, str)
+    if pre_filtered:
+        # prune at the read: only matching row groups and only the
+        # two needed columns leave storage
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        triples_ds = rd.read_parquet(
+            triples_ds, columns=["subject", "object"],
+            filter=pads.field("predicate") == predicate)
+
     def edges(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        f = t.filter(pc.equal(t["predicate"], predicate))
+        f = t if pre_filtered \
+            else t.filter(pc.equal(t["predicate"], predicate))
         return pa.table({"s": f["subject"].cast(pa.string()),
                          "e": f["object"].cast(pa.string())})
 
@@ -440,7 +475,7 @@ def property_path_closure(triples_ds, predicate: str,
 
 
 def bgp_group_count(triples_ds, name: str, patterns, by: str,
-                    select=None, filters=(), optional=(),
+                    select=None, filters=(), optional=(), minus=(),
                     num_buckets: int = 32):
     """SPARQL aggregation over a BGP: ``SELECT ?by (COUNT(*) AS ?n)
     WHERE {...} GROUP BY ?by`` — the solution multiset grouped on one
@@ -449,7 +484,8 @@ def bgp_group_count(triples_ds, name: str, patterns, by: str,
     from ray.data.aggregate import Count
 
     ds = match_bgp(triples_ds, patterns, select=select, filters=filters,
-                   optional=optional, num_buckets=num_buckets)
+                   optional=optional, minus=minus,
+                   num_buckets=num_buckets)
     var = by[1:]
     counts = ds.groupby(var).aggregate(Count(alias_name="n"))
 
@@ -466,7 +502,8 @@ def bgp_group_count(triples_ds, name: str, patterns, by: str,
 
 
 def construct_triples(triples_ds, patterns, template, select=None,
-                      filters=(), optional=(), num_buckets: int = 32):
+                      filters=(), optional=(), minus=(),
+                      num_buckets: int = 32):
     """SPARQL CONSTRUCT: evaluate the BGP, then instantiate one
     ``template`` triple (s, p, o) per solution — terms are either
     ``?var`` references or constants.  The rule-based enrichment
@@ -487,7 +524,8 @@ def construct_triples(triples_ds, patterns, template, select=None,
     if sel is None:
         sel = ["?" + v for v in dict.fromkeys(tvars)]
     ds = match_bgp(triples_ds, patterns, select=sel, filters=filters,
-                   optional=optional, num_buckets=num_buckets)
+                   optional=optional, minus=minus,
+                   num_buckets=num_buckets)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)

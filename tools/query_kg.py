@@ -66,6 +66,8 @@ def main(argv=None) -> int:
                     help="OPTIONAL triple pattern (repeat)")
     ap.add_argument("--filter", action="append", default=[],
                     help="constraint '?a < ?b' (repeat)")
+    ap.add_argument("--minus", action="append", default=[],
+                    help="MINUS / NOT-EXISTS pattern (repeat)")
     ap.add_argument("--select", nargs="+", default=None,
                     help="projected variables (default: all bound)")
     ap.add_argument("--construct", default=None,
@@ -96,7 +98,6 @@ def main(argv=None) -> int:
         if args.num_cpus:
             kw["num_cpus"] = args.num_cpus
         ray.init(**kw)
-    import ray.data as rd
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -104,7 +105,10 @@ def main(argv=None) -> int:
         bgp_group_count, construct_triples, match_bgp,
         property_path_closure)
 
-    ds = rd.read_parquet(args.store)
+    # pass the PATH, not a Dataset: each pattern scan then issues its
+    # own pruned read (constant positions -> parquet filter, variable
+    # positions -> column projection)
+    ds = args.store
     if args.path:
         out = property_path_closure(ds, term(args.path))
     elif args.construct:
@@ -113,20 +117,23 @@ def main(argv=None) -> int:
                                 select=args.select,
                                 filters=[filt(f) for f in args.filter],
                                 optional=[pattern(p)
-                                          for p in args.optional])
+                                          for p in args.optional],
+                                minus=[pattern(p) for p in args.minus])
     elif args.group_count:
         out = bgp_group_count(ds, "q", [pattern(p) for p in args.pattern],
                               by=args.group_count, select=args.select,
                               filters=[filt(f) for f in args.filter],
                               optional=[pattern(p)
-                                        for p in args.optional])
+                                        for p in args.optional],
+                              minus=[pattern(p) for p in args.minus])
     else:
         if not args.pattern:
             raise SystemExit("at least one -p pattern required")
         out = match_bgp(ds, [pattern(p) for p in args.pattern],
                         select=args.select,
                         filters=[filt(f) for f in args.filter],
-                        optional=[pattern(p) for p in args.optional])
+                        optional=[pattern(p) for p in args.optional],
+                        minus=[pattern(p) for p in args.minus])
     if args.output:
         out.write_parquet(args.output)
         print(f"wrote {out.count()} rows to {args.output}")

@@ -679,6 +679,15 @@ FROM (
     WHERE t.predicate = {_sql_str(RDFS_SUBCLASSOF)}
   ) SELECT s, e FROM cl)
 UNION ALL
+SELECT 'mentions_after', '?e=' || e || '|?n=' || CAST(n AS VARCHAR)
+FROM (
+  SELECT t1.object AS e, COUNT(*) AS n
+  FROM triples t1 JOIN triples t2 ON t1.subject = t2.subject
+  WHERE t1.predicate = {men}
+    AND t2.predicate = {_sql_str(KG_AT_TIME)}
+    AND t2.object >= '2024-01-15'
+  GROUP BY t1.object)
+UNION ALL
 SELECT 'turns_no_tool', '?t=' || t1.subject
 FROM triples t1
 WHERE t1.predicate = {rt} AND t1.object = {_sql_str(KG + 'Turn')}

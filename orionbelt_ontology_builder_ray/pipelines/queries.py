@@ -530,6 +530,14 @@ def kg_bgp(sf_dir):
         bgp_bindings_tagged(ds, "turns_no_tool", [
             ("?t", RDF_TYPE, KG + "Turn")],
             minus=[("?t", KG_USED_TOOL, "?any")]),
+        # temporal BGP: mention counts per entity restricted to a time
+        # window — ISO-8601 literals compare lexicographically, so the
+        # plain string FILTER is a correct temporal predicate in both
+        # engines
+        bgp_group_count(ds, "mentions_after", [
+            ("?t", KG_MENTIONS, "?e"),
+            ("?t", KG + "atTime", "?ts")],
+            by="?e", filters=[("?ts", ">=", "2024-01-15")]),
     ]
     # SPARQL property path rdfs:subClassOf+ : iterative-squaring
     # transitive closure (distinct (start, ancestor) pairs), mirrored

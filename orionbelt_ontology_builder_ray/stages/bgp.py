@@ -84,6 +84,19 @@ def _scan_pattern(source, pat):
         for col, val in consts:
             e = pads.field(col) == val
             expr = e if expr is None else expr & e
+        # a store written by write_store_by_predicate is laid out as
+        # `pred_part=<key>/` hive directories: a constant-predicate
+        # pattern then reads ONLY its partition's files — whole-file
+        # pruning by path (the predicate filter above still applies,
+        # so sanitization collisions can't change results)
+        pred_const = dict(consts).get("predicate")
+        if pred_const is not None:
+            import os
+
+            cand = os.path.join(
+                source, f"pred_part={predicate_partition_key(pred_const)}")
+            if os.path.isdir(cand):
+                source = cand
         cols = sorted({p for ps in var_pos.values() for p in ps})
         triples_ds = rd.read_parquet(source, columns=cols or ["subject"],
                                      filter=expr)
@@ -413,12 +426,18 @@ def property_path_closure(triples_ds, predicate: str,
     pre_filtered = isinstance(triples_ds, str)
     if pre_filtered:
         # prune at the read: only matching row groups and only the
-        # two needed columns leave storage
+        # two needed columns leave storage; a pred_part hive store
+        # narrows to its partition directory (whole-file pruning)
+        import os
+
         import pyarrow.dataset as pads
         import ray.data as rd
 
+        cand = os.path.join(
+            triples_ds, f"pred_part={predicate_partition_key(predicate)}")
         triples_ds = rd.read_parquet(
-            triples_ds, columns=["subject", "object"],
+            cand if os.path.isdir(cand) else triples_ds,
+            columns=["subject", "object"],
             filter=pads.field("predicate") == predicate)
 
     def edges(t: pa.Table) -> pa.Table:
@@ -562,3 +581,31 @@ def construct_triples(triples_ds, patterns, template, select=None,
 
     return emitted.map_batches(bucket, batch_format="pandas") \
         .groupby("_bucket").map_groups(uniq, batch_format="pandas")
+
+
+def predicate_partition_key(uri: str) -> str:
+    """Sanitized predicate local name, safe as a hive directory value
+    (non-alphanumerics collapse to '_'; collisions only merge
+    partitions, never lose rows — the full predicate column is still
+    stored and still filtered)."""
+    import re
+
+    local = uri.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+    return re.sub(r"[^A-Za-z0-9_-]", "_", local) or "_"
+
+
+def write_store_by_predicate(triples_ds, out_dir: str) -> None:
+    """Write a triples store hive-partitioned by predicate local name
+    (``pred_part=<key>/`` directories).  Predicates are low-cardinality
+    (~tens), so this costs one extra string column at write time and
+    buys FILE-level pruning for every BGP pattern with a constant
+    predicate: a scan of ``kg:mentions`` reads 1/|predicates| of the
+    store instead of row-group-filtering all of it — the layout you
+    want when the store is queried more than it is rebuilt."""
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        df["pred_part"] = df["predicate"].map(predicate_partition_key)
+        return df
+
+    triples_ds.map_batches(add_key, batch_format="pandas") \
+        .write_parquet(out_dir, partition_cols=["pred_part"])

@@ -365,3 +365,36 @@ def test_path_source_pruned_read(ray_session, tmp_path):
     # closure over a path source too
     got = property_path_closure(store, EX + "self").to_pandas()
     assert set(zip(got["s"], got["e"])) == {(EX + "loop", EX + "loop")}
+
+
+def test_predicate_partitioned_store(ray_session, tmp_path):
+    """write_store_by_predicate -> hive layout; BGP over the
+    partitioned path equals the flat evaluation (file-level pruning
+    is a layout optimization, never a semantic change)."""
+    import os
+
+    import ray.data as rd
+
+    from orionbelt_ontology_builder_ray.stages.bgp import (
+        predicate_partition_key, write_store_by_predicate)
+
+    df = _triples_df()
+    out = str(tmp_path / "bystore")
+    write_store_by_predicate(rd.from_pandas(df).repartition(3), out)
+    # hive dirs per sanitized predicate local name
+    dirs = {n for n in os.listdir(out) if n.startswith("pred_part=")}
+    assert f"pred_part={predicate_partition_key(KNOWS)}" in dirs
+    pats = [("?a", KNOWS, "?b"), ("?b", TYPE, PERSON), ("?a", NAME, "?n")]
+    flat = match_bgp(_ds(ray_session, df), pats).to_pandas()
+    part = match_bgp(out, pats).to_pandas()
+    pd.testing.assert_frame_equal(_canon(part), _canon(flat))
+
+
+def test_predicate_partition_key():
+    from orionbelt_ontology_builder_ray.stages.bgp import (
+        predicate_partition_key)
+
+    assert predicate_partition_key("http://a/b#knows") == "knows"
+    assert predicate_partition_key("http://a/b/rel") == "rel"
+    assert predicate_partition_key("http://a/b#x y:z") == "x_y_z"
+    assert predicate_partition_key("") == "_"

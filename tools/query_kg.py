@@ -76,6 +76,10 @@ def main(argv=None) -> int:
                     help="GROUP BY ?VAR COUNT(*) instead of solutions")
     ap.add_argument("--path", default=None, metavar="PRED",
                     help="print PRED+ transitive-closure pairs instead")
+    ap.add_argument("--repartition-store", default=None, metavar="OUT",
+                    help="instead of querying, rewrite --store as a "
+                         "pred_part=<key>/ hive layout at OUT (whole-"
+                         "file pruning for constant-predicate scans)")
     ap.add_argument("--output", default=None,
                     help="write result parquet here instead of printing")
     ap.add_argument("--limit", type=int, default=100,
@@ -103,12 +107,20 @@ def main(argv=None) -> int:
     DataContext.get_current().enable_progress_bars = False
     from orionbelt_ontology_builder_ray.stages.bgp import (
         bgp_group_count, construct_triples, match_bgp,
-        property_path_closure)
+        property_path_closure, write_store_by_predicate)
 
     # pass the PATH, not a Dataset: each pattern scan then issues its
     # own pruned read (constant positions -> parquet filter, variable
     # positions -> column projection)
     ds = args.store
+    if args.repartition_store:
+        import ray.data as rd
+
+        write_store_by_predicate(rd.read_parquet(args.store),
+                                 args.repartition_store)
+        print(f"wrote pred_part layout to {args.repartition_store}")
+        ray.shutdown()
+        return 0
     if args.path:
         out = property_path_closure(ds, term(args.path))
     elif args.construct:

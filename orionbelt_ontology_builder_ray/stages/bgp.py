@@ -3,8 +3,12 @@ Dataset — the generic query surface the reference exposes only as
 fixed listings (get_classes, get_individuals, search:
 ontology_manager.py:2301-2396).  A BGP is a list of triple patterns
 whose terms are either constants or ``?var`` variables; the result is
-the multiset of variable bindings satisfying every pattern, i.e. the
-conjunctive query / SELECT fragment of SPARQL 1.0.
+the multiset of variable bindings satisfying every pattern.  The
+module covers the practical SPARQL algebra core: SELECT (match_bgp),
+FILTER, OPTIONAL (left join), MINUS (anti join), GROUP BY COUNT
+(bgp_group_count), property paths ``pred+`` (property_path_closure),
+CONSTRUCT (construct_triples), plus a predicate-partitioned store
+layout (write_store_by_predicate) for whole-file scan pruning.
 
 Ray-Data-first shape (nothing here is driver-side):
 
@@ -50,10 +54,6 @@ _POS = ("subject", "predicate", "object")
 
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
-
-
-def _pattern_vars(pat) -> list:
-    return [t for t in pat if _is_var(t)]
 
 
 def _scan_pattern(source, pat):

@@ -609,3 +609,71 @@ def write_store_by_predicate(triples_ds, out_dir: str) -> None:
 
     triples_ds.map_batches(add_key, batch_format="pandas") \
         .write_parquet(out_dir, partition_cols=["pred_part"])
+
+
+def ask(source, patterns, filters=(), optional=(), minus=(),
+        num_buckets: int = 32) -> bool:
+    """SPARQL ASK: does the BGP have at least one solution?  Stops at
+    the first block with a row (``limit(1)`` under streaming
+    execution) instead of materializing the solution set."""
+    ds = match_bgp(source, patterns, filters=filters, optional=optional,
+                   minus=minus, num_buckets=num_buckets)
+    return bool(ds.limit(1).take(1))
+
+
+def describe(source, uri: str):
+    """SPARQL DESCRIBE: every triple where ``uri`` is the subject or a
+    URI object — the per-resource neighborhood view (the reference's
+    entity-detail panes compose exactly this).  With a path source,
+    two pruned reads (subject-filtered + object-filtered) union; a
+    Dataset source scans once."""
+    cols = ["subject", "predicate", "object", "object_kind", "lang",
+            "datatype"]
+
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        out_ds = rd.read_parquet(source, columns=cols,
+                                 filter=pads.field("subject") == uri)
+        inbound = rd.read_parquet(
+            source, columns=cols,
+            filter=(pads.field("object") == uri)
+            & (pads.field("object_kind") == "uri")
+            & (pads.field("subject") != uri))
+        return out_ds.union(inbound)
+
+    def flt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.or_(pc.equal(t["subject"], uri),
+                   pc.and_(pc.equal(t["object"], uri),
+                           pc.equal(t["object_kind"], "uri")))
+        return t.filter(m).select(cols)
+
+    return source.map_batches(flt, batch_format="pyarrow")
+
+
+def bgp_topk(source, patterns, order_by: str, k: int = 10,
+             descending: bool = False, select=None, filters=(),
+             optional=(), minus=(), num_buckets: int = 32):
+    """SPARQL ORDER BY ?var LIMIT k over a BGP: per-block local top-k
+    partials, then one k x blocks final reduce — the grouped-topk
+    combiner shape, so the full solution set never sorts globally.
+    Ties break on the remaining columns ascending (deterministic on
+    both engines)."""
+    var = order_by[1:]
+    ds = match_bgp(source, patterns, select=select, filters=filters,
+                   optional=optional, minus=minus,
+                   num_buckets=num_buckets)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        rest = [c for c in df.columns if c != var]
+        return df.sort_values(
+            [var] + rest,
+            ascending=[not descending] + [True] * len(rest)).head(k)
+
+    return ds.map_batches(local, batch_format="pandas") \
+        .repartition(1).map_batches(local, batch_format="pandas")

@@ -398,3 +398,49 @@ def test_predicate_partition_key():
     assert predicate_partition_key("http://a/b/rel") == "rel"
     assert predicate_partition_key("http://a/b#x y:z") == "x_y_z"
     assert predicate_partition_key("") == "_"
+
+
+def test_ask(ray_session):
+    from orionbelt_ontology_builder_ray.stages.bgp import ask
+
+    ds = _ds(ray_session, _triples_df())
+    assert ask(ds, [("?s", TYPE, PERSON)]) is True
+    assert ask(ds, [("?s", TYPE, EX + "Unicorn")]) is False
+    assert ask(ds, [("?s", TYPE, PERSON)],
+               minus=[("?s", KNOWS, "?x")]) is False  # all persons know
+
+
+def test_describe(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orionbelt_ontology_builder_ray.stages.bgp import describe
+
+    df = _triples_df().assign(object_kind=lambda d: d["object"]
+                              .str.startswith("http").map(
+                                  {True: "uri", False: "literal"}),
+                              lang="", datatype="")
+    got = describe(_ds(ray_session, df), EX + "b").to_pandas()
+    # outbound: b type Person, b knows a, b name Bob; inbound: a knows b
+    assert len(got) == 4
+    assert (got["subject"] == EX + "a").sum() == 1
+    # path source equality
+    store = str(tmp_path / "dstore"); os.makedirs(store)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(store, "p.parquet"))
+    got2 = describe(store, EX + "b").to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(got2))
+
+
+def test_bgp_topk(ray_session):
+    from orionbelt_ontology_builder_ray.stages.bgp import bgp_topk
+
+    ds = _ds(ray_session, _triples_df(), blocks=5)
+    top = bgp_topk(ds, [("?s", NAME, "?n")], order_by="?n", k=2,
+                   descending=True).to_pandas()
+    assert list(top["n"]) == ["Càrl", "Bob"]
+    bottom = bgp_topk(ds, [("?s", NAME, "?n")], order_by="?n",
+                      k=1).to_pandas()
+    assert list(bottom["n"]) == ["Alice"]

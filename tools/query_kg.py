@@ -76,6 +76,15 @@ def main(argv=None) -> int:
                     help="GROUP BY ?VAR COUNT(*) instead of solutions")
     ap.add_argument("--path", default=None, metavar="PRED",
                     help="print PRED+ transitive-closure pairs instead")
+    ap.add_argument("--ask", action="store_true",
+                    help="print true/false: does the BGP have a solution")
+    ap.add_argument("--describe", default=None, metavar="URI",
+                    help="print every triple where URI is subject or "
+                         "URI object, instead of a BGP query")
+    ap.add_argument("--order-by", default=None, metavar="?VAR",
+                    help="ORDER BY ?VAR with --limit as the k (top-k)")
+    ap.add_argument("--desc", action="store_true",
+                    help="descending --order-by")
     ap.add_argument("--repartition-store", default=None, metavar="OUT",
                     help="instead of querying, rewrite --store as a "
                          "pred_part=<key>/ hive layout at OUT (whole-"
@@ -106,8 +115,9 @@ def main(argv=None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     from orionbelt_ontology_builder_ray.stages.bgp import (
-        bgp_group_count, construct_triples, match_bgp,
-        property_path_closure, write_store_by_predicate)
+        ask as bgp_ask, bgp_group_count, bgp_topk, construct_triples,
+        describe as bgp_describe, match_bgp, property_path_closure,
+        write_store_by_predicate)
 
     # pass the PATH, not a Dataset: each pattern scan then issues its
     # own pruned read (constant positions -> parquet filter, variable
@@ -121,7 +131,18 @@ def main(argv=None) -> int:
         print(f"wrote pred_part layout to {args.repartition_store}")
         ray.shutdown()
         return 0
-    if args.path:
+    if args.ask:
+        print("true" if bgp_ask(ds, [pattern(p) for p in args.pattern],
+                                filters=[filt(f) for f in args.filter],
+                                optional=[pattern(p)
+                                          for p in args.optional],
+                                minus=[pattern(p) for p in args.minus])
+              else "false")
+        ray.shutdown()
+        return 0
+    if args.describe:
+        out = bgp_describe(ds, term(args.describe))
+    elif args.path:
         out = property_path_closure(ds, term(args.path))
     elif args.construct:
         out = construct_triples(ds, [pattern(p) for p in args.pattern],
@@ -141,11 +162,16 @@ def main(argv=None) -> int:
     else:
         if not args.pattern:
             raise SystemExit("at least one -p pattern required")
-        out = match_bgp(ds, [pattern(p) for p in args.pattern],
-                        select=args.select,
-                        filters=[filt(f) for f in args.filter],
-                        optional=[pattern(p) for p in args.optional],
-                        minus=[pattern(p) for p in args.minus])
+        kw = dict(select=args.select,
+                  filters=[filt(f) for f in args.filter],
+                  optional=[pattern(p) for p in args.optional],
+                  minus=[pattern(p) for p in args.minus])
+        if args.order_by:
+            out = bgp_topk(ds, [pattern(p) for p in args.pattern],
+                           order_by=args.order_by, k=args.limit,
+                           descending=args.desc, **kw)
+        else:
+            out = match_bgp(ds, [pattern(p) for p in args.pattern], **kw)
     if args.output:
         out.write_parquet(args.output)
         print(f"wrote {out.count()} rows to {args.output}")

@@ -266,7 +266,8 @@ def _apply_filters(ds, bound, filters, applied):
 
 
 def match_bgp(triples_ds, patterns, select=None, filters=(),
-              optional=(), minus=(), num_buckets: int = 32):
+              optional=(), minus=(), values=None, distinct=False,
+              num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one
     string column per selected variable (all variables if ``select``
     is None, sorted by name).
@@ -282,9 +283,36 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
     ``minus`` is SPARQL MINUS / FILTER NOT EXISTS: the pattern list is
     evaluated as its own BGP and required solutions are ANTI-joined
     away on the shared variables (broadcast key set under the cap,
-    bucket-hash anti-join above).  MINUS applies before OPTIONAL."""
+    bucket-hash anti-join above).  MINUS applies before OPTIONAL.
+
+    ``values`` is SPARQL VALUES for single variables: {"?v": [...]}
+    constrains each named variable to the listed constants — applied
+    as a broadcast set-membership filter the moment the variable
+    binds, so it prunes BEFORE the joins, like VALUES should.
+
+    ``distinct=True`` is SELECT DISTINCT: one bucket-hash dedup of the
+    projected solution rows (multiset semantics otherwise)."""
     if not patterns:
         raise ValueError("empty BGP")
+    values = dict(values or {})
+    for v in values:
+        if not _is_var(v):
+            raise ValueError(f"VALUES key must be a ?variable: {v!r}")
+
+    def apply_values(ds, bound, pending):
+        ready = [v for v in pending if v[1:] in bound]
+        if not ready:
+            return ds, pending
+        sets = {v[1:]: frozenset(map(str, values[v])) for v in ready}
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = np.ones(len(df), dtype=bool)
+            for var, allowed in sets.items():
+                m &= df[var].astype(str).isin(allowed).to_numpy()
+            return df[m]
+
+        return ds.map_batches(f, batch_format="pandas"), \
+            [v for v in pending if v not in ready]
     scans = []
     for pat in patterns:
         if len(pat) != 3:
@@ -319,7 +347,9 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
     cur, bound, cur_n = scans[first][0]
     remaining = [i for i in order if i != first]
     applied: set = set()
+    pending_values = list(values)
     cur, applied = _apply_filters(cur, bound, filters, applied)
+    cur, pending_values = apply_values(cur, bound, pending_values)
     while remaining:
         nxt = None
         for i in remaining:
@@ -334,6 +364,10 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
         cur, bound, cur_n = joined(cur, bound, cur_n, rds, rvars, r_n)
         remaining.remove(nxt)
         cur, applied = _apply_filters(cur, bound, filters, applied)
+        cur, pending_values = apply_values(cur, bound, pending_values)
+    if pending_values:
+        raise ValueError(
+            f"VALUES references unbound variable(s): {pending_values}")
     if len(applied) != len(filters):
         missing = [filters[i] for i in range(len(filters))
                    if i not in applied]
@@ -376,7 +410,22 @@ def match_bgp(triples_ds, patterns, select=None, filters=(),
         out = df[keep].astype(object)
         return out.where(out.notna(), None)
 
-    return cur.map_batches(project, batch_format="pandas")
+    out = cur.map_batches(project, batch_format="pandas")
+    if not distinct:
+        return out
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        df["_bucket"] = _bucket_hash(df, keep, num_buckets) \
+            if len(df) else np.array([], dtype=np.int32)
+        return df
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(keep_cols).drop(columns="_bucket")
+
+    keep_cols = list(keep)
+    return out.map_batches(bucket, batch_format="pandas") \
+        .groupby("_bucket").map_groups(uniq, batch_format="pandas")
 
 
 def bgp_bindings_tagged(triples_ds, name: str, patterns, select=None,

@@ -444,3 +444,24 @@ def test_bgp_topk(ray_session):
     bottom = bgp_topk(ds, [("?s", NAME, "?n")], order_by="?n",
                       k=1).to_pandas()
     assert list(bottom["n"]) == ["Alice"]
+
+
+def test_values_and_distinct(ray_session):
+    ds = _ds(ray_session, _triples_df())
+    # VALUES constrains ?x before the join
+    got = match_bgp(ds, [("?t", KNOWS, "?x")],
+                    values={"?x": [EX + "b", EX + "c"]}).to_pandas()
+    assert set(got["x"]) == {EX + "b", EX + "c"}
+    assert len(got) == 2
+    # DISTINCT collapses the multiset
+    multi = match_bgp(ds, [("?t", KNOWS, "?x"), ("?t", TYPE, PERSON)],
+                      select=["?t"]).to_pandas()
+    assert len(multi) == 3  # a,a,b
+    dist = match_bgp(ds, [("?t", KNOWS, "?x"), ("?t", TYPE, PERSON)],
+                     select=["?t"], distinct=True).to_pandas()
+    assert sorted(dist["t"]) == [EX + "a", EX + "b"]
+    # unbound VALUES var raises
+    with pytest.raises(ValueError, match="VALUES"):
+        match_bgp(ds, [("?t", KNOWS, "?x")], values={"?zz": ["a"]})
+    with pytest.raises(ValueError, match="VALUES key"):
+        match_bgp(ds, [("?t", KNOWS, "?x")], values={"x": ["a"]})

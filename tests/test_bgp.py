@@ -465,3 +465,28 @@ def test_values_and_distinct(ray_session):
         match_bgp(ds, [("?t", KNOWS, "?x")], values={"?zz": ["a"]})
     with pytest.raises(ValueError, match="VALUES key"):
         match_bgp(ds, [("?t", KNOWS, "?x")], values={"x": ["a"]})
+
+
+def test_hot_key_self_join(ray_session):
+    """One subject with 120 objects -> the self-join must emit all
+    120*119/2 filtered pairs even though every row lands in ONE
+    bucket (quadratic output is the query's semantics; the bucket
+    join must not truncate or duplicate it)."""
+    import ray.data as rd
+
+    n = 120
+    hot = pd.DataFrame({
+        "subject": [EX + "hot"] * n,
+        "predicate": [KNOWS] * n,
+        "object": [f"{EX}o{i:03d}" for i in range(n)]})
+    cold = pd.DataFrame({
+        "subject": [EX + f"c{i}" for i in range(50)],
+        "predicate": [KNOWS] * 50,
+        "object": [EX + "x"] * 50})
+    ds = rd.from_pandas(pd.concat([hot, cold], ignore_index=True)) \
+        .repartition(8)
+    got = match_bgp(ds, [("?t", KNOWS, "?a"), ("?t", KNOWS, "?b")],
+                    select=["?a", "?b"],
+                    filters=[("?a", "<", "?b")], num_buckets=4).to_pandas()
+    assert len(got) == n * (n - 1) // 2  # cold rows self-pair to none
+    assert got["a"].min() == f"{EX}o000"
